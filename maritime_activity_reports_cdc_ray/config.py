@@ -1,0 +1,66 @@
+"""Engine configuration.
+
+The reference drives everything from a Pydantic+YAML config
+(``models/config.py:95-169``); ours is a plain dataclass so the engine has zero
+dependencies beyond ray/pyarrow/numpy/pandas. All knobs that matter at 100 TB
+scale are here, with small-scale test defaults.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    """Knobs for a lake (bronze/silver/gold table triple) and its replay.
+
+    Scale guidance (the sandbox tests at sf<=0.1 on one node; production target
+    is a fixed-size multi-node cluster streaming ~100 TB):
+
+    - ``num_partitions``: number of logical silver/gold key partitions
+      (``pid = hash(repo) % num_partitions``). Fragment granularity and merge
+      parallelism both derive from it. 32-256 for tests; O(64k) at 100 TB so a
+      single partition's current fragment stays ~1-2 GB and a merge task's
+      working set stays well under a worker's heap.
+    - ``default_salt`` / ``max_salt``: sub-partitioning of a pid by
+      ``hash(path) % salt``. Salting bounds the working set of a *hot* pid
+      (mega-repo skew — reference analogue: Spark AQE skew join,
+      ``utils/spark_utils.py:31-33``). The salt map is adapted per epoch from
+      lineage row counts; fragments are written per (pid, salt) slice so a
+      salted merge group only reads/writes its slice.
+    - ``shuffle_partitions``: physical blocks for the merge exchange
+      (``Dataset.repartition(keys=...)``). ~2x total cores.
+    """
+
+    # --- partitioning ---
+    num_partitions: int = 32
+    shuffle_partitions: int = 0  # 0 → derive from cluster CPUs at run time
+    default_salt: int = 1
+    max_salt: int = 256
+    # a (pid, epoch) whose incoming event count exceeds this gets its salt
+    # doubled for subsequent epochs (and halved again when it cools down)
+    hot_partition_rows: int = 250_000
+
+    # --- validation / quality (reference: utils/data_quality.py:20-99) ---
+    commit_regex: str = r"^c[0-9]{12}$"
+    max_content_bytes: int = 1 << 20  # soft flag, not a hard drop
+    known_langs: tuple[str, ...] = ("py", "rs", "go", "js", "md", "txt")
+    min_quality_score: float = 0.0  # hard-drop threshold on the tiered score
+
+    # --- execution ---
+    batch_size_rows: int | None = None  # None → whole blocks (zero-copy arrow)
+    merge_num_cpus: float = 1.0
+    write_compression: str = "zstd"
+
+    # --- gold refresh cadence (reference: gold/streaming_processor.py:98-105) ---
+    gold_refresh_every_epochs: int = 1
+
+    # --- misc ---
+    source_system: str = "repo-commit-stream"
+    extra: dict = field(default_factory=dict)
+
+    def resolved_shuffle_partitions(self, num_cpus: int) -> int:
+        if self.shuffle_partitions:
+            return self.shuffle_partitions
+        return max(4, 2 * num_cpus)

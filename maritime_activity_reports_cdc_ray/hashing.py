@@ -1,0 +1,52 @@
+"""Deterministic, vectorized hashing used for partitioning and tie-breaks.
+
+Requirements: stable across processes, sessions and machines (crash-resume and
+multi-node alignment of ``pid = hash(repo) % P`` depend on it — Python's builtin
+``hash`` is salted per process and therefore unusable). We use pandas'
+SipHash-1-3 (``pandas.util.hash_array`` with its fixed default key), which is
+vectorized over object arrays and documented-stable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def hash_strings(arr: pa.Array | pa.ChunkedArray | np.ndarray) -> np.ndarray:
+    """Stable uint64 hash of a string column (vectorized)."""
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = arr.to_numpy(zero_copy_only=False)
+    arr = np.asarray(arr, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def combine_hashes(*cols: np.ndarray) -> np.ndarray:
+    """Order-dependent combine of uint64 hash columns (boost-style mix)."""
+    out = cols[0].copy()
+    for c in cols[1:]:
+        out ^= c + np.uint64(0x9E3779B97F4A7C15) + (out << np.uint64(6)) + (out >> np.uint64(2))
+    return out
+
+
+def sha256_hex(s: str | bytes) -> str:
+    if isinstance(s, str):
+        s = s.encode("utf-8", "surrogatepass")
+    return hashlib.sha256(s).hexdigest()
+
+
+def sha256_column(arr: pa.Array | pa.ChunkedArray) -> list[str | None]:
+    """sha256 hex per row. Python loop by necessity (no vectorized sha256 in
+    pyarrow); this is CPU-bound crypto that Ray parallelizes across batches."""
+    out: list[str | None] = []
+    append = out.append
+    for v in arr:
+        s = v.as_py()
+        if s is None:
+            append(None)
+        else:
+            append(hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest())
+    return out

@@ -1,0 +1,149 @@
+"""Pure-Python dict-replay oracle (FIXTURES.md §3-§4).
+
+This is the executable specification of the engine's CDC semantics — the tests
+compare the Ray pipeline's final silver/gold state against this replay.
+
+Semantics (shared, verbatim, with stages/merge.py — keep the two in sync):
+
+- Events are processed in **checkpoint epochs** (one input file = one epoch),
+  matching the reference's micro-batch model (silver/cdf_processor.py:44-81).
+- Within an epoch, events are sorted by ``(commit, sequence)`` — the reference
+  re-establishes per-key order with orderBy windows rather than relying on
+  arrival order (SURVEY.md §2.8).
+- Per key ``(repo, path)``, an event **applies** iff its ``commit`` is strictly
+  greater than the key's last applied commit (LWW; equal commit ⇒ duplicate
+  delivery ⇒ idempotent skip — reference analogue: idempotent MERGE,
+  silver/cdf_processor.py:259-268). A stale event (lower commit, e.g. delayed
+  delivery from an earlier epoch) is skipped.
+- An applied non-tombstone creates a new SCD2 version (``version_count += 1``)
+  and closes the previous open version if any; an applied tombstone closes the
+  open version without creating one (reference: SCD2 merge branches,
+  bronze/cdc_ingestion.py:176-217). A tombstone for a never-seen key creates a
+  deleted placeholder (version_count 0) so a later stale insert stays dead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+from maritime_activity_reports_cdc_ray.schemas import TOMBSTONE
+
+
+@dataclass
+class KeyState:
+    commit: str = ""
+    lang: str | None = None
+    content: str | None = None
+    is_deleted: bool = True
+    ever_deleted: bool = False
+    version_count: int = 0
+    valid_from: str = ""
+
+
+@dataclass
+class OracleState:
+    keys: dict = field(default_factory=dict)  # (repo, path) -> KeyState
+    history_rows: int = 0
+    applied: int = 0
+    stale: int = 0
+    duplicate: int = 0
+
+    def apply_epoch(self, rows: list[tuple]) -> None:
+        """rows: (repo, path, commit, lang, content) — one epoch's events."""
+        rows = sorted(rows, key=lambda r: r[2])
+        for repo, path, commit, lang, content in rows:
+            k = (repo, path)
+            st = self.keys.get(k)
+            if st is not None:
+                if commit == st.commit:
+                    self.duplicate += 1
+                    continue
+                if commit < st.commit:
+                    self.stale += 1
+                    continue
+            else:
+                st = self.keys[k] = KeyState()
+            is_tomb = content == TOMBSTONE and (lang == "" or lang is None)
+            self.applied += 1
+            if is_tomb:
+                if not st.is_deleted:
+                    self.history_rows += 1  # close the open version
+                st.is_deleted = True
+                st.ever_deleted = True
+                st.lang = None
+                st.content = None
+            else:
+                if not st.is_deleted:
+                    self.history_rows += 1  # close the previous open version
+                st.is_deleted = False
+                st.lang = lang
+                st.content = content
+                st.version_count += 1
+                st.valid_from = commit
+            st.commit = commit
+
+    # ------------------------------------------------------------------
+    def expected_silver(self) -> dict:
+        """(repo, path) -> dict for live keys only (FIXTURES.md §3)."""
+        out = {}
+        for (repo, path), st in self.keys.items():
+            if st.is_deleted:
+                continue
+            out[(repo, path)] = {
+                "commit": st.commit,
+                "lang": st.lang,
+                "content_sha256": hashlib.sha256(st.content.encode("utf-8", "surrogatepass")).hexdigest(),
+                "version_count": st.version_count,
+            }
+        return out
+
+    def expected_gold(self) -> dict:
+        """repo -> aggregate dict (FIXTURES.md §4)."""
+        agg: dict = {}
+        for (repo, path), st in self.keys.items():
+            a = agg.setdefault(
+                repo,
+                {
+                    "file_count": 0,
+                    "latest_commit": "",
+                    "total_bytes": 0,
+                    "lang_counts": {},
+                    "deleted_count": 0,
+                    "total_versions": 0,
+                    "_pairs": [],
+                },
+            )
+            a["total_versions"] += st.version_count
+            if st.ever_deleted:
+                a["deleted_count"] += 1
+            if st.is_deleted:
+                continue
+            a["file_count"] += 1
+            a["latest_commit"] = max(a["latest_commit"], st.commit)
+            a["total_bytes"] += len(st.content)
+            a["lang_counts"][st.lang] = a["lang_counts"].get(st.lang, 0) + 1
+            sha = hashlib.sha256(st.content.encode("utf-8", "surrogatepass")).hexdigest()
+            a["_pairs"].append((path, sha))
+        for repo, a in agg.items():
+            h = hashlib.sha256()
+            for path, sha in sorted(a["_pairs"]):
+                h.update(path.encode())
+                h.update(b"\x00")
+                h.update(sha.encode())
+                h.update(b"\n")
+            a["repo_sha256"] = h.hexdigest()
+            a["lang_counts"] = sorted(a["lang_counts"].items())
+            del a["_pairs"]
+        return agg
+
+
+def replay_files(files: list[str]) -> OracleState:
+    """Replay event Parquet files in epoch (file) order."""
+    st = OracleState()
+    for fp in files:
+        t = pq.read_table(fp, columns=["repo", "path", "commit", "lang", "content"])
+        st.apply_epoch(list(zip(*(t.column(c).to_pylist() for c in ["repo", "path", "commit", "lang", "content"]))))
+    return st

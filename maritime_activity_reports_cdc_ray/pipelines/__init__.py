@@ -1,0 +1,3 @@
+from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
+
+__all__ = ["CDCReplay"]

@@ -1,0 +1,405 @@
+"""The epoch replay driver: bronze → silver → gold with checkpoint/resume.
+
+This is the Ray-Data translation of the reference's streaming topology
+(SURVEY.md §3.3): Delta-CDF micro-batches become **checkpoint epochs** (one
+input Parquet file group = one epoch = one micro-batch), ``foreachBatch`` MERGE
+handlers become the hash-shuffled merge-applier actor pool, stream checkpoints
+become the manifest epoch watermark, and the orchestrator's restart loop
+(``silver/streaming_processor.py:254-277``) becomes plain idempotent re-run —
+every epoch's effects are committed via the two-phase manifest swap, so a crash
+anywhere leaves a state from which ``run()`` simply continues.
+
+Per epoch:
+
+1. **bronze ingest** (reference ``bronze/cdc_ingestion.py:27-69``):
+   ``read_parquet → map_batches(stamp) → map_batches(validate) →
+   map_batches(partition) → write fragments → commit``.
+2. **silver merge** (reference ``silver/cdf_processor.py:44-81``): read the
+   epoch's bronze fragments → assign ``gid`` → ``repartition(keys=["gid"])``
+   (hash shuffle) → ``map_batches(MergeApplier, …, concurrency=N)`` → collect
+   lineage (one small row per merge group) → commit.
+3. **gold refresh** (reference ``gold/cdf_processor.py:229-427``): changed
+   repos from lineage → per-affected-pid partition-local rollup → commit.
+
+Salt adaptation: after each silver commit, per-pid event counts from lineage
+drive the desired salt map; a self-healing resalt pass at the next epoch start
+re-slices any pid whose fragment layout disagrees with the desired map (so a
+crash between commit and resalt is harmless).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from maritime_activity_reports_cdc_ray.config import EngineConfig
+from maritime_activity_reports_cdc_ray.schemas import EVENT_SCHEMA
+from maritime_activity_reports_cdc_ray.stages.gold import GOLD_RESULT_SCHEMA, GoldRefresher
+from maritime_activity_reports_cdc_ray.stages.merge import (
+    MergeApplier,
+    silver_schema_for,
+)
+from maritime_activity_reports_cdc_ray.stages.partition import make_gid_assigner, make_partitioner
+from maritime_activity_reports_cdc_ray.stages.stamp import make_stamper
+from maritime_activity_reports_cdc_ray.stages.validate import make_validator
+from maritime_activity_reports_cdc_ray.state.table import Fragment, LakeTable, union_schemas
+from maritime_activity_reports_cdc_ray.schemas import GOLD_SCHEMA
+
+
+def ensure_hash_shuffle() -> None:
+    """Key-based repartitioning needs the hash-shuffle strategy (Ray >= 2.46)."""
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    ctx = rd.DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+
+def _cluster_cpus() -> int:
+    import ray
+
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", 8))
+    return 8
+
+
+class CDCReplay:
+    def __init__(self, root: str, cfg: EngineConfig | None = None):
+        self.root = root
+        self.cfg = cfg or EngineConfig()
+        self.bronze = LakeTable(os.path.join(root, "bronze"))
+        self.silver = LakeTable(os.path.join(root, "silver"))
+        self.gold = LakeTable(os.path.join(root, "gold"))
+
+    # ------------------------------------------------------------------ setup
+    def setup(self) -> None:
+        from maritime_activity_reports_cdc_ray.schemas import BRONZE_SCHEMA, SILVER_CURRENT_SCHEMA
+
+        LakeTable.create(self.bronze.root, "bronze_events", BRONZE_SCHEMA, self.cfg.num_partitions)
+        LakeTable.create(self.silver.root, "silver_current", SILVER_CURRENT_SCHEMA, self.cfg.num_partitions)
+        LakeTable.create(self.gold.root, "gold_repo_summary", GOLD_SCHEMA, self.cfg.num_partitions)
+
+    # ------------------------------------------------------------------- run
+    @staticmethod
+    def discover_epochs(input_path: str, files_per_epoch: int = 1) -> list[list[str]]:
+        """One epoch = ``files_per_epoch`` consecutive input files (sorted) —
+        the generic analogue of the CDF ``startingVersion`` offset ranges."""
+        if os.path.isdir(input_path):
+            files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+        else:
+            files = [input_path]
+        return [files[i : i + files_per_epoch] for i in range(0, len(files), files_per_epoch)]
+
+    def run(self, input_path: str, files_per_epoch: int = 1, max_epochs: int | None = None) -> dict:
+        """Replay all (or the next ``max_epochs``) uncommitted epochs.
+        Resumes from the silver manifest watermark."""
+        ensure_hash_shuffle()
+        epochs = self.discover_epochs(input_path, files_per_epoch)
+        sm = self.silver.latest_manifest()
+        start = sm.epoch + 1
+        done = 0
+        for e in range(start, len(epochs)):
+            if max_epochs is not None and done >= max_epochs:
+                break
+            self.run_epoch(e, epochs[e])
+            done += 1
+        self.finalize_gold()
+        return {
+            "epochs_run": done,
+            "silver_epoch": self.silver.latest_manifest().epoch,
+            "gold_epoch": self.gold.latest_manifest().epoch,
+            "stats": self.silver.latest_manifest().stats,
+        }
+
+    # ------------------------------------------------------------ one epoch
+    def run_epoch(self, epoch: int, files: list[str]) -> None:
+        bm = self.bronze.latest_manifest()
+        if bm.epoch < epoch:
+            self._bronze_ingest(epoch, files)
+        self._maybe_resalt()
+        sm = self.silver.latest_manifest()
+        if sm.epoch < epoch:
+            self._silver_merge(epoch)
+        gm = self.gold.latest_manifest()
+        # cadence knob (reference: MV refresh every 10 ticks,
+        # gold/streaming_processor.py:98-105): skipped epochs leave the gold
+        # watermark lagging; the next refresh folds in all lineage since it.
+        if gm.epoch < epoch and epoch % self.cfg.gold_refresh_every_epochs == 0:
+            self._gold_refresh(epoch)
+
+    def finalize_gold(self) -> None:
+        """Bring gold up to the silver watermark regardless of cadence (also
+        the crash-recovery path when a failure landed between the silver and
+        gold commits of an epoch)."""
+        sm, gm = self.silver.latest_manifest(), self.gold.latest_manifest()
+        if gm.epoch < sm.epoch:
+            self._gold_refresh(sm.epoch)
+
+    # ----------------------------------------------------------------- bronze
+    def _bronze_ingest(self, epoch: int, files: list[str]) -> None:
+        import ray.data as rd
+
+        cfg = self.cfg
+        bm = self.bronze.latest_manifest()
+        ds = rd.read_parquet(files)
+        ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow", zero_copy_batch=True)
+        outdir = self.bronze.abspath(f"fragments/epoch={epoch}")
+        shutil.rmtree(outdir, ignore_errors=True)
+        ds.write_parquet(outdir, compression=cfg.write_compression)
+
+        frags = []
+        for fp in sorted(glob.glob(os.path.join(outdir, "*.parquet"))):
+            md = pq.read_metadata(fp)
+            frags.append(
+                Fragment(
+                    path=os.path.relpath(fp, self.bronze.root),
+                    pid=-1, salt=0, kind="data", epoch=epoch,
+                    rows=md.num_rows, bytes=os.path.getsize(fp),
+                )
+            )
+        rows_in = sum(pq.read_metadata(f).num_rows for f in files)
+        rows_kept = sum(f.rows for f in frags)
+        # additive schema evolution on ingest (mergeSchema analogue)
+        schema = bm.schema
+        if frags:
+            schema = union_schemas(schema, pq.read_schema(os.path.join(outdir, os.path.basename(frags[-1].path))))
+        self.bronze.commit_epoch(
+            epoch, frags, schema=schema,
+            lineage=[{"epoch": epoch, "rows_in": rows_in, "rows_kept": rows_kept,
+                      "rows_dropped_invalid": rows_in - rows_kept, "files": len(frags)}],
+            stats_delta={"rows_in": rows_in, "rows_kept": rows_kept},
+        )
+
+    # ----------------------------------------------------------------- silver
+    def _bronze_epoch_paths(self, epoch: int) -> list[str]:
+        bm = self.bronze.latest_manifest()
+        return [self.bronze.abspath(f.path) for f in bm.fragments if f.epoch == epoch and f.kind == "data"]
+
+    def _silver_merge(self, epoch: int) -> None:
+        import ray
+        import ray.data as rd
+
+        ensure_hash_shuffle()
+        cfg = self.cfg
+        sm = self.silver.latest_manifest()
+        bronze_paths = self._bronze_epoch_paths(epoch)
+        if not bronze_paths:
+            self.silver.commit_epoch(epoch, [], lineage=[])
+            return
+        bronze_schema = pq.read_schema(bronze_paths[0])
+        silver_schema = union_schemas(silver_schema_for(bronze_schema), sm.schema)
+
+        salt_arr = self._salt_array(sm)
+        frag_map = {(f.pid, f.salt): f.path for f in sm.fragments if f.kind == "current"}
+        frag_map_ref = ray.put(frag_map)
+
+        ncpu = _cluster_cpus()
+        nshuffle = cfg.resolved_shuffle_partitions(ncpu)
+        ds = rd.read_parquet(bronze_paths)
+        ds = ds.map_batches(
+            make_gid_assigner(cfg.num_partitions, salt_arr, cfg.max_salt),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        ds = ds.repartition(nshuffle, keys=["gid"])
+        res = ds.map_batches(
+            MergeApplier,
+            fn_constructor_args=(
+                self.silver.root, frag_map_ref, epoch,
+                silver_schema.serialize().to_pybytes(), cfg.max_salt, cfg.write_compression,
+            ),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+            # leave headroom for the hash-shuffle aggregator actors and the
+            # read tasks — a pool that reserves every CPU deadlocks the
+            # pipeline (see ray_guide: size concurrency x num_cpus to the node)
+            concurrency=max(1, min(nshuffle, ncpu // 2)), num_cpus=cfg.merge_num_cpus,
+        )
+        lineage_rows = res.take_all()
+
+        new_frags, replaced, lineage = [], set(), []
+        stats_delta: dict = {}
+        for r in lineage_rows:
+            frs = [Fragment(**d) for d in json.loads(r["fragments_json"])]
+            new_frags.extend(frs)
+            for f in frs:
+                if f.kind == "current":
+                    old = frag_map.get((f.pid, f.salt))
+                    if old:
+                        replaced.add(old)
+            lr = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                  for k, v in r.items() if k != "fragments_json"}
+            lineage.append(lr)
+            for k in ("rows_in", "rows_applied", "rows_stale", "rows_duplicate",
+                      "inserted", "updated", "deleted", "history_rows"):
+                stats_delta[k] = stats_delta.get(k, 0) + int(r[k])
+        salt_map = self._next_salt_map(sm, lineage)
+        self.silver.commit_epoch(
+            epoch, new_frags, replaced=replaced, schema=silver_schema,
+            lineage=lineage, salt_map=salt_map, stats_delta=stats_delta,
+        )
+
+    def _salt_array(self, m) -> np.ndarray:
+        s = np.ones(self.cfg.num_partitions, dtype=np.int64)
+        if self.cfg.default_salt > 1:
+            s[:] = self.cfg.default_salt
+        for pid_str, v in m.salt_map.items():
+            s[int(pid_str)] = v
+        return s
+
+    def _next_salt_map(self, m, lineage: list[dict]) -> dict:
+        """Adapt per-pid salt from this epoch's event counts (hot-key
+        detection from lineage — north_rule salted sub-partitioning)."""
+        per_pid: dict[int, int] = {}
+        for r in lineage:
+            per_pid[r["pid"]] = per_pid.get(r["pid"], 0) + int(r["rows_in"])
+        out = dict(m.salt_map)
+        cur = self._salt_array(m)
+        for pid, rows in per_pid.items():
+            s = int(cur[pid])
+            if rows > self.cfg.hot_partition_rows and s < self.cfg.max_salt:
+                out[str(pid)] = min(self.cfg.max_salt, s * 2)
+            elif rows < self.cfg.hot_partition_rows // 4 and s > max(1, self.cfg.default_salt):
+                out[str(pid)] = max(max(1, self.cfg.default_salt), s // 2)
+        return {k: v for k, v in out.items() if v != max(1, self.cfg.default_salt)}
+
+    def _maybe_resalt(self) -> None:
+        """Self-healing: re-slice any pid whose current-fragment layout
+        disagrees with the desired salt map (runs before each merge; idempotent
+        after crashes). Partition-local rewrites, committed as maintenance."""
+        sm = self.silver.latest_manifest()
+        desired = self._salt_array(sm)
+        actual: dict[int, list] = {}
+        for f in sm.fragments:
+            if f.kind == "current":
+                actual.setdefault(f.pid, []).append(f)
+        todo = []
+        for pid, frs in actual.items():
+            have = 1 + max(fr.salt for fr in frs)
+            if have != int(desired[pid]) or len(frs) != have:
+                todo.append((pid, frs, int(desired[pid])))
+        if not todo:
+            return
+        new_frags, replaced = [], set()
+        for pid, frs, want in todo:
+            tabs = [pq.read_table(self.silver.abspath(fr.path)) for fr in frs]
+            t = pa.concat_tables(tabs, promote_options="permissive")
+            ph = t.column("path_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+            slot = (ph % np.uint64(want)).astype(np.int64)
+            for s in range(want):
+                part = t.filter(pa.array(slot == s))
+                frag = self.silver.stage_fragment(
+                    part, sm.epoch, pid, s, "current", self.cfg.write_compression, suffix="rs"
+                )
+                new_frags.append(frag)
+            replaced.update(fr.path for fr in frs)
+        self.silver.commit_maintenance(new_frags, replaced)
+
+    # ------------------------------------------------------------------- gold
+    def _affected_repos_for_epoch(self, epoch: int) -> list[str]:
+        lp = os.path.join(self.silver.root, "_lineage", f"epoch-{epoch}.json")
+        if not os.path.exists(lp):
+            return []
+        with open(lp) as f:
+            lineage = json.load(f)
+        out: set[str] = set()
+        for r in lineage:
+            out.update(r.get("changed_repos", []))
+        return sorted(out)
+
+    def _gold_refresh(self, epoch: int) -> None:
+        import ray
+        import ray.data as rd
+
+        from maritime_activity_reports_cdc_ray.stages.partition import pid_of_repo
+
+        # affected repos since the last *refreshed* gold epoch (covers skipped
+        # cadence epochs too)
+        gm = self.gold.latest_manifest()
+        affected: set[str] = set()
+        for e in range(gm.epoch + 1, epoch + 1):
+            affected.update(self._affected_repos_for_epoch(e))
+        if not affected:
+            self.gold.commit_epoch(epoch, [], lineage=[])
+            return
+        sm = self.silver.latest_manifest()
+        repos_by_pid: dict[int, list[str]] = {}
+        for repo in sorted(affected):
+            repos_by_pid.setdefault(pid_of_repo(repo, self.cfg.num_partitions), []).append(repo)
+        gold_frag = {f.pid: f for f in gm.fragments if f.kind == "gold"}
+        items = []
+        for pid, repos in repos_by_pid.items():
+            silver_paths = [f.path for f in sm.fragments if f.pid == pid and f.kind == "current"]
+            g = gold_frag.get(pid)
+            items.append({"pid": pid, "silver_paths": silver_paths, "gold_path": g.path if g else ""})
+        ref = ray.put(repos_by_pid)
+        ds = rd.from_items(items)
+        res = ds.map_batches(
+            GoldRefresher,
+            fn_constructor_args=(self.silver.root, self.gold.root, ref, epoch, self.cfg.write_compression),
+            batch_format="pyarrow", batch_size=1,
+            concurrency=max(1, min(len(items), _cluster_cpus())),
+        )
+        rows = res.take_all()
+        new_frags, replaced, lineage = [], set(), []
+        for r in rows:
+            for d in json.loads(r["fragments_json"]):
+                f = Fragment(**d)
+                new_frags.append(f)
+                old = gold_frag.get(f.pid)
+                if old:
+                    replaced.add(old.path)
+            lineage.append({k: int(v) for k, v in r.items() if k != "fragments_json"})
+        assert GOLD_RESULT_SCHEMA is not None
+        self.gold.commit_epoch(
+            epoch, new_frags, replaced=replaced, lineage=lineage,
+            stats_delta={"repos_refreshed": sum(int(r["repos_refreshed"]) for r in rows)},
+        )
+
+    # ---------------------------------------------------------------- readers
+    def read_silver(self, live_only: bool = True, columns: list[str] | None = None):
+        """Silver current state as a ray Dataset (streams fragment files)."""
+        import ray.data as rd
+
+        sm = self.silver.latest_manifest()
+        paths = self.silver.all_fragment_paths(sm, kind="current")
+        if not paths:
+            return rd.from_arrow(pa.Table.from_pylist([], schema=sm.schema))
+        ds = rd.read_parquet(paths, columns=columns)
+        if live_only:
+            import pyarrow.compute as pc
+
+            ds = ds.map_batches(
+                lambda t: t.filter(pc.invert(t.column("is_deleted"))),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        return ds
+
+    def read_gold(self):
+        import ray.data as rd
+
+        gm = self.gold.latest_manifest()
+        paths = self.gold.all_fragment_paths(gm, kind="gold")
+        if not paths:
+            return rd.from_arrow(pa.Table.from_pylist([], schema=GOLD_SCHEMA))
+        return rd.read_parquet(paths)
+
+    def read_history(self):
+        import ray.data as rd
+
+        from maritime_activity_reports_cdc_ray.schemas import SILVER_HISTORY_SCHEMA
+
+        sm = self.silver.latest_manifest()
+        paths = self.silver.all_fragment_paths(sm, kind="history")
+        if not paths:
+            return rd.from_arrow(pa.Table.from_pylist([], schema=SILVER_HISTORY_SCHEMA))
+        return rd.read_parquet(paths)
+
+
+assert EVENT_SCHEMA is not None

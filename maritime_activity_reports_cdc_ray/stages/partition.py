@@ -1,0 +1,52 @@
+"""Key partitioning: pid / path_hash assignment for the merge exchange.
+
+``pid = hash64(repo) % P`` — all keys of a repo land in one silver partition, so
+(a) the merge is partition-aligned with storage fragments and (b) the gold
+per-repo refresh touches only the partitions owning affected repos (no full
+scan; SURVEY.md §7.3). Within a pid, ``salt = path_hash % S_pid`` sub-slices a
+hot partition (mega-repo skew — north_rule salted sub-partitioning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from maritime_activity_reports_cdc_ray.hashing import hash_strings
+
+
+def make_partitioner(num_partitions: int):
+    def assign(batch: pa.Table) -> pa.Table:
+        rh = hash_strings(batch.column("repo"))
+        ph = hash_strings(batch.column("path"))
+        pid = (rh % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("pid", pa.array(pid, pa.int32())).append_column(
+            "path_hash", pa.array(ph, pa.uint64())
+        )
+
+    return assign
+
+
+def pid_of_repo(repo: str, num_partitions: int) -> int:
+    return int(hash_strings(np.array([repo], dtype=object))[0] % np.uint64(num_partitions))
+
+
+def make_gid_assigner(num_partitions: int, salt_by_pid: np.ndarray, max_salt: int):
+    """Add the shuffle key ``gid = pid * max_salt + (path_hash % S_pid)``.
+
+    ``salt_by_pid`` is the dense int32 array of per-pid salt counts (>=1) from
+    the manifest salt map — small (P entries), closure-captured and shipped
+    once per task, not per batch.
+    """
+    salt_by_pid = np.asarray(salt_by_pid, dtype=np.uint64)
+    assert int(salt_by_pid.max(initial=1)) <= max_salt
+
+    def assign(batch: pa.Table) -> pa.Table:
+        pid = batch.column("pid").to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = batch.column("path_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = salt_by_pid[pid]
+        salt = (ph % s).astype(np.int64)
+        gid = pid * max_salt + salt
+        return batch.append_column("gid", pa.array(gid, pa.int64()))
+
+    return assign

@@ -1,0 +1,79 @@
+"""Validation + tiered quality scoring — vectorized Arrow compute, no row loops.
+
+Reference semantics: hard validity filters (``bronze/cdc_ingestion.py:141-145``:
+null key / out-of-range coords dropped) and the tiered quality scorer
+(``utils/data_quality.py:20-99``: boolean flags folded into a score in
+{1.0, 0.8, 0.6, 0.4, 0.0} + EXCELLENT/GOOD/FAIR/POOR/INVALID category; IMO
+regex ``rlike("^[0-9]{7}$")`` → our commit regex).
+
+Generic translation: hard-invalid = null/empty ``repo``/``path``, malformed
+``commit``, null ``content``; soft flags = oversized content, unknown ``lang``.
+Hard-invalid rows are dropped (counted); soft issues only lower the score.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from maritime_activity_reports_cdc_ray.config import EngineConfig
+
+
+def quality_columns(batch: pa.Table, cfg: EngineConfig) -> tuple[pa.Table, "pa.BooleanArray"]:
+    """Append data_quality_score + quality_category; return (table, hard_valid mask)."""
+    repo, path, commit = batch.column("repo"), batch.column("path"), batch.column("commit")
+    content, lang = batch.column("content"), batch.column("lang")
+    is_tomb = pc.equal(batch.column("cdc_operation"), "delete")
+
+    def nonempty(col):
+        return pc.and_(pc.is_valid(col), pc.not_equal(pc.fill_null(col, ""), ""))
+
+    valid_key = pc.and_(nonempty(repo), nonempty(path))
+    valid_commit = pc.match_substring_regex(pc.fill_null(commit, ""), cfg.commit_regex)
+    has_content = pc.or_(pc.is_valid(content), is_tomb)
+    hard_valid = pc.and_(pc.and_(valid_key, valid_commit), has_content)
+
+    reasonable_size = pc.less_equal(batch.column("content_bytes"), cfg.max_content_bytes)
+    lang_ok = pc.or_(pc.is_in(pc.fill_null(lang, ""), value_set=pa.array(cfg.known_langs)), is_tomb)
+
+    soft_fails = pc.add(
+        pc.cast(pc.invert(pc.fill_null(reasonable_size, False)), pa.int32()),
+        pc.cast(pc.invert(pc.fill_null(lang_ok, False)), pa.int32()),
+    )
+    # tier ladder (reference: nested CASE/WHEN at utils/data_quality.py:60-99)
+    score = pc.if_else(
+        pc.invert(hard_valid),
+        pa.scalar(0.0),
+        pc.if_else(
+            pc.equal(soft_fails, 0),
+            pa.scalar(1.0),
+            pc.if_else(pc.equal(soft_fails, 1), pa.scalar(0.8), pa.scalar(0.6)),
+        ),
+    )
+    category = pc.if_else(
+        pc.invert(hard_valid),
+        pa.scalar("INVALID"),
+        pc.if_else(
+            pc.equal(score, 1.0),
+            pa.scalar("EXCELLENT"),
+            pc.if_else(pc.equal(score, 0.8), pa.scalar("GOOD"), pa.scalar("FAIR")),
+        ),
+    )
+    out = batch.append_column("data_quality_score", score).append_column(
+        "quality_category", category.cast(pa.string())
+    )
+    return out, hard_valid
+
+
+def make_validator(cfg: EngineConfig):
+    """map_batches fn: score, then drop hard-invalid rows and rows under the
+    quality threshold (reference: filter_by_quality, utils/data_quality.py:255-278)."""
+
+    def validate(batch: pa.Table) -> pa.Table:
+        scored, hard_valid = quality_columns(batch, cfg)
+        keep = hard_valid
+        if cfg.min_quality_score > 0.0:
+            keep = pc.and_(keep, pc.greater_equal(scored.column("data_quality_score"), cfg.min_quality_score))
+        return scored.filter(keep)
+
+    return validate

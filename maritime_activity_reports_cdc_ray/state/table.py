@@ -1,0 +1,297 @@
+"""Manifest-based Parquet lake table with an idempotent two-phase-commit sink.
+
+This is our Delta-log substitute (reference: Delta transactional tables +
+``enableChangeDataFeed`` TBLPROPERTIES, ``bronze/table_setup.py:38-82``; exactly
+-once via checkpoint + transactional commit, ``silver/cdf_processor.py:83-88``).
+
+Layout::
+
+    <root>/
+      _manifests/manifest-<version 10d>.json   # atomic rename = commit point
+      fragments/epoch=<E>/pid=<pid>/<kind>-<salt>.parquet
+      _lineage/epoch-<E>.json                  # per-epoch lineage records
+
+Protocol (north_star two-phase commit):
+
+1. **Stage**: merge tasks write fragments to *deterministic* paths derived from
+   ``(epoch, pid, salt, kind)`` via write-temp-then-``os.replace`` — re-running
+   an epoch simply overwrites its staged fragments; partially-written files from
+   a crash are invisible (never referenced) and get overwritten on rerun.
+2. **Commit**: the driver writes ``manifest-<V+1>.json.tmp`` (fsync) and
+   atomically renames it. Readers resolve the highest-numbered manifest; a
+   fragment exists for a reader only if a committed manifest references it.
+
+Re-committing an already-committed epoch is a no-op (idempotent replay).
+``vacuum`` deletes files unreferenced by the latest manifest.
+
+Scale note: the manifest holds one entry per live fragment. With
+``num_partitions`` = O(64k) and a handful of fragments per partition
+(compaction keeps the chain short) this is a few-MB JSON — same order as a
+Delta checkpoint file. Per-epoch lineage lives in side files, not the manifest.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import re
+import tempfile
+from dataclasses import asdict, dataclass, field
+
+import pyarrow as pa
+
+_MANIFEST_RE = re.compile(r"^manifest-(\d{10})\.json$")
+
+
+@dataclass
+class Fragment:
+    path: str  # relative to table root
+    pid: int
+    salt: int
+    kind: str  # "current" | "history" | "data"
+    epoch: int
+    rows: int
+    bytes: int
+
+
+@dataclass
+class Manifest:
+    version: int
+    epoch: int  # last committed epoch (-1 = fresh table)
+    name: str
+    num_partitions: int
+    schema_b64: str
+    fragments: list = field(default_factory=list)  # list[Fragment]
+    salt_map: dict = field(default_factory=dict)  # {str(pid): salt} (non-default only)
+    stats: dict = field(default_factory=dict)  # cumulative counters
+    gold_epoch: int = -1  # unused except on gold tables sharing a root
+
+    @property
+    def schema(self) -> pa.Schema:
+        return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(self.schema_b64)))
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        d["fragments"] = [asdict(f) for f in self.fragments]
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        d["fragments"] = [Fragment(**f) for f in d["fragments"]]
+        return Manifest(**d)
+
+
+def schema_to_b64(schema: pa.Schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def union_schemas(base: pa.Schema, other: pa.Schema) -> pa.Schema:
+    """Additive schema evolution: append columns of ``other`` missing from
+    ``base`` (reference: ``mergeSchema=true``, bronze/cdc_ingestion.py:59).
+    Type changes for existing columns are rejected."""
+    fields = list(base)
+    names = set(base.names)
+    for f in other:
+        if f.name in names:
+            bf = base.field(f.name)
+            if bf.type != f.type and not pa.types.is_null(f.type):
+                # permit string/large_string widening only
+                ok = {bf.type, f.type} <= {pa.string(), pa.large_string()}
+                if not ok:
+                    raise ValueError(f"schema evolution type conflict on {f.name}: {bf.type} vs {f.type}")
+        else:
+            fields.append(f)
+            names.add(f.name)
+    return pa.schema(fields)
+
+
+class LakeTable:
+    """One logical table = a directory of Parquet fragments + a manifest chain."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    # ------------------------------------------------------------- create/load
+    @staticmethod
+    def create(root: str, name: str, schema: pa.Schema, num_partitions: int) -> "LakeTable":
+        t = LakeTable(root)
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "fragments"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_lineage"), exist_ok=True)
+        if t.latest_manifest() is None:
+            m = Manifest(
+                version=0,
+                epoch=-1,
+                name=name,
+                num_partitions=num_partitions,
+                schema_b64=schema_to_b64(schema),
+            )
+            t._write_manifest(m)
+        return t
+
+    def latest_manifest(self) -> Manifest | None:
+        mdir = os.path.join(self.root, "_manifests")
+        if not os.path.isdir(mdir):
+            return None
+        best = None
+        for fn in os.listdir(mdir):
+            mm = _MANIFEST_RE.match(fn)
+            if mm:
+                v = int(mm.group(1))
+                if best is None or v > best[0]:
+                    best = (v, fn)
+        if best is None:
+            return None
+        with open(os.path.join(mdir, best[1])) as f:
+            return Manifest.from_json(f.read())
+
+    # ----------------------------------------------------------------- staging
+    def fragment_relpath(self, epoch: int, pid: int, salt: int, kind: str, suffix: str = "") -> str:
+        sfx = f"-{suffix}" if suffix else ""
+        return f"fragments/epoch={epoch}/pid={pid:06d}/{kind}-{salt:03d}{sfx}.parquet"
+
+    def abspath(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def stage_fragment(self, table: pa.Table, epoch: int, pid: int, salt: int, kind: str,
+                       compression: str = "zstd", suffix: str = "") -> Fragment:
+        """Write a fragment to its deterministic path (temp + atomic replace).
+        Safe to call from any Ray task/actor; reruns overwrite."""
+        import pyarrow.parquet as pq
+
+        rel = self.fragment_relpath(epoch, pid, salt, kind, suffix)
+        dst = self.abspath(rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dst), suffix=".tmp")
+        os.close(fd)
+        try:
+            pq.write_table(table, tmp, compression=compression)
+            os.replace(tmp, dst)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        return Fragment(
+            path=rel, pid=pid, salt=salt, kind=kind, epoch=epoch,
+            rows=table.num_rows, bytes=os.path.getsize(dst),
+        )
+
+    # ------------------------------------------------------------------ commit
+    def commit_epoch(
+        self,
+        epoch: int,
+        new_fragments: list,
+        replaced: "set[str] | None" = None,
+        schema: pa.Schema | None = None,
+        lineage: list | None = None,
+        salt_map: dict | None = None,
+        stats_delta: dict | None = None,
+    ) -> Manifest:
+        """Atomically publish epoch ``epoch``.
+
+        ``replaced``: relpaths of fragments superseded by this epoch (e.g. the
+        previous 'current' fragment of each touched (pid, salt)). Idempotent:
+        committing an epoch <= the manifest's epoch is a no-op.
+        """
+        m = self.latest_manifest()
+        assert m is not None, "table not created"
+        if epoch <= m.epoch:
+            return m  # already committed — exactly-once replay
+        keep = [f for f in m.fragments if not (replaced and f.path in replaced)]
+        m2 = Manifest(
+            version=m.version + 1,
+            epoch=epoch,
+            name=m.name,
+            num_partitions=m.num_partitions,
+            schema_b64=schema_to_b64(schema) if schema is not None else m.schema_b64,
+            fragments=keep + list(new_fragments),
+            salt_map=dict(salt_map) if salt_map is not None else m.salt_map,
+            stats=_merge_stats(m.stats, stats_delta),
+        )
+        if lineage is not None:
+            lp = os.path.join(self.root, "_lineage", f"epoch-{epoch}.json")
+            with open(lp + ".tmp", "w") as f:
+                json.dump(lineage, f)
+            os.replace(lp + ".tmp", lp)
+        self._write_manifest(m2)
+        return m2
+
+    def commit_maintenance(
+        self,
+        new_fragments: list,
+        replaced: set,
+        salt_map: dict | None = None,
+    ) -> Manifest:
+        """Publish a maintenance rewrite (resalt / compaction) — bumps the
+        manifest version without advancing the epoch watermark (reference
+        analogue: OPTIMIZE/compaction commits, utils/spark_utils.py:153-176)."""
+        m = self.latest_manifest()
+        assert m is not None
+        keep = [f for f in m.fragments if f.path not in replaced]
+        m2 = Manifest(
+            version=m.version + 1,
+            epoch=m.epoch,
+            name=m.name,
+            num_partitions=m.num_partitions,
+            schema_b64=m.schema_b64,
+            fragments=keep + list(new_fragments),
+            salt_map=dict(salt_map) if salt_map is not None else m.salt_map,
+            stats=m.stats,
+        )
+        self._write_manifest(m2)
+        return m2
+
+    def _write_manifest(self, m: Manifest) -> None:
+        mdir = os.path.join(self.root, "_manifests")
+        os.makedirs(mdir, exist_ok=True)
+        dst = os.path.join(mdir, f"manifest-{m.version:010d}.json")
+        tmp = dst + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(m.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, dst)
+
+    # ----------------------------------------------------------------- readers
+    def fragments_for_pid(self, m: Manifest, pid: int, kind: str = "current") -> list:
+        return [f for f in m.fragments if f.pid == pid and f.kind == kind]
+
+    def all_fragment_paths(self, m: Manifest, kind: str | None = None) -> list[str]:
+        return [self.abspath(f.path) for f in m.fragments if kind is None or f.kind == kind]
+
+    # ------------------------------------------------------------------ vacuum
+    def vacuum(self) -> int:
+        """Delete fragment files unreferenced by the latest manifest and
+        manifests older than the latest (reference: VACUUM,
+        utils/spark_utils.py:178-205). Returns files removed."""
+        m = self.latest_manifest()
+        assert m is not None
+        live = {f.path for f in m.fragments}
+        removed = 0
+        froot = os.path.join(self.root, "fragments")
+        for dirpath, _dirs, files in os.walk(froot, topdown=False):
+            for fn in files:
+                ap = os.path.join(dirpath, fn)
+                rel = os.path.relpath(ap, self.root)
+                if rel not in live:
+                    os.unlink(ap)
+                    removed += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        mdir = os.path.join(self.root, "_manifests")
+        for fn in os.listdir(mdir):
+            mm = _MANIFEST_RE.match(fn)
+            if mm and int(mm.group(1)) < m.version:
+                os.unlink(os.path.join(mdir, fn))
+                removed += 1
+        return removed
+
+
+def _merge_stats(base: dict, delta: dict | None) -> dict:
+    if not delta:
+        return dict(base)
+    out = dict(base)
+    for k, v in delta.items():
+        out[k] = out.get(k, 0) + v
+    return out

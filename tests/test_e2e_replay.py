@@ -1,0 +1,138 @@
+"""End-to-end Ray replay: oracle equality, exactly-once resume, skew salting,
+schema evolution (the keystone tests of SURVEY.md §5)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from maritime_activity_reports_cdc_ray.config import EngineConfig
+from maritime_activity_reports_cdc_ray.generate import generate_events
+from maritime_activity_reports_cdc_ray.oracle import replay_files
+from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
+
+
+def _assert_matches_oracle(replay: CDCReplay, oracle):
+    exp_s = oracle.expected_silver()
+    sil = replay.read_silver().to_pandas()
+    eng_s = {
+        (r.repo, r.path): (r.commit, r.lang, r.content_sha256, r.version_count)
+        for r in sil.itertuples()
+    }
+    assert set(eng_s) == set(exp_s)
+    for k, v in exp_s.items():
+        assert eng_s[k] == (v["commit"], v["lang"], v["content_sha256"], v["version_count"]), k
+    exp_g = oracle.expected_gold()
+    gold = replay.read_gold().to_pandas()
+    assert len(gold) == len(exp_g)
+    for r in gold.itertuples():
+        a = exp_g[r.repo]
+        assert int(r.file_count) == a["file_count"]
+        assert r.latest_commit == a["latest_commit"]
+        assert int(r.total_bytes) == a["total_bytes"]
+        assert int(r.deleted_count) == a["deleted_count"]
+        assert int(r.total_versions) == a["total_versions"]
+        assert r.repo_sha256 == a["repo_sha256"], r.repo
+        assert sorted((d["lang"], int(d["n"])) for d in r.lang_counts) == [
+            (l, n) for l, n in a["lang_counts"]
+        ]
+    assert replay.read_history().count() == oracle.history_rows
+
+
+@pytest.fixture(scope="module")
+def stream(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    files = generate_events(str(d), n_events=4000, n_repos=15, n_epochs=4, seed=42)
+    return str(d), files, replay_files(files)
+
+
+def test_full_replay_matches_oracle(ray_session, stream, tmp_path):
+    src, files, oracle = stream
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    out = r.run(src)
+    assert out["epochs_run"] == 4
+    assert out["silver_epoch"] == 3 and out["gold_epoch"] == 3
+    _assert_matches_oracle(r, oracle)
+    # lineage recorded per epoch with merge stats
+    lp = os.path.join(r.silver.root, "_lineage", "epoch-0.json")
+    lineage = json.load(open(lp))
+    assert sum(x["rows_in"] for x in lineage) > 0
+    assert all({"pid", "salt", "rows_applied", "changed_repos"} <= set(x) for x in lineage)
+
+
+def test_resume_after_partial_epoch(ray_session, stream, tmp_path):
+    """Crash between bronze and silver commits of an epoch → rerun converges
+    to the identical state (idempotent two-phase commit)."""
+    src, files, oracle = stream
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(src, max_epochs=2)
+    assert r.silver.latest_manifest().epoch == 1
+    # simulate crash: bronze of epoch 2 committed, silver/gold not
+    r._bronze_ingest(2, [files[2]])
+    assert r.bronze.latest_manifest().epoch == 2
+    assert r.silver.latest_manifest().epoch == 1
+    # fresh driver resumes and completes
+    r2 = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    out = r2.run(src)
+    assert out["silver_epoch"] == 3
+    _assert_matches_oracle(r2, oracle)
+
+
+def test_rerun_is_noop(ray_session, stream, tmp_path):
+    src, files, oracle = stream
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(src)
+    v = r.silver.latest_manifest().version
+    out = r.run(src)  # replay again: watermark says everything is committed
+    assert out["epochs_run"] == 0
+    assert r.silver.latest_manifest().version == v
+    _assert_matches_oracle(r, oracle)
+
+
+def test_skew_salting_engages(ray_session, tmp_path):
+    """One mega-repo dominating the stream trips hot-partition detection; the
+    salted layout still converges to the oracle state."""
+    d = str(tmp_path / "skewed")
+    files = generate_events(d, n_events=6000, n_repos=3, n_epochs=3, seed=11, zipf_s=3.0)
+    oracle = replay_files(files)
+    cfg = EngineConfig(num_partitions=2, hot_partition_rows=500, max_salt=8)
+    r = CDCReplay(str(tmp_path / "lake"), cfg)
+    r.setup()
+    r.run(d)
+    sm = r.silver.latest_manifest()
+    assert sm.salt_map, "hot partition should have been salted"
+    salted_pid = int(next(iter(sm.salt_map)))
+    salted = [f for f in sm.fragments if f.kind == "current" and f.pid == salted_pid]
+    assert len({f.salt for f in salted}) > 1, "current fragments should be salt-sliced"
+    _assert_matches_oracle(r, oracle)
+
+
+def test_schema_evolution_e2e(ray_session, tmp_path):
+    d = str(tmp_path / "evolve")
+    files = generate_events(d, n_events=2000, n_repos=6, n_epochs=3, seed=5,
+                            schema_evolve_from_epoch=1)
+    oracle = replay_files(files)
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(d)
+    sm = r.silver.latest_manifest()
+    assert "size_hint" in sm.schema.names  # additive evolution reached silver
+    _assert_matches_oracle(r, oracle)
+    # evolved column is readable with nulls backfilled for pre-evolution rows
+    sil = r.read_silver(live_only=False).to_pandas()
+    assert "size_hint" in sil.columns
+
+
+def test_gold_cadence_lag_and_finalize(ray_session, stream, tmp_path):
+    src, files, oracle = stream
+    cfg = EngineConfig(num_partitions=4, gold_refresh_every_epochs=3)
+    r = CDCReplay(str(tmp_path / "lake"), cfg)
+    r.setup()
+    out = r.run(src)
+    # finalize_gold() must have brought gold to the silver watermark
+    assert out["gold_epoch"] == out["silver_epoch"]
+    _assert_matches_oracle(r, oracle)

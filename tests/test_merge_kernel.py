@@ -1,0 +1,132 @@
+"""Unit tests for the pure merge kernel against handcrafted cases + the oracle.
+
+Mirrors the reference's operator unit tests (SCD2 close-old/insert-new
+invariants at tests/test_bronze_layer.py:78-160; idempotent upsert at
+silver/cdf_processor.py:259-268) plus the oracle equivalence keystone.
+"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from maritime_activity_reports_cdc_ray.config import EngineConfig
+from maritime_activity_reports_cdc_ray.generate import generate_events
+from maritime_activity_reports_cdc_ray.oracle import replay_files
+from maritime_activity_reports_cdc_ray.schemas import TOMBSTONE
+from maritime_activity_reports_cdc_ray.stages.merge import (
+    apply_events_to_partition,
+    silver_schema_for,
+)
+from maritime_activity_reports_cdc_ray.stages.partition import make_partitioner
+from maritime_activity_reports_cdc_ray.stages.stamp import make_stamper
+from maritime_activity_reports_cdc_ray.stages.validate import make_validator
+
+CFG = EngineConfig(num_partitions=1)
+
+
+def _events(rows, epoch=0):
+    t = pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows], pa.string()),
+            "path": pa.array([r[1] for r in rows], pa.string()),
+            "commit": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "content": pa.array([r[4] for r in rows], pa.large_string()),
+        }
+    )
+    t = make_partitioner(1)(make_validator(CFG)(make_stamper(CFG, epoch)(t)))
+    return t
+
+
+def _apply(cur, rows, epoch=0):
+    ev = _events(rows, epoch)
+    return apply_events_to_partition(cur, ev, epoch, silver_schema_for(ev.schema))
+
+
+def _row(cur, repo, path):
+    for r in cur.to_pylist():
+        if r["repo"] == repo and r["path"] == path:
+            return r
+    return None
+
+
+def test_insert_update_lww():
+    cur, hist, st = _apply(None, [
+        ("r", "a", "c000000000001", "py", "v1"),
+        ("r", "a", "c000000000003", "py", "v3"),
+        ("r", "a", "c000000000002", "py", "v2"),  # out of order in batch
+    ])
+    r = _row(cur, "r", "a")
+    assert r["commit"] == "c000000000003" and r["content"] == "v3"
+    assert r["version_count"] == 3 and not r["is_deleted"]
+    assert hist.num_rows == 2  # v1 closed by c2, v2 closed by c3
+    assert st["inserted"] == 1 and st["rows_applied"] == 3
+
+
+def test_duplicate_and_stale_skipped():
+    cur, _, _ = _apply(None, [("r", "a", "c000000000005", "py", "v5")])
+    cur2, hist, st = _apply(cur, [
+        ("r", "a", "c000000000005", "py", "v5"),   # exact duplicate replay
+        ("r", "a", "c000000000003", "py", "old"),  # stale
+    ], epoch=1)
+    assert cur2 is None  # nothing applied → fragment untouched
+    assert st["rows_duplicate"] == 1 and st["rows_stale"] == 1 and st["rows_applied"] == 0
+
+
+def test_tombstone_delete_and_reinsert():
+    cur, _, _ = _apply(None, [("r", "a", "c000000000001", "py", "v1")])
+    cur, hist, st = _apply(cur, [("r", "a", "c000000000002", "", TOMBSTONE)], epoch=1)
+    r = _row(cur, "r", "a")
+    assert r["is_deleted"] and r["ever_deleted"] and r["content"] is None
+    assert r["version_count"] == 1  # delete closes, creates nothing
+    assert hist.num_rows == 1 and hist.column("closed_by_op").to_pylist() == ["delete"]
+    assert st["deleted"] == 1
+    cur, hist, st = _apply(cur, [("r", "a", "c000000000003", "py", "v2")], epoch=2)
+    r = _row(cur, "r", "a")
+    assert not r["is_deleted"] and r["ever_deleted"] and r["version_count"] == 2
+    assert hist.num_rows == 0  # no open version existed to close
+
+
+def test_scd2_history_chain():
+    cur, h1, _ = _apply(None, [("r", "a", "c000000000001", "py", "v1")])
+    cur, h2, _ = _apply(cur, [("r", "a", "c000000000002", "rs", "v2")], epoch=1)
+    assert h2.num_rows == 1
+    row = h2.to_pylist()[0]
+    assert row["commit"] == "c000000000001" and row["valid_to_commit"] == "c000000000002"
+    assert row["lang"] == "py" and row["closed_by_op"] == "update"
+    assert row["valid_from_commit"] == "c000000000001"
+
+
+def test_schema_evolution_extra_column():
+    ev1 = _events([("r", "a", "c000000000001", "py", "v1")])
+    schema1 = silver_schema_for(ev1.schema)
+    cur, _, _ = apply_events_to_partition(None, ev1, 0, schema1)
+    # epoch 2: stream gains a size_hint column (additive evolution)
+    ev2 = _events([("r", "b", "c000000000002", "go", "w1")], epoch=1)
+    ev2 = ev2.append_column("size_hint", pa.array([42], pa.int64()))
+    schema2 = silver_schema_for(ev2.schema)
+    cur2, _, _ = apply_events_to_partition(cur, ev2, 1, schema2)
+    assert "size_hint" in cur2.column_names
+    assert _row(cur2, "r", "a")["size_hint"] is None  # backfilled null
+    assert _row(cur2, "r", "b")["size_hint"] == 42
+
+
+def test_kernel_matches_oracle_on_generated_stream(tmp_path):
+    files = generate_events(str(tmp_path / "ev"), n_events=3000, n_repos=10, n_epochs=5, seed=42)
+    oracle = replay_files(files)
+    cur, tot_hist = None, 0
+    for e, fp in enumerate(files):
+        t = make_partitioner(1)(make_validator(CFG)(make_stamper(CFG, e)(pq.read_table(fp))))
+        new_cur, hist, _ = apply_events_to_partition(cur, t, e, silver_schema_for(t.schema))
+        if new_cur is not None:
+            cur = new_cur
+        tot_hist += hist.num_rows
+    live = cur.filter(pa.compute.invert(cur.column("is_deleted")))
+    exp = oracle.expected_silver()
+    eng = {
+        (r["repo"], r["path"]): (r["commit"], r["lang"], r["content_sha256"], r["version_count"])
+        for r in live.to_pylist()
+    }
+    assert set(eng) == set(exp)
+    for k, v in exp.items():
+        assert eng[k] == (v["commit"], v["lang"], v["content_sha256"], v["version_count"])
+    assert tot_hist == oracle.history_rows

@@ -1,0 +1,74 @@
+"""Manifest / two-phase-commit lake table invariants."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from maritime_activity_reports_cdc_ray.state.table import LakeTable, union_schemas
+
+SCHEMA = pa.schema([("k", pa.string()), ("v", pa.int64())])
+
+
+def _t(rows):
+    return pa.table({"k": [r[0] for r in rows], "v": [r[1] for r in rows]}, schema=SCHEMA)
+
+
+def test_create_and_commit(tmp_path):
+    lake = LakeTable.create(str(tmp_path / "t"), "t", SCHEMA, 4)
+    m = lake.latest_manifest()
+    assert m.epoch == -1 and m.version == 0 and m.schema.equals(SCHEMA)
+    f = lake.stage_fragment(_t([("a", 1)]), epoch=0, pid=0, salt=0, kind="current")
+    m = lake.commit_epoch(0, [f], lineage=[{"epoch": 0}], stats_delta={"rows": 1})
+    assert m.epoch == 0 and m.version == 1 and len(m.fragments) == 1
+    assert m.stats == {"rows": 1}
+    assert os.path.exists(str(tmp_path / "t" / "_lineage" / "epoch-0.json"))
+
+
+def test_commit_idempotent(tmp_path):
+    lake = LakeTable.create(str(tmp_path / "t"), "t", SCHEMA, 4)
+    f = lake.stage_fragment(_t([("a", 1)]), 0, 0, 0, "current")
+    m1 = lake.commit_epoch(0, [f], stats_delta={"rows": 1})
+    # replaying the same epoch commit is a no-op (exactly-once)
+    m2 = lake.commit_epoch(0, [f], stats_delta={"rows": 1})
+    assert m2.version == m1.version and m2.stats == {"rows": 1}
+
+
+def test_replace_and_vacuum(tmp_path):
+    lake = LakeTable.create(str(tmp_path / "t"), "t", SCHEMA, 4)
+    f0 = lake.stage_fragment(_t([("a", 1)]), 0, 0, 0, "current")
+    lake.commit_epoch(0, [f0])
+    f1 = lake.stage_fragment(_t([("a", 2)]), 1, 0, 0, "current")
+    m = lake.commit_epoch(1, [f1], replaced={f0.path})
+    assert [fr.path for fr in m.fragments] == [f1.path]
+    assert os.path.exists(lake.abspath(f0.path))  # still on disk pre-vacuum
+    removed = lake.vacuum()
+    assert removed >= 1 and not os.path.exists(lake.abspath(f0.path))
+    assert os.path.exists(lake.abspath(f1.path))
+
+
+def test_staging_overwrite_is_atomic(tmp_path):
+    lake = LakeTable.create(str(tmp_path / "t"), "t", SCHEMA, 4)
+    a = lake.stage_fragment(_t([("a", 1)]), 0, 0, 0, "current")
+    b = lake.stage_fragment(_t([("a", 1), ("b", 2)]), 0, 0, 0, "current")
+    assert a.path == b.path and b.rows == 2  # deterministic path, overwrite
+
+
+def test_maintenance_commit_keeps_epoch(tmp_path):
+    lake = LakeTable.create(str(tmp_path / "t"), "t", SCHEMA, 4)
+    f0 = lake.stage_fragment(_t([("a", 1)]), 0, 0, 0, "current")
+    lake.commit_epoch(0, [f0])
+    f1 = lake.stage_fragment(_t([("a", 1)]), 0, 0, 0, "current", suffix="rs")
+    m = lake.commit_maintenance([f1], {f0.path}, salt_map={"0": 2})
+    assert m.epoch == 0 and m.version == 2 and m.salt_map == {"0": 2}
+
+
+def test_union_schemas():
+    s1 = pa.schema([("a", pa.string()), ("b", pa.int64())])
+    s2 = pa.schema([("a", pa.string()), ("c", pa.float64())])
+    u = union_schemas(s1, s2)
+    assert u.names == ["a", "b", "c"]
+    with pytest.raises(ValueError):
+        union_schemas(s1, pa.schema([("b", pa.string())]))
+    # string/large_string widening allowed
+    union_schemas(pa.schema([("a", pa.string())]), pa.schema([("a", pa.large_string())]))
