@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Real image/audio codecs are not available in this container, so the decode
+kernels are STUBS behind ``DecodeBackend``: the default ``"fake"`` backend is a
+deterministic pure-numpy pseudo-decoder (so the Ray-side plumbing — schemas,
+actor-pool stages, batch sizing, output layout — is real and testable) and the
+``"pil"``/``"ffmpeg"`` backends raise ``NotImplementedError`` until the libs
+exist. Stages follow the actor-pool pattern: decoder state in ``__init__``,
+small batches because rows are wide binary payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# canonical multimodal record schema: payload + typed metadata
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.large_binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),  # image/video
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),  # audio
+        ("duration_ms", pa.int32()),  # audio/video
+    ]
+)
+
+
+def synthesize_media(n: int, seed: int = 42, kind: str = "image",
+                     payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic fake media table (for tests and bench plumbing)."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array([kind] * n),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["application/x-fake"] * n),
+            "width": pa.array(rng.integers(32, 512, n).astype(np.int32)),
+            "height": pa.array(rng.integers(32, 512, n).astype(np.int32)),
+            "sample_rate": pa.array(np.zeros(n, dtype=np.int32)),
+            "duration_ms": pa.array(np.zeros(n, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class DecodeBackend:
+    FAKE = "fake"
+    PIL = "pil"
+    FFMPEG = "ffmpeg"
+
+
+class ImageDecoder:
+    """Actor-pool stage: payload → fixed-size feature vector.
+
+    ``backend="fake"``: deterministic pseudo-decode — byte histogram (256 bins,
+    L1-normalized) as the "feature", so outputs are reproducible and the full
+    Ray plumbing (schema in/out, batch size, actor init) is exercised.
+    ``backend="pil"`` would decode + resize via Pillow: STUBBED —
+    ``NotImplementedError`` (library not present in this environment).
+    """
+
+    def __init__(self, backend: str = DecodeBackend.FAKE, feature_dim: int = 256):
+        if backend != DecodeBackend.FAKE:
+            raise NotImplementedError(
+                f"decode backend {backend!r} requires image/audio libraries that "
+                "are not available in this container; use backend='fake'"
+            )
+        self.backend = backend
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, shas = [], []
+        for buf in batch.column("payload"):
+            b = np.frombuffer(buf.as_py(), dtype=np.uint8)
+            hist = np.bincount(b, minlength=256).astype(np.float64)
+            s = hist.sum()
+            feats.append((hist / s if s else hist)[: self.feature_dim])
+            shas.append(hashlib.sha256(b.tobytes()).hexdigest())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "payload_sha256": pa.array(shas, pa.string()),
+                "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float64())),
+                "payload_bytes": pa.compute.binary_length(batch.column("payload")).cast(pa.int64()),
+            }
+        )
+
+
+def decode_features(ds, backend: str = DecodeBackend.FAKE, concurrency=(1, 4),
+                    batch_size: int = 64):
+    """media table → feature table. Small ``batch_size`` on purpose: rows are
+    wide binary payloads; batch x concurrency must fit the worker heap."""
+    return ds.map_batches(
+        ImageDecoder, fn_constructor_kwargs={"backend": backend},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Video frame-sampling stage (STUB): emits every k-th synthetic "frame"
+    reference per video row — the flat_map-shaped plumbing for video pipelines.
+    Real decoding would use ffmpeg (NotImplementedError outside fake mode)."""
+
+    def __init__(self, every_ms: int = 1000, backend: str = DecodeBackend.FAKE):
+        if backend != DecodeBackend.FAKE:
+            raise NotImplementedError("ffmpeg backend not available in this container")
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ts = [], []
+        for mid, dur in zip(batch.column("media_id").to_pylist(),
+                            batch.column("duration_ms").to_pylist()):
+            n = max(1, int(dur or 0) // self.every_ms)
+            ids.extend([mid] * n)
+            ts.extend(range(0, n * self.every_ms, self.every_ms))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "frame_ts_ms": pa.array(ts, pa.int64())})

@@ -1,0 +1,192 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_brute_force``: exact cosine top-k. The query matrix is broadcast once
+  (``ray.put``); each batch computes a float64 matmul against it and emits its
+  local top-k candidates (one small row set per batch — the combiner), then a
+  single per-query reduce picks the global top-k. The shuffle moves candidate
+  rows, never embeddings.
+- ``knn_lsh``: the scale path — random-hyperplane LSH buckets; queries probe
+  only matching buckets (approximate; recall grows with n_tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _fetch_queries(ds, query_ids, id_col: str) -> pd.DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = pa.array(list(query_ids))
+    qdf = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=ids)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    if len(qdf) == 0:
+        raise ValueError(f"none of query_ids {list(query_ids)!r} present in column {id_col!r}")
+    return qdf
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BatchTopK:
+    """map_batches combiner: local cosine top-k per query against one batch."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str, exclude_self: bool):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.qids, qmat = q
+        self.qmat = _normalize_rows(np.asarray(qmat, dtype=np.float64))
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        ids = df[self.id_col].to_numpy()
+        m = _normalize_rows(_to_matrix(df[self.vec_col]))
+        sims = self.qmat @ m.T  # (nq, nb) float64
+        out_q, out_n, out_s = [], [], []
+        k = min(self.k, sims.shape[1])
+        for qi, qid in enumerate(self.qids):
+            row = sims[qi]
+            if self.exclude_self:
+                row = np.where(ids == qid, -np.inf, row)
+            top = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
+            out_q.extend([qid] * len(top))
+            out_n.extend(ids[top])
+            out_s.extend(row[top])
+        return pd.DataFrame({"query_id": np.asarray(out_q, dtype="int64"),
+                             "neighbor_id": np.asarray(out_n, dtype="int64"),
+                             "sim": np.asarray(out_s, dtype="float64")})
+
+
+def knn_brute_force(ds, query_ids: list[int], k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    exclude_self: bool = True, round_decimals: int | None = 6):
+    """Exact cosine top-k of each query vector against the whole dataset.
+
+    Returns a Dataset of (query_id, neighbor_id, rank, sim). Ranking ties are
+    broken by neighbor_id after optional rounding of sim (rounding makes the
+    ranking robust to float summation-order differences vs a SQL oracle)."""
+    import ray
+
+    qdf = _fetch_queries(ds, query_ids, id_col)
+    qdf = qdf.sort_values(id_col)
+    queries = (qdf[id_col].to_numpy(), _to_matrix(qdf[vec_col]))
+    qref = ray.put(queries)
+
+    cand = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(qref, k, id_col, vec_col, exclude_self),
+        batch_format="pandas", concurrency=(1, 4),
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        if round_decimals is not None:
+            g["sim"] = g["sim"].round(round_decimals)
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        g = g.head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return cand.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+class LshBucketer:
+    """Random-hyperplane LSH: vec → one bucket id per table (actor pool; the
+    hyperplanes are generated once per actor from the shared seed)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, n_tables: int = 4, seed: int = 13,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, n_planes, dim))
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        # (T, B) bucket codes per row → (n, T)
+        proj = np.einsum("tpd,nd->ntp", self.planes, m) > 0
+        codes = (proj.astype(np.uint64) << np.arange(proj.shape[2], dtype=np.uint64)).sum(axis=2)
+        return codes
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(df[self.vec_col])
+        codes = self.bucket(m)
+        n, t = codes.shape
+        return pd.DataFrame({
+            self.id_col: np.repeat(df[self.id_col].to_numpy(), t),
+            "table_id": np.tile(np.arange(t, dtype="int64"), n),
+            "bucket": codes.reshape(-1).astype("int64"),
+            self.vec_col: [v for v in df[self.vec_col] for _ in range(t)],
+        })
+
+
+def knn_lsh(ds, query_ids: list[int], k: int = 10, dim: int = 64,
+            n_planes: int = 8, n_tables: int = 4, seed: int = 13,
+            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Approximate top-k: only vectors sharing an LSH bucket with the query are
+    scored. Same output shape as knn_brute_force (plus possible misses)."""
+    import ray
+
+    bucketer = LshBucketer(dim, n_planes, n_tables, seed, id_col, vec_col)
+    bucketed = ds.map_batches(
+        LshBucketer, fn_constructor_args=(dim, n_planes, n_tables, seed, id_col, vec_col),
+        batch_format="pandas", concurrency=(1, 4),
+    )
+    qdf = _fetch_queries(ds, query_ids, id_col)
+    qm = _to_matrix(qdf[vec_col])
+    qcodes = bucketer.bucket(qm)  # (nq, T)
+    wanted = {}  # (table, bucket) -> [qids]
+    for qi, qid in enumerate(qdf[id_col].to_numpy()):
+        for t in range(qcodes.shape[1]):
+            wanted.setdefault((t, int(qcodes[qi, t])), []).append(int(qid))
+    qref = ray.put((wanted, dict(zip(qdf[id_col].astype(int), [np.asarray(v, np.float64) for v in qdf[vec_col]]))))
+
+    class Probe:
+        def __init__(self):
+            self.wanted, self.qvecs = ray.get(qref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for (t, b), grp in df.groupby(["table_id", "bucket"]):
+                qids = self.wanted.get((int(t), int(b)))
+                if not qids:
+                    continue
+                ids = grp[id_col].to_numpy()
+                m = _normalize_rows(_to_matrix(grp[vec_col]))
+                for qid in qids:
+                    qv = self.qvecs[qid]
+                    qv = qv / (np.linalg.norm(qv) or 1.0)
+                    sims = m @ qv
+                    for i, s in zip(ids, sims):
+                        if int(i) != qid:
+                            rows.append((qid, int(i), float(s)))
+            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"]) if rows else \
+                pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "neighbor_id": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+
+    cand = bucketed.map_batches(Probe, batch_format="pandas", concurrency=(1, 2))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("neighbor_id")
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return cand.groupby("query_id").map_groups(final, batch_format="pandas")

@@ -1,0 +1,75 @@
+"""Dataset-level statistics / quality reports.
+
+Reference analogues: ingestion stats (``bronze/cdc_ingestion.py:289-330``),
+quality report (``utils/data_quality.py:167-253``), silver quality stats
+(``silver/streaming_processor.py:306-340``) — all expressed as Ray aggregates
+with conditional counts pre-computed as 0/1 columns inside ``map_batches``
+(never a collect + driver loop)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def ingestion_stats(ds, op_col: str = "cdc_operation", score_col: str = "data_quality_score"):
+    """Global ingest metrics: row count, per-op conditional counts, avg score."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    def flags(t: pa.Table) -> pa.Table:
+        for op in ("upsert", "delete"):
+            t = t.append_column(f"is_{op}", pc.cast(pc.equal(t.column(op_col), op), pa.int64()))
+        return t
+
+    out = (
+        ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(
+            Count(alias_name="rows"),
+            Sum("is_upsert", alias_name="upserts"),
+            Sum("is_delete", alias_name="deletes"),
+            Mean(score_col, alias_name="avg_quality_score"),
+            Min("commit", alias_name="min_commit"),
+            Max("commit", alias_name="max_commit"),
+        )
+    )
+    return out
+
+
+def quality_report(ds, score_col: str, category_col: str, fields: list[str]):
+    """Score distribution + per-category counts + per-field completeness %."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+    agg = ds.aggregate(
+        Count(alias_name="rows"),
+        Mean(score_col, alias_name="avg_score"),
+        Min(score_col, alias_name="min_score"),
+        Max(score_col, alias_name="max_score"),
+        Std(score_col, alias_name="std_score"),
+    )
+    by_cat = ds.groupby(category_col).count().to_pandas()
+
+    def nn_flags(t: pa.Table) -> pa.Table:
+        out = {f: pc.cast(pc.is_valid(t.column(f)), pa.int64()) for f in fields}
+        out["one"] = pa.array([1] * t.num_rows, pa.int64())
+        return pa.table(out)
+
+    sums = ds.map_batches(nn_flags, batch_format="pyarrow").aggregate(
+        *[Sum(f, alias_name=f"nn_{f}") for f in fields], Sum("one", alias_name="n")
+    )
+    n = max(1, sums["n"])
+    completeness = {f: sums[f"nn_{f}"] / n for f in fields}
+    return {"summary": agg, "by_category": by_cat, "completeness": completeness}
+
+
+def table_metrics(lake) -> pd.DataFrame:
+    """Per-table fragment/row/byte counts from the manifest — free from
+    lineage (reference: DESCRIBE DETAIL metrics, utils/spark_utils.py:111-150)."""
+    m = lake.latest_manifest()
+    rows = {}
+    for f in m.fragments:
+        d = rows.setdefault(f.kind, {"kind": f.kind, "fragments": 0, "rows": 0, "bytes": 0})
+        d["fragments"] += 1
+        d["rows"] += f.rows
+        d["bytes"] += f.bytes
+    return pd.DataFrame(list(rows.values()))

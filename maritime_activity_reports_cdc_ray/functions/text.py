@@ -1,0 +1,156 @@
+"""Text analysis for large-scale training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All stages are vectorized per batch; the language-ID and fingerprint stages
+are callable classes (actor pools) so regexes/tables compile once per actor.
+The quality-score shape mirrors the reference's tiered scorer
+(``utils/data_quality.py:20-99``) applied to documents instead of AIS rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+# Stopword tables for the n-gram/stopword language heuristic. Tiny on purpose:
+# deterministic, dependency-free, broadcastable.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "para", "en", "que"},
+}
+
+_WS_RE = re.compile(r"\s+")
+_TOKEN_RE = re.compile(r"\S+")
+# BPE-ish word/number/punct splitter (GPT-2 style shape, ASCII approximation)
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+
+
+def token_count(texts: pd.Series) -> pd.Series:
+    """Whitespace token count (vectorized)."""
+    return texts.fillna("").str.count(_TOKEN_RE).astype("int64")
+
+
+def bpe_token_count(texts: pd.Series) -> pd.Series:
+    """BPE-ish token count: words + digits + punctuation marks."""
+    return texts.fillna("").str.count(_BPE_RE).astype("int64")
+
+
+def normalize(texts: pd.Series) -> pd.Series:
+    """Lowercase + collapse whitespace — the canonical form used by exact
+    fingerprinting."""
+    return texts.fillna("").str.lower().str.replace(_WS_RE, " ", regex=True).str.strip()
+
+
+def fingerprint_md5(texts: pd.Series) -> pd.Series:
+    """md5 hex of the normalized text (exact-dup fingerprint; md5 chosen so a
+    SQL oracle can reproduce it: DuckDB ``md5(...)``)."""
+    norm = normalize(texts)
+    return norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+
+
+def text_metrics(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Append quality metrics: n_tokens, n_chars_actual, avg_token_len,
+    punct_ratio, upper_ratio, stopword_ratio (en)."""
+    t = df[col].fillna("")
+    n_chars = t.str.len().astype("int64")
+    n_tokens = token_count(t)
+    n_punct = t.str.count(r"[^\w\s]").astype("int64")
+    n_upper = t.str.count(r"[A-Z]").astype("int64")
+    words = t.str.lower().str.findall(r"[a-z']+")
+    stop = _STOPWORDS["en"]
+    stop_hits = words.map(lambda ws: sum(1 for w in ws if w in stop))
+    df = df.copy()
+    df["n_tokens"] = n_tokens
+    df["n_chars_actual"] = n_chars
+    df["avg_token_len"] = np.where(n_tokens > 0, n_chars / n_tokens, 0.0)
+    df["punct_ratio"] = np.where(n_chars > 0, n_punct / n_chars, 0.0)
+    df["upper_ratio"] = np.where(n_chars > 0, n_upper / n_chars, 0.0)
+    df["stopword_ratio"] = np.where(n_tokens > 0, np.asarray(stop_hits) / n_tokens, 0.0)
+    return df
+
+
+def quality_score(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """Tiered document quality score in {1.0, 0.8, 0.6, 0.4, 0.0} + category —
+    the documents analogue of the reference's AIS scorer
+    (utils/data_quality.py:60-99). Flags: long enough (>=20 tokens), not too
+    long (<=100k chars), reasonable punctuation (<30%), has stopwords (>2%)."""
+    m = text_metrics(df, col)
+    flag_len = m["n_tokens"] >= 20
+    flag_max = m["n_chars_actual"] <= 100_000
+    flag_punct = m["punct_ratio"] < 0.30
+    flag_stop = m["stopword_ratio"] > 0.02
+    fails = (~flag_len).astype(int) + (~flag_max).astype(int) + \
+        (~flag_punct).astype(int) + (~flag_stop).astype(int)
+    score = np.select([fails == 0, fails == 1, fails == 2, fails == 3],
+                      [1.0, 0.8, 0.6, 0.4], default=0.0)
+    cat = np.select([fails == 0, fails == 1, fails == 2, fails == 3],
+                    ["EXCELLENT", "GOOD", "FAIR", "POOR"], default="INVALID")
+    m["doc_quality_score"] = score
+    m["doc_quality_category"] = cat
+    return m
+
+
+class LangId:
+    """Stopword-hit-rate language identifier (actor-pool stage: tables and
+    regexes built once per actor in __init__)."""
+
+    def __init__(self):
+        self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+        self.word_re = re.compile(r"[a-zà-ÿ']+")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.findall(self.word_re)
+
+        def guess(ws):
+            if not ws:
+                return "unknown", 0.0
+            best, hits = "unknown", 0
+            for lang, tbl in self.tables.items():
+                h = sum(1 for w in ws if w in tbl)
+                if h > hits:
+                    best, hits = lang, h
+            return (best, hits / len(ws)) if hits else ("unknown", 0.0)
+
+        out = words.map(guess)
+        df = df.copy()
+        df["lang_pred"] = out.map(lambda x: x[0])
+        df["lang_conf"] = out.map(lambda x: x[1])
+        return df
+
+
+class RollingFingerprint:
+    """Winnowing-style rolling-hash fingerprint: k-gram Rabin hashes, keep the
+    minimum hash per window of w, return the sorted distinct fingerprint set's
+    sha1 — a robust near-dup document signature (actor-pool stage)."""
+
+    def __init__(self, k: int = 8, w: int = 16):
+        self.k, self.w = k, w
+
+    def _fingerprint(self, s: str) -> str:
+        k, w = self.k, self.w
+        if len(s) < k:
+            return hashlib.sha1(s.encode()).hexdigest()
+        b = s.encode("utf-8", "ignore")
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+        # polynomial rolling hash of every k-gram, fully vectorized
+        base = np.uint64(257)
+        pw = base ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64 — fine
+        n = len(arr) - k + 1
+        strided = np.lib.stride_tricks.sliding_window_view(arr, k)
+        hashes = (strided * pw[::-1]).sum(axis=1)
+        if n > w:
+            wins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+        else:
+            wins = hashes.min(keepdims=True)
+        sel = np.unique(wins)
+        return hashlib.sha1(sel.tobytes()).hexdigest()
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["doc_fingerprint"] = df["text"].fillna("").map(self._fingerprint)
+        return df

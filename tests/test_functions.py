@@ -1,0 +1,229 @@
+"""Operator library tests: window ops, text analysis, dedup, similarity,
+multimodal plumbing."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from maritime_activity_reports_cdc_ray.functions import dedup as D
+from maritime_activity_reports_cdc_ray.functions import similarity as S
+from maritime_activity_reports_cdc_ray.functions import text as T
+from maritime_activity_reports_cdc_ray.functions import window as W
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+@pytest.fixture()
+def events_df():
+    return pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 02:00",
+                 "2024-01-01 00:00", "2024-01-01 00:05", "2024-01-01 00:06"]
+            ),
+            "event_type": ["view", "click", "view", "view", "view", "purchase"],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+
+
+def test_per_key_lag(ray_session, events_df):
+    out = W.per_key_lag(_ds(events_df), "user_id", ["ts", "event_id"],
+                        {"value": "prev_value"}).to_pandas()
+    u1 = out[out.user_id == 1].sort_values("ts")
+    assert u1["prev_value"].tolist()[0] != u1["prev_value"].tolist()[0]  # NaN first
+    assert u1["prev_value"].tolist()[1:] == [1.0, 2.0]
+
+
+def test_latest_per_key(ray_session, events_df):
+    out = W.latest_per_key(_ds(events_df), "user_id", ["ts", "event_id"]).to_pandas()
+    assert len(out) == 2
+    got = dict(zip(out.user_id, out.event_id))
+    assert got == {1: 3, 2: 6}
+
+
+def test_transitions(ray_session, events_df):
+    out = W.transitions(_ds(events_df), "user_id", ["ts", "event_id"], "event_type").to_pandas()
+    # u1: view(first), click, view → 3 transitions; u2: view(first), purchase → 2
+    assert len(out[out.user_id == 1]) == 3
+    assert len(out[out.user_id == 2]) == 2
+
+
+def test_scd2_view(ray_session, events_df):
+    out = W.scd2_view(_ds(events_df), "user_id", "ts").to_pandas()
+    cur = out[out.is_current]
+    assert len(cur) == 2 and set(cur.event_id) == {3, 6}
+    closed = out[~out.is_current].sort_values("event_id")
+    assert (closed.valid_to.notna()).all()
+
+
+def test_sessionize(ray_session, events_df):
+    out = W.sessionize(_ds(events_df), "user_id", "ts", gap_seconds=1800).to_pandas()
+    u1 = out[out.user_id == 1].sort_values("ts")
+    assert u1.session_id.tolist() == [1, 1, 2]  # 110-minute gap splits
+    u2 = out[out.user_id == 2].sort_values("ts")
+    assert u2.session_id.tolist() == [1, 1, 1]
+
+
+def test_rank_within(ray_session, events_df):
+    out = W.rank_within(_ds(events_df), "event_type", "value").to_pandas()
+    views = out[out.event_type == "view"].sort_values("rnk")
+    assert views.value.tolist() == [5.0, 4.0, 3.0, 1.0]
+    assert views.rnk.tolist() == [1, 2, 3, 4]
+
+
+def test_adjacent_pairs(ray_session, events_df):
+    out = W.adjacent_pairs(_ds(events_df), "user_id", ["ts", "event_id"],
+                           ["event_type", "value"]).to_pandas()
+    assert len(out) == 4  # n-1 rows per user
+    row = out[(out.user_id == 2) & (out.event_id == 6)].iloc[0]
+    assert row["prev_event_type"] == "view" and row["prev_value"] == 5.0
+
+
+# ---------------------------------------------------------------- text
+def test_token_counts_and_fingerprint():
+    s = pd.Series(["Hello,  world! The cat.", None, ""])
+    assert T.token_count(s).tolist() == [4, 0, 0]
+    assert T.bpe_token_count(s).tolist() == [7, 0, 0]
+    fp = T.fingerprint_md5(pd.Series(["A  b", "a b"]))
+    assert fp[0] == fp[1] == hashlib.md5(b"a b").hexdigest()
+
+
+def test_quality_score_tiers():
+    good = " ".join(["the quick brown fox and a dog run to it for fun, that is"] * 3)
+    short = "tiny text"
+    df = T.quality_score(pd.DataFrame({"text": [good, short]}))
+    assert df["doc_quality_score"].iloc[0] == 1.0
+    assert df["doc_quality_score"].iloc[1] < 1.0
+
+
+def test_lang_id():
+    df = pd.DataFrame({"text": [
+        "the cat and the dog in a house that is big",
+        "der Hund und die Katze ist nicht ein Problem mit den",
+    ]})
+    out = T.LangId()(df)
+    assert out["lang_pred"].tolist() == ["en", "de"]
+
+
+def test_rolling_fingerprint_stable():
+    fp = T.RollingFingerprint()
+    df1 = fp(pd.DataFrame({"text": ["some document body here", "x"]}))
+    df2 = fp(pd.DataFrame({"text": ["some document body here", "x"]}))
+    assert df1["doc_fingerprint"].tolist() == df2["doc_fingerprint"].tolist()
+    assert df1["doc_fingerprint"][0] != df1["doc_fingerprint"][1]
+
+
+# ---------------------------------------------------------------- dedup
+@pytest.fixture()
+def docs_df():
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    return pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                base,
+                base + " indeed",  # near-dup of 0
+                "completely different content about databases and query engines and shuffles",
+                base,  # exact dup of 0
+                "yet another unrelated piece of text regarding maritime vessels at sea",
+            ],
+        }
+    )
+
+
+def test_exact_dedup(ray_session, docs_df):
+    out = D.exact_dedup(_ds(docs_df), ["text"], [], "doc_id").to_pandas()
+    assert len(out) == 4 and 3 not in set(out.doc_id)  # doc 3 dropped, doc 0 kept
+
+
+def test_ngram_jaccard():
+    assert D.ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert D.ngram_jaccard("abcdef", "uvwxyz") == 0.0
+
+
+def test_minhash_lsh_finds_near_dups(ray_session, docs_df):
+    cand = D.minhash_lsh_candidates(_ds(docs_df), num_perm=64, bands=16, concurrency=2)
+    ver = D.verify_pairs_jaccard(cand, _ds(docs_df), threshold=0.7).to_pandas()
+    pairs = set(zip(ver.id_a, ver.id_b))
+    assert (0, 3) in pairs  # exact dup certainly survives
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup found
+    assert all(p not in pairs for p in [(0, 2), (2, 4)])
+
+
+def test_simhash_candidates(ray_session, docs_df):
+    out = D.simhash_candidates(_ds(docs_df), max_hamming=3, concurrency=2).to_pandas()
+    pairs = set(zip(out.id_a, out.id_b))
+    assert (0, 3) in pairs
+    assert out[(out.id_a == 0) & (out.id_b == 3)].hamming.iloc[0] == 0
+
+
+def test_label_components():
+    pairs = pd.DataFrame({"id_a": [0, 1, 5], "id_b": [1, 3, 6]})
+    lab = D.label_components(pairs).set_index("id")["component"]
+    assert lab[0] == lab[1] == lab[3] == 0
+    assert lab[5] == lab[6] == 5
+
+
+# ------------------------------------------------------------- similarity
+def test_knn_brute_force(ray_session):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8))
+    vecs[7] = vecs[3] * 2.0  # same direction as 3 → cosine 1.0
+    df = pd.DataFrame({"vec_id": np.arange(50, dtype="int64"),
+                       "embedding": [v.tolist() for v in vecs]})
+    out = S.knn_brute_force(_ds(df), query_ids=[3], k=5).to_pandas()
+    top = out.sort_values("rank").iloc[0]
+    assert top.neighbor_id == 7 and abs(top.sim - 1.0) < 1e-9
+    # oracle check of full top-5 by plain numpy
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(m @ m[3], 6)
+    sims[3] = -np.inf
+    order = np.lexsort((np.arange(50), -sims))[:5]
+    assert out.sort_values("rank").neighbor_id.tolist() == order.tolist()
+
+
+def test_knn_lsh_finds_planted_neighbor(ray_session):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((80, 16))
+    vecs[11] = vecs[2] + rng.standard_normal(16) * 1e-3
+    df = pd.DataFrame({"vec_id": np.arange(80, dtype="int64"),
+                       "embedding": [v.tolist() for v in vecs]})
+    out = S.knn_lsh(_ds(df), query_ids=[2], k=5, dim=16, n_tables=6).to_pandas()
+    assert 11 in set(out.neighbor_id)
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_decode_plumbing(ray_session):
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions import multimodal as M
+
+    media = M.synthesize_media(20, seed=3)
+    ds = rd.from_arrow(media)
+    feats = M.decode_features(ds, concurrency=2, batch_size=8).to_pandas()
+    assert len(feats) == 20
+    assert len(feats.feature.iloc[0]) == 256
+    assert abs(sum(feats.feature.iloc[0]) - 1.0) < 1e-9  # normalized histogram
+    # determinism
+    feats2 = M.decode_features(rd.from_arrow(media), concurrency=2, batch_size=8).to_pandas()
+    a = feats.sort_values("media_id").payload_sha256.tolist()
+    b = feats2.sort_values("media_id").payload_sha256.tolist()
+    assert a == b
+
+
+def test_multimodal_real_backends_stubbed():
+    from maritime_activity_reports_cdc_ray.functions import multimodal as M
+
+    with pytest.raises(NotImplementedError):
+        M.ImageDecoder(backend=M.DecodeBackend.PIL)
+    with pytest.raises(NotImplementedError):
+        M.FrameSampler(backend=M.DecodeBackend.FFMPEG)
