@@ -137,10 +137,10 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
     cand = banded.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    # distinct pairs (same pair can surface from several bands)
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # distinct pairs (same pair can surface from several bands) — built-in
+    # count() aggregation, NOT per-pair map_groups (vectorized; a python call
+    # per pair would dominate wall time at any real candidate volume)
+    return cand.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
 def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float = 0.8, k: int = 5,
@@ -237,7 +237,9 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4,
         return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m], "hamming": ham[m]})
 
     cand = banded.groupby(["band_id", "chunk"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ---------------------------------------------------------------------------

@@ -98,7 +98,10 @@ def knn_brute_force(ds, query_ids: list[int], k: int = 10,
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
         if round_decimals is not None:
-            g["sim"] = g["sim"].round(round_decimals)
+            # half-away-from-zero, matching SQL ROUND (numpy rounds half-even)
+            m = 10.0 ** round_decimals
+            y = g["sim"].to_numpy(dtype=np.float64) * m
+            g["sim"] = np.copysign(np.floor(np.abs(y) + 0.5), y) / m
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
         g = g.head(k)
         g["rank"] = np.arange(1, len(g) + 1, dtype="int64")

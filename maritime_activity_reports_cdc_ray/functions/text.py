@@ -59,7 +59,9 @@ def text_metrics(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     t = df[col].fillna("")
     n_chars = t.str.len().astype("int64")
     n_tokens = token_count(t)
-    n_punct = t.str.count(r"[^\w\s]").astype("int64")
+    # ASCII punctuation class (not [^\w\s]): Python's \w is unicode-aware while
+    # RE2/SQL oracles treat \w as ASCII — an explicit class keeps both equal
+    n_punct = t.str.count(r"[!-/:-@\[-`{-~]").astype("int64")
     n_upper = t.str.count(r"[A-Z]").astype("int64")
     words = t.str.lower().str.findall(r"[a-z']+")
     stop = _STOPWORDS["en"]

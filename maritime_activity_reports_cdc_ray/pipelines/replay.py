@@ -52,13 +52,45 @@ from maritime_activity_reports_cdc_ray.state.table import Fragment, LakeTable, u
 from maritime_activity_reports_cdc_ray.schemas import GOLD_SCHEMA
 
 
-def ensure_hash_shuffle() -> None:
-    """Key-based repartitioning needs the hash-shuffle strategy (Ray >= 2.46)."""
+import contextlib
+
+
+@contextlib.contextmanager
+def hash_shuffle_ctx():
+    """Scope the hash-shuffle strategy to one pipeline execution.
+
+    ``repartition(keys=...)`` needs ``ShuffleStrategy.HASH_SHUFFLE`` (Ray >=
+    2.46), but the strategy is process-global on DataContext and leaking it
+    into unrelated groupby pipelines changes their physical plan (and its
+    aggregator actors can starve small clusters). Set it, size the aggregator
+    pool to the cluster, run, restore."""
     import ray.data as rd
     from ray.data.context import ShuffleStrategy
 
     ctx = rd.DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    prev_aggs = getattr(ctx, "max_hash_shuffle_aggregators", None)
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
+    except Exception:
+        pass
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+        if prev_aggs is not None:
+            ctx.max_hash_shuffle_aggregators = prev_aggs
+
+
+def ensure_hash_shuffle() -> None:  # kept for scripts that opt in globally
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    rd.DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
 
 def _cluster_cpus() -> int:
@@ -99,7 +131,6 @@ class CDCReplay:
     def run(self, input_path: str, files_per_epoch: int = 1, max_epochs: int | None = None) -> dict:
         """Replay all (or the next ``max_epochs``) uncommitted epochs.
         Resumes from the silver manifest watermark."""
-        ensure_hash_shuffle()
         epochs = self.discover_epochs(input_path, files_per_epoch)
         sm = self.silver.latest_manifest()
         start = sm.epoch + 1
@@ -187,7 +218,6 @@ class CDCReplay:
         import ray
         import ray.data as rd
 
-        ensure_hash_shuffle()
         cfg = self.cfg
         sm = self.silver.latest_manifest()
         bronze_paths = self._bronze_epoch_paths(epoch)
@@ -203,25 +233,28 @@ class CDCReplay:
 
         ncpu = _cluster_cpus()
         nshuffle = cfg.resolved_shuffle_partitions(ncpu)
-        ds = rd.read_parquet(bronze_paths)
-        ds = ds.map_batches(
-            make_gid_assigner(cfg.num_partitions, salt_arr, cfg.max_salt),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-        ds = ds.repartition(nshuffle, keys=["gid"])
-        res = ds.map_batches(
-            MergeApplier,
-            fn_constructor_args=(
-                self.silver.root, frag_map_ref, epoch,
-                silver_schema.serialize().to_pybytes(), cfg.max_salt, cfg.write_compression,
-            ),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-            # leave headroom for the hash-shuffle aggregator actors and the
-            # read tasks — a pool that reserves every CPU deadlocks the
-            # pipeline (see ray_guide: size concurrency x num_cpus to the node)
-            concurrency=max(1, min(nshuffle, ncpu // 2)), num_cpus=cfg.merge_num_cpus,
-        )
-        lineage_rows = res.take_all()
+        # NB: a Dataset snapshots DataContext at creation — the whole build +
+        # execute must sit inside the hash-shuffle scope
+        with hash_shuffle_ctx():
+            ds = rd.read_parquet(bronze_paths, partitioning=None)
+            ds = ds.map_batches(
+                make_gid_assigner(cfg.num_partitions, salt_arr, cfg.max_salt),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            ds = ds.repartition(nshuffle, keys=["gid"])
+            res = ds.map_batches(
+                MergeApplier,
+                fn_constructor_args=(
+                    self.silver.root, frag_map_ref, epoch,
+                    silver_schema.serialize().to_pybytes(), cfg.max_salt, cfg.write_compression,
+                ),
+                batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+                # leave headroom for the hash-shuffle aggregator actors and the
+                # read tasks — a pool that reserves every CPU deadlocks the
+                # pipeline (see ray_guide: size concurrency x num_cpus to the node)
+                concurrency=max(1, min(nshuffle, ncpu // 2)), num_cpus=cfg.merge_num_cpus,
+            )
+            lineage_rows = res.take_all()
 
         new_frags, replaced, lineage = [], set(), []
         stats_delta: dict = {}
@@ -371,14 +404,20 @@ class CDCReplay:
         paths = self.silver.all_fragment_paths(sm, kind="current")
         if not paths:
             return rd.from_arrow(pa.Table.from_pylist([], schema=sm.schema))
-        ds = rd.read_parquet(paths, columns=columns)
+        read_cols = columns
+        if live_only and columns is not None and "is_deleted" not in columns:
+            read_cols = list(columns) + ["is_deleted"]
+        ds = rd.read_parquet(paths, columns=read_cols, partitioning=None)
         if live_only:
             import pyarrow.compute as pc
 
-            ds = ds.map_batches(
-                lambda t: t.filter(pc.invert(t.column("is_deleted"))),
-                batch_format="pyarrow", zero_copy_batch=True,
-            )
+            drop = columns is not None and "is_deleted" not in columns
+
+            def live(t: pa.Table) -> pa.Table:
+                t = t.filter(pc.invert(t.column("is_deleted")))
+                return t.drop_columns(["is_deleted"]) if drop else t
+
+            ds = ds.map_batches(live, batch_format="pyarrow", zero_copy_batch=True)
         return ds
 
     def read_gold(self):
@@ -388,7 +427,7 @@ class CDCReplay:
         paths = self.gold.all_fragment_paths(gm, kind="gold")
         if not paths:
             return rd.from_arrow(pa.Table.from_pylist([], schema=GOLD_SCHEMA))
-        return rd.read_parquet(paths)
+        return rd.read_parquet(paths, partitioning=None)
 
     def read_history(self):
         import ray.data as rd
@@ -399,7 +438,7 @@ class CDCReplay:
         paths = self.silver.all_fragment_paths(sm, kind="history")
         if not paths:
             return rd.from_arrow(pa.Table.from_pylist([], schema=SILVER_HISTORY_SCHEMA))
-        return rd.read_parquet(paths)
+        return rd.read_parquet(paths, partitioning=None)
 
 
 assert EVENT_SCHEMA is not None
