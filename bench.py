@@ -1,0 +1,240 @@
+"""Benchmark harness.
+
+Headline: end-to-end CDC replay throughput (change-events/sec to verified gold
+state) on the deterministic generated repo-commit stream sized by sf —
+the BASELINE.json metric. Also times a representative query subset over the
+driver-provided sf tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "events": N,
+   "events_per_sec": R, ...}
+
+--scaling: runs the same replay in fresh processes at num_cpus=8 and 32 on the
+same input and reports both throughputs + scaling efficiency (the sandbox
+evidence protocol for the N → 4N cluster criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+METRIC = "end-to-end CDC replay to verified gold state (change-events/sec) + operator suite"
+
+QUERY_SUBSET = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "events_lww_latest",
+    "events_window_lag",
+    "events_user_stats",
+    "events_sessionize",
+    "docs_fingerprint",
+    "docs_quality",
+    "docs_minhash_pairs",
+    "emb_knn_brute",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def stream_params(sf: float) -> dict:
+    n_events = max(20_000, int(6_000_000 * sf))
+    # many small files (FIXTURES.md: bench = 64 files) so an epoch of
+    # files_per_epoch files reads in parallel; epoch = checkpoint granularity
+    n_files = max(8, min(64, n_events // 20_000))
+    return {
+        "n_events": n_events,
+        "n_repos": max(50, int(2_000 * sf)),
+        "n_epochs": n_files,
+        "seed": 42,
+        "content_median": 400,
+        "files_per_epoch": max(1, n_files // 8),
+    }
+
+
+def scaling_stream_params() -> dict:
+    # the scaling criterion needs a compute-dominated run: one big stream,
+    # few checkpoint epochs, gold refreshed once at the end (cadence knob).
+    n_events = int(os.environ.get("GRAFT_SCALING_EVENTS", "12000000"))
+    return {"n_events": n_events, "n_repos": 2000, "n_epochs": 64, "seed": 42,
+            "content_median": 400}
+
+
+def prepare_scaling_stream() -> str:
+    from maritime_activity_reports_cdc_ray.generate import generate_events
+
+    p = scaling_stream_params()
+    tag = f"scaling_n{p['n_events']}_r{p['n_repos']}_e{p['n_epochs']}_s{p['seed']}_v5"
+    root = os.path.join("/tmp", "graft_bench_streams", tag)
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        generate_events(root, **p)
+        open(done, "w").write("ok")
+    for fn in os.listdir(root):
+        if fn.endswith(".parquet"):
+            with open(os.path.join(root, fn), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+    return root
+
+
+def prepare_stream(sf: float) -> str:
+    """Deterministic cached stream under /tmp (generation is untimed)."""
+    from maritime_activity_reports_cdc_ray.generate import generate_events
+
+    p = stream_params(sf)
+    tag = f"sf{sf}_n{p['n_events']}_r{p['n_repos']}_e{p['n_epochs']}_s{p['seed']}_v4"
+    root = os.path.join("/tmp", "graft_bench_streams", tag)
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        gen_kwargs = {k: v for k, v in p.items() if k not in ("files_per_epoch",)}
+        generate_events(root, **gen_kwargs)
+        open(done, "w").write("ok")
+    # warm the page cache so the timed run measures compute + shuffle
+    for fn in os.listdir(root):
+        if fn.endswith(".parquet"):
+            with open(os.path.join(root, fn), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+    return root
+
+
+def run_replay(events_dir: str, num_cpus: int, verify: bool = True,
+               files_per_epoch: int = 1, gold_cadence: int = 1) -> dict:
+    from maritime_activity_reports_cdc_ray.config import EngineConfig
+    from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
+
+    lake = os.path.join("/tmp", f"graft_bench_lake_{num_cpus}")
+    shutil.rmtree(lake, ignore_errors=True)
+    cfg = EngineConfig(num_partitions=max(32, 2 * num_cpus),
+                       gold_refresh_every_epochs=gold_cadence,
+                       # pre-salt: spread each pid 4-ways by path hash so a
+                       # Zipf mega-repo can't serialize its merge group even
+                       # in the first epoch (before adaptive salting kicks in)
+                       default_salt=8)
+    r = CDCReplay(lake, cfg)
+    r.setup()
+    # untimed warmup: spawn the Ray worker pool so the timed section measures
+    # steady-state pipeline throughput, not process fork/import latency
+    import ray.data as rd
+
+    rd.range(10_000).map_batches(lambda b: b, batch_format="pyarrow").count()
+    t0 = time.perf_counter()
+    out = r.run(events_dir, files_per_epoch=files_per_epoch)
+    wall = time.perf_counter() - t0
+    stats = out["stats"]
+    res = {"replay_sec": round(wall, 3), "events": int(stats.get("rows_in", 0)),
+           "events_per_sec": round(stats.get("rows_in", 0) / wall, 1),
+           "epochs": out["silver_epoch"] + 1}
+    if verify:
+        t1 = time.perf_counter()
+        n_live = r.read_silver(columns=["repo"]).count()
+        n_gold = r.read_gold().count()
+        res["verify_sec"] = round(time.perf_counter() - t1, 3)
+        res["silver_live_rows"] = n_live
+        res["gold_repos"] = n_gold
+    shutil.rmtree(lake, ignore_errors=True)
+    return res
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--replay-only", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+
+    if args.scaling:
+        events_dir = prepare_scaling_stream()
+        p = scaling_stream_params()
+        lo, hi = 8, 32
+        out = {}
+        for n in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                       GRAFT_STREAM_DIR=events_dir,
+                       GRAFT_FILES_PER_EPOCH=str(max(1, p["n_epochs"] // 2)),
+                       GRAFT_GOLD_CADENCE="1000000000")
+            r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py"),
+                                "--replay-only", "--skip-queries"],
+                               env=env, capture_output=True, text=True, check=True)
+            out[n] = json.loads(r.stdout.strip().splitlines()[-1])
+        r_lo, r_hi = out[lo]["events_per_sec"], out[hi]["events_per_sec"]
+        eff = (r_hi / r_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": "replay scaling efficiency (num_cpus 8 -> 32)",
+            "value": round(eff, 3), "unit": "efficiency", "sf": sf,
+            "events": out[lo]["events"], "epochs": out[lo]["epochs"],
+            "events_per_sec_8": r_lo, "events_per_sec_32": r_hi,
+            "sec_8": out[lo]["value"], "sec_32": out[hi]["value"],
+            "acceptance_ge_0.8": eff >= 0.8,
+        }))
+        return
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    events_dir = os.environ.get("GRAFT_STREAM_DIR") or prepare_stream(sf)
+    fpe = int(os.environ.get("GRAFT_FILES_PER_EPOCH", stream_params(sf)["files_per_epoch"]))
+    cadence = int(os.environ.get("GRAFT_GOLD_CADENCE", "1"))
+    replay = run_replay(events_dir, num_cpus, verify=not args.replay_only,
+                        files_per_epoch=fpe, gold_cadence=cadence)
+
+    queries = {}
+    if not args.skip_queries:
+        import __ray_entry__ as E
+
+        qs = E.queries()
+        for name in QUERY_SUBSET:
+            t0 = time.perf_counter()
+            res = qs[name](sf_dir)
+            try:
+                import ray.data as _rd
+
+                if isinstance(res, _rd.Dataset):
+                    res.count()
+            except Exception:
+                pass
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+    total = replay["replay_sec"] + sum(queries.values())
+    print(json.dumps({
+        "metric": METRIC,
+        "value": round(total, 3) if queries else replay["replay_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        **replay,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

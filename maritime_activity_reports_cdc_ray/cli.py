@@ -1,0 +1,151 @@
+"""CLI — mirrors the reference's typer verbs (``cli.py:25-299``: setup-tables,
+ingest-cdc, start-streaming, optimize-tables, vacuum-tables, health-check,
+simulate-data) as argparse subcommands over the Ray-Data engine.
+
+Usage: ``python -m maritime_activity_reports_cdc_ray.cli <verb> ...``
+This is an entry point, so it owns the Ray session (guarded init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+
+def _replay(args):
+    from maritime_activity_reports_cdc_ray.config import EngineConfig
+    from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
+
+    cfg = EngineConfig(num_partitions=args.partitions)
+    if getattr(args, "salt", None):
+        cfg.default_salt = args.salt
+    return CDCReplay(args.root, cfg)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="maritime_activity_reports_cdc_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--root", required=True, help="lake root directory")
+        sp.add_argument("--partitions", type=int, default=32)
+        sp.add_argument("--salt", type=int, default=1)
+
+    sp = sub.add_parser("setup", help="create bronze/silver/gold tables (DDL analogue)")
+    common(sp)
+
+    sp = sub.add_parser("replay", help="replay change-stream epochs (ingest+merge+gold)")
+    common(sp)
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--files-per-epoch", type=int, default=1)
+    sp.add_argument("--max-epochs", type=int, default=None)
+
+    sp = sub.add_parser("ingest", help="run the next single epoch only")
+    common(sp)
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--files-per-epoch", type=int, default=1)
+
+    sp = sub.add_parser("compact", help="compact fragment chains (OPTIMIZE analogue)")
+    common(sp)
+    sp.add_argument("--table", choices=["silver", "gold"], default="silver")
+
+    sp = sub.add_parser("vacuum", help="delete unreferenced fragment files")
+    common(sp)
+
+    sp = sub.add_parser("health", help="lake health summary")
+    common(sp)
+
+    sp = sub.add_parser("verify", help="verify final state against the dict-replay oracle")
+    common(sp)
+    sp.add_argument("--input", required=True)
+
+    sp = sub.add_parser("simulate", help="generate a deterministic synthetic change stream")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--events", type=int, default=10_000)
+    sp.add_argument("--repos", type=int, default=50)
+    sp.add_argument("--epochs", type=int, default=4)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--dirty", type=float, default=0.0)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "simulate":
+        from maritime_activity_reports_cdc_ray.generate import generate_events
+
+        files = generate_events(args.out, n_events=args.events, n_repos=args.repos,
+                                n_epochs=args.epochs, seed=args.seed,
+                                dirty_fraction=args.dirty)
+        print(json.dumps({"files": len(files), "out": args.out}))
+        return 0
+
+    r = _replay(args)
+    if args.cmd == "setup":
+        r.setup()
+        print(json.dumps({"status": "created", "root": args.root}))
+        return 0
+
+    if args.cmd == "health":
+        from maritime_activity_reports_cdc_ray.pipelines.maintenance import health_check
+
+        print(json.dumps(health_check(r), indent=1))
+        return 0
+
+    if args.cmd == "vacuum":
+        removed = sum((t.vacuum() for t in (r.bronze, r.silver, r.gold)))
+        print(json.dumps({"files_removed": removed}))
+        return 0
+
+    _ray_up(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "replay":
+            out = r.run(args.input, files_per_epoch=args.files_per_epoch,
+                        max_epochs=args.max_epochs)
+            print(json.dumps(out))
+        elif args.cmd == "ingest":
+            out = r.run(args.input, files_per_epoch=args.files_per_epoch, max_epochs=1)
+            print(json.dumps(out))
+        elif args.cmd == "compact":
+            from maritime_activity_reports_cdc_ray.pipelines.maintenance import compact_table
+
+            lake = r.silver if args.table == "silver" else r.gold
+            kinds = ("history", "current") if args.table == "silver" else ("gold",)
+            print(json.dumps(compact_table(lake, kinds=kinds, compression=r.cfg.write_compression)))
+        elif args.cmd == "verify":
+            from maritime_activity_reports_cdc_ray.oracle import replay_files
+            from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
+
+            files = [f for ep in CDCReplay.discover_epochs(args.input) for f in ep]
+            oracle = replay_files(files)
+            exp = oracle.expected_silver()
+            sil = r.read_silver().to_pandas()
+            eng = {(row.repo, row.path): (row.commit, row.content_sha256, row.version_count)
+                   for row in sil.itertuples()}
+            ok = set(eng) == set(exp) and all(
+                eng[k] == (v["commit"], v["content_sha256"], v["version_count"])
+                for k, v in exp.items()
+            )
+            print(json.dumps({"verified": bool(ok), "live_keys": len(eng),
+                              "expected": len(exp)}))
+            return 0 if ok else 1
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,6 +52,23 @@ class EngineConfig:
     batch_size_rows: int | None = None  # None → whole blocks (zero-copy arrow)
     merge_num_cpus: float = 1.0
     write_compression: str = "zstd"
+    # merge exchange shape:
+    #   "hash_actor" — hash-shuffle operator + stateful actor pool (north_star
+    #                  shape; per-execution actor startup amortizes on big
+    #                  epochs — the 100 TB path),
+    #   "sort_task"  — sort-based groupby + task closures on warm workers
+    #                  (no actor spin-up; wins when an epoch is small),
+    #   "auto"       — pick by epoch input rows vs hash_exchange_min_rows.
+    merge_exchange: str = "auto"
+    # single-node measurements show the sort/task exchange ahead of the hash/
+    # actor one well past 10M-row epochs (actor + aggregator spin-up is per
+    # execution); the hash path is kept for genuinely multi-node epochs where
+    # its streaming aggregators avoid the sort barrier.
+    hash_exchange_min_rows: int = 50_000_000
+    # fuse the bronze fragment write into the silver merge execution (single
+    # pipeline per epoch: read → stamp/validate → bronze side-effect write →
+    # shuffle → merge). Disable to force the two-step path.
+    fuse_bronze: bool = True
 
     # --- gold refresh cadence (reference: gold/streaming_processor.py:98-105) ---
     gold_refresh_every_epochs: int = 1

@@ -75,6 +75,7 @@ def generate_events(
     zipf_s: float = 1.2,
     dirty_fraction: float = 0.0,
     schema_evolve_from_epoch: int | None = None,
+    row_group_size: int = 16384,
 ) -> list[str]:
     """Write ``n_epochs`` Parquet files of change events under ``out_dir``.
 
@@ -107,38 +108,50 @@ def generate_events(
         rows.extend(delayed)
         delayed = []
         budget = per_epoch if epoch < n_epochs - 1 else n_events - per_epoch * (n_epochs - 1)
-        for _ in range(budget):
-            r = int(rng.choice(n_repos, p=w))
+        # pre-draw all randomness for the epoch (a per-event rng.choice(p=w)
+        # recomputes the cumulative weights every call — ~60us/event)
+        cum = np.cumsum(w)
+        repo_draw = np.searchsorted(cum, rng.random(budget)).clip(0, n_repos - 1)
+        u_reuse = rng.random(budget)
+        u_pathpick = rng.random(budget)
+        d_depth = rng.integers(0, 5, size=budget)
+        d_ext = rng.integers(len(_EXT_LANG), size=budget)
+        u_delete = rng.random(budget)
+        u_langchg = rng.random(budget)
+        d_lang2 = rng.integers(len(_EXT_LANG), size=budget)
+        u_delay = rng.random(budget)
+        u_dup = rng.random(budget)
+        last_epoch = epoch == n_epochs - 1
+        for i in range(budget):
+            r = int(repo_draw[i])
             repo = repo_names[r]
-            reuse = seen_paths[r] and rng.random() < p_reuse
+            reuse = bool(seen_paths[r]) and u_reuse[i] < p_reuse
             if reuse:
-                path = seen_paths[r][int(rng.integers(len(seen_paths[r])))]
+                path = seen_paths[r][int(u_pathpick[i] * len(seen_paths[r]))]
             else:
-                d = int(rng.integers(0, 5))
-                ext, lang = _EXT_LANG[int(rng.integers(len(_EXT_LANG)))]
-                k = len(seen_paths[r])
-                path = f"src/m{d}/f{k:06d}.{ext}"
+                ext, lang = _EXT_LANG[int(d_ext[i])]
+                path = f"src/m{int(d_depth[i])}/f{len(seen_paths[r]):06d}.{ext}"
                 seen_paths[r].append(path)
                 path_lang[(r, path)] = lang
             commit = f"c{seq:012d}"
             seq += 1
             is_live = path in live[r]
-            if reuse and is_live and rng.random() < p_delete:
+            if reuse and is_live and u_delete[i] < p_delete:
                 row = (repo, path, commit, "", TOMBSTONE)
                 live[r].discard(path)
             else:
                 lang = path_lang[(r, path)]
-                if is_live and rng.random() < p_lang_change:
-                    lang = _EXT_LANG[int(rng.integers(len(_EXT_LANG)))][1]
+                if is_live and u_langchg[i] < p_lang_change:
+                    lang = _EXT_LANG[int(d_lang2[i])][1]
                     path_lang[(r, path)] = lang
                 row = (repo, path, commit, lang, _content_for(repo, path, commit, content_median))
                 live[r].add(path)
             # delivery faults (never delay out of the final epoch)
-            if epoch < n_epochs - 1 and rng.random() < p_delay:
+            if not last_epoch and u_delay[i] < p_delay:
                 delayed.append(row)
             else:
                 rows.append(row)
-                if rng.random() < p_dup:
+                if u_dup[i] < p_dup:
                     rows.append(row)
 
         if dirty_fraction > 0.0 and rows:
@@ -177,7 +190,9 @@ def generate_events(
                 "size_hint", pa.array([len(c) if c is not None else 0 for c in cols[4]], pa.int64())
             )
         fp = os.path.join(out_dir, f"part-{epoch:05d}.parquet")
-        pq.write_table(tbl, fp, compression="zstd")
+        # small row groups so readers can split one epoch file into parallel
+        # blocks (a single-row-group file serializes the whole ingest chain)
+        pq.write_table(tbl, fp, compression="zstd", row_group_size=row_group_size)
         paths_out.append(fp)
 
     assert EVENT_SCHEMA is not None

@@ -101,6 +101,35 @@ def _cluster_cpus() -> int:
     return 8
 
 
+def _make_bronze_writer(outdir: str, compression: str):
+    """Pass-through map_batches stage that persists each block as a bronze
+    fragment (fused epoch pipeline). Fragment names derive from block content
+    (min sequence number + row count) so a retried task overwrites its own
+    output instead of duplicating it; the driver clears the epoch dir before
+    the execution, so leftovers from a crashed attempt cannot leak in."""
+    import tempfile
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    def write(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        seqmin = int(_pc.min(batch.column("cdc_sequence_number")).as_py())
+        dst = os.path.join(outdir, f"data-{seqmin:020d}-{batch.num_rows}.parquet")
+        fd, tmp = tempfile.mkstemp(dir=outdir, suffix=".tmp")
+        os.close(fd)
+        try:
+            _pq.write_table(batch, tmp, compression=compression)
+            os.replace(tmp, dst)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        return batch
+
+    return write
+
+
 class CDCReplay:
     def __init__(self, root: str, cfg: EngineConfig | None = None):
         self.root = root
@@ -151,12 +180,18 @@ class CDCReplay:
     # ------------------------------------------------------------ one epoch
     def run_epoch(self, epoch: int, files: list[str]) -> None:
         bm = self.bronze.latest_manifest()
-        if bm.epoch < epoch:
-            self._bronze_ingest(epoch, files)
-        self._maybe_resalt()
         sm = self.silver.latest_manifest()
-        if sm.epoch < epoch:
-            self._silver_merge(epoch)
+        self._maybe_resalt()
+        if bm.epoch < epoch and sm.epoch < epoch and self.cfg.fuse_bronze:
+            # single-execution epoch: bronze write is a pass-through stage of
+            # the merge pipeline (one Ray execution instead of two)
+            self._silver_merge(epoch, input_files=files)
+        else:
+            if bm.epoch < epoch:
+                self._bronze_ingest(epoch, files)
+            sm = self.silver.latest_manifest()
+            if sm.epoch < epoch:
+                self._silver_merge(epoch)
         gm = self.gold.latest_manifest()
         # cadence knob (reference: MV refresh every 10 ticks,
         # gold/streaming_processor.py:98-105): skipped epochs leave the gold
@@ -174,10 +209,11 @@ class CDCReplay:
 
     # ----------------------------------------------------------------- bronze
     def _bronze_ingest(self, epoch: int, files: list[str]) -> None:
+        """Unfused bronze ingest (reference pipeline §3.2): read → stamp →
+        validate → partition → write fragments → commit."""
         import ray.data as rd
 
         cfg = self.cfg
-        bm = self.bronze.latest_manifest()
         ds = rd.read_parquet(files)
         ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
         ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
@@ -185,7 +221,11 @@ class CDCReplay:
         outdir = self.bronze.abspath(f"fragments/epoch={epoch}")
         shutil.rmtree(outdir, ignore_errors=True)
         ds.write_parquet(outdir, compression=cfg.write_compression)
+        self._commit_bronze_from_dir(epoch, files, outdir, None)
 
+    def _commit_bronze_from_dir(self, epoch: int, input_files: list[str], outdir: str,
+                                stamped_schema) -> None:
+        bm = self.bronze.latest_manifest()
         frags = []
         for fp in sorted(glob.glob(os.path.join(outdir, "*.parquet"))):
             md = pq.read_metadata(fp)
@@ -196,12 +236,15 @@ class CDCReplay:
                     rows=md.num_rows, bytes=os.path.getsize(fp),
                 )
             )
-        rows_in = sum(pq.read_metadata(f).num_rows for f in files)
+        rows_in = sum(pq.read_metadata(f).num_rows for f in input_files)
         rows_kept = sum(f.rows for f in frags)
-        # additive schema evolution on ingest (mergeSchema analogue)
+        # additive schema evolution on ingest (mergeSchema analogue,
+        # bronze/cdc_ingestion.py:59)
         schema = bm.schema
         if frags:
-            schema = union_schemas(schema, pq.read_schema(os.path.join(outdir, os.path.basename(frags[-1].path))))
+            schema = union_schemas(
+                schema, pq.read_schema(self.bronze.abspath(frags[-1].path))
+            )
         self.bronze.commit_epoch(
             epoch, frags, schema=schema,
             lineage=[{"epoch": epoch, "rows_in": rows_in, "rows_kept": rows_kept,
@@ -214,47 +257,108 @@ class CDCReplay:
         bm = self.bronze.latest_manifest()
         return [self.bronze.abspath(f.path) for f in bm.fragments if f.epoch == epoch and f.kind == "data"]
 
-    def _silver_merge(self, epoch: int) -> None:
+    def _choose_exchange(self, est_rows: int) -> str:
+        if self.cfg.merge_exchange != "auto":
+            return self.cfg.merge_exchange
+        return "hash_actor" if est_rows >= self.cfg.hash_exchange_min_rows else "sort_task"
+
+    def _silver_merge(self, epoch: int, input_files: list[str] | None = None) -> None:
+        """Merge one epoch into silver.
+
+        ``input_files`` set → fused mode: read raw events, stamp/validate,
+        write bronze fragments as a pass-through stage, then exchange + merge —
+        all in one Ray execution; bronze commits right after the execution,
+        before silver (so a crash between the two commits resumes through the
+        unfused path). ``input_files`` None → resume path reading the already
+        -committed bronze epoch fragments.
+        """
         import ray
         import ray.data as rd
 
+        from maritime_activity_reports_cdc_ray.stages.merge import make_merge_task_fn
+
         cfg = self.cfg
+        ncpu = _cluster_cpus()
         sm = self.silver.latest_manifest()
-        bronze_paths = self._bronze_epoch_paths(epoch)
-        if not bronze_paths:
-            self.silver.commit_epoch(epoch, [], lineage=[])
-            return
-        bronze_schema = pq.read_schema(bronze_paths[0])
-        silver_schema = union_schemas(silver_schema_for(bronze_schema), sm.schema)
+        fused = input_files is not None
+        if fused:
+            src_files = input_files
+            est_rows = sum(pq.read_metadata(f).num_rows for f in src_files)
+            event_schema = pq.read_schema(src_files[0])
+            from maritime_activity_reports_cdc_ray.schemas import BRONZE_SCHEMA
+
+            stamped_schema = union_schemas(event_schema, BRONZE_SCHEMA)
+            outdir = self.bronze.abspath(f"fragments/epoch={epoch}")
+            shutil.rmtree(outdir, ignore_errors=True)
+            os.makedirs(outdir, exist_ok=True)
+        else:
+            src_files = self._bronze_epoch_paths(epoch)
+            if not src_files:
+                self.silver.commit_epoch(epoch, [], lineage=[])
+                return
+            est_rows = sum(pq.read_metadata(f).num_rows for f in src_files)
+            stamped_schema = pq.read_schema(src_files[0])
+        silver_schema = union_schemas(silver_schema_for(stamped_schema), sm.schema)
 
         salt_arr = self._salt_array(sm)
         frag_map = {(f.pid, f.salt): f.path for f in sm.fragments if f.kind == "current"}
         frag_map_ref = ray.put(frag_map)
 
-        ncpu = _cluster_cpus()
         nshuffle = cfg.resolved_shuffle_partitions(ncpu)
-        # NB: a Dataset snapshots DataContext at creation — the whole build +
-        # execute must sit inside the hash-shuffle scope
-        with hash_shuffle_ctx():
-            ds = rd.read_parquet(bronze_paths, partitioning=None)
-            ds = ds.map_batches(
+        exchange = self._choose_exchange(est_rows)
+        merge_args = (self.silver.root, frag_map_ref, epoch,
+                      silver_schema.serialize().to_pybytes(), cfg.max_salt, cfg.write_compression)
+
+        est_bytes = sum(os.path.getsize(f) for f in src_files)
+        # explicit block sizing: Ray's default parallelism heuristic shreds a
+        # small epoch into ~100 tiny blocks and per-block scheduling overhead
+        # swamps compute; target ~32 MB compressed per block (at 100 TB scale
+        # this yields thousands of blocks — plenty of parallelism; at sandbox
+        # scale it keeps per-block overhead subordinate to compute)
+        nblocks = int(max(4, min(4 * ncpu,
+                                 max(est_bytes // (32 << 20) + 1,
+                                     min(2 * ncpu, est_rows // 25_000)))))
+
+        def build_source():
+            ds = rd.read_parquet(src_files, partitioning=None, override_num_blocks=nblocks)
+            if fused:
+                ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
+                ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
+                ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                ds = ds.map_batches(_make_bronze_writer(outdir, cfg.write_compression),
+                                    batch_format="pyarrow", zero_copy_batch=True)
+            return ds.map_batches(
                 make_gid_assigner(cfg.num_partitions, salt_arr, cfg.max_salt),
                 batch_format="pyarrow", zero_copy_batch=True,
             )
-            ds = ds.repartition(nshuffle, keys=["gid"])
-            res = ds.map_batches(
-                MergeApplier,
-                fn_constructor_args=(
-                    self.silver.root, frag_map_ref, epoch,
-                    silver_schema.serialize().to_pybytes(), cfg.max_salt, cfg.write_compression,
-                ),
-                batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-                # leave headroom for the hash-shuffle aggregator actors and the
-                # read tasks — a pool that reserves every CPU deadlocks the
-                # pipeline (see ray_guide: size concurrency x num_cpus to the node)
-                concurrency=max(1, min(nshuffle, ncpu // 2)), num_cpus=cfg.merge_num_cpus,
+
+        if exchange == "hash_actor":
+            # NB: a Dataset snapshots DataContext at creation — the whole build
+            # + execute must sit inside the hash-shuffle scope
+            with hash_shuffle_ctx():
+                ds = build_source().repartition(nshuffle, keys=["gid"])
+                res = ds.map_batches(
+                    MergeApplier,
+                    fn_constructor_args=merge_args,
+                    batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+                    # leave headroom for the hash-shuffle aggregator actors and
+                    # the read tasks — a pool that reserves every CPU deadlocks
+                    # the pipeline
+                    concurrency=max(1, min(nshuffle, ncpu // 2)), num_cpus=cfg.merge_num_cpus,
+                )
+                lineage_rows = res.take_all()
+        else:  # sort_task: warm-worker tasks, no actor spin-up per epoch
+            ds = build_source()
+            res = ds.groupby("gid").map_groups(
+                make_merge_task_fn(*merge_args), batch_format="pyarrow",
             )
             lineage_rows = res.take_all()
+        if os.environ.get("ENGINE_STATS"):
+            print(res.stats())
+
+        if fused:
+            self._commit_bronze_from_dir(epoch, src_files, outdir, stamped_schema)
 
         new_frags, replaced, lineage = [], set(), []
         stats_delta: dict = {}
@@ -371,13 +475,14 @@ class CDCReplay:
             silver_paths = [f.path for f in sm.fragments if f.pid == pid and f.kind == "current"]
             g = gold_frag.get(pid)
             items.append({"pid": pid, "silver_paths": silver_paths, "gold_path": g.path if g else ""})
+        from maritime_activity_reports_cdc_ray.stages.gold import make_gold_task_fn
+
         ref = ray.put(repos_by_pid)
         ds = rd.from_items(items)
         res = ds.map_batches(
-            GoldRefresher,
-            fn_constructor_args=(self.silver.root, self.gold.root, ref, epoch, self.cfg.write_compression),
+            make_gold_task_fn(self.silver.root, self.gold.root, ref, epoch,
+                              self.cfg.write_compression),
             batch_format="pyarrow", batch_size=1,
-            concurrency=max(1, min(len(items), _cluster_cpus())),
         )
         rows = res.take_all()
         new_frags, replaced, lineage = [], set(), []
@@ -407,7 +512,14 @@ class CDCReplay:
         read_cols = columns
         if live_only and columns is not None and "is_deleted" not in columns:
             read_cols = list(columns) + ["is_deleted"]
-        ds = rd.read_parquet(paths, columns=read_cols, partitioning=None)
+        # Ray 2.49 bug: columns= together with partitioning=None raises
+        # UnboundLocalError; with explicit columns the hive-inferred partition
+        # fields are pruned anyway, so partitioning=None is only needed for
+        # full-schema reads.
+        if read_cols is None:
+            ds = rd.read_parquet(paths, partitioning=None)
+        else:
+            ds = rd.read_parquet(paths, columns=read_cols)
         if live_only:
             import pyarrow.compute as pc
 

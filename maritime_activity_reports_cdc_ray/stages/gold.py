@@ -42,8 +42,9 @@ def aggregate_repos(silver_rows: pa.Table, epoch: int, pid: int) -> pa.Table:
         from maritime_activity_reports_cdc_ray.stages.merge import align_to_schema
 
         return align_to_schema(pa.table({}), GOLD_SCHEMA)
+    silver_rows = silver_rows.combine_chunks()
     order = pc.sort_indices(silver_rows, sort_keys=[("repo", "ascending"), ("path", "ascending")])
-    t = silver_rows.take(order).combine_chunks()
+    t = silver_rows.take(order)
     repo = np.asarray(t.column("repo").to_numpy(zero_copy_only=False), dtype=object)
     path = np.asarray(t.column("path").to_numpy(zero_copy_only=False), dtype=object)
     commit = np.asarray(t.column("commit").to_numpy(zero_copy_only=False), dtype=object)
@@ -116,12 +117,79 @@ GOLD_RESULT_SCHEMA = pa.schema(
 )
 
 
+def refresh_pid_items(batch: pa.Table, silver, gold, repos_by_pid: dict, epoch: int,
+                      compression: str) -> pa.Table:
+    """Process pid work items: read the pid's silver current fragments (column
+    -pruned), filter to its affected repos, roll up, merge into the pid's gold
+    fragment, stage the replacement. No shuffle; parallelism = affected pids."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for item in batch.to_pylist():
+        pid = int(item["pid"])
+        silver_paths = list(item["silver_paths"])
+        gold_path = item["gold_path"]  # '' if no gold fragment yet
+        affected = repos_by_pid[pid]
+        parts = [
+            pq.read_table(silver.abspath(p), columns=GOLD_INPUT_COLUMNS)
+            for p in silver_paths
+        ]
+        sil = pa.concat_tables(parts) if parts else None
+        if sil is not None and sil.num_rows:
+            mask = pc.is_in(sil.column("repo"), value_set=pa.array(affected, pa.string()))
+            sil = sil.filter(mask)
+        new_rows = aggregate_repos(sil, epoch, pid) if sil is not None else None
+        if gold_path:
+            old = pq.read_table(gold.abspath(gold_path))
+            keep = pc.invert(pc.is_in(old.column("repo"), value_set=pa.array(affected, pa.string())))
+            old = old.filter(keep)
+            merged = pa.concat_tables([old, new_rows]) if new_rows is not None else old
+        else:
+            merged = new_rows
+        if merged is None:
+            continue
+        merged = merged.take(pc.sort_indices(merged, sort_keys=[("repo", "ascending")]))
+        frag = gold.stage_fragment(merged, epoch, pid, 0, "gold", compression)
+        rows.append(
+            {
+                "pid": pid,
+                "repos_refreshed": len(affected),
+                "gold_rows": merged.num_rows,
+                "fragments_json": json.dumps([frag.__dict__]),
+            }
+        )
+    from maritime_activity_reports_cdc_ray.stages.merge import align_to_schema
+
+    if not rows:
+        return align_to_schema(pa.table({}), GOLD_RESULT_SCHEMA)
+    return pa.Table.from_pylist(rows, schema=GOLD_RESULT_SCHEMA)
+
+
+def make_gold_task_fn(silver_root: str, gold_root: str, repos_by_pid_ref, epoch: int,
+                      compression: str = "zstd"):
+    """Task-pool variant (warm workers, no actor startup) — the default for
+    per-epoch refreshes; GoldRefresher below is the actor-pool equivalent."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray
+
+        from maritime_activity_reports_cdc_ray.state.table import LakeTable
+
+        repos_by_pid = (
+            ray.get(repos_by_pid_ref) if not isinstance(repos_by_pid_ref, dict) else repos_by_pid_ref
+        )
+        return refresh_pid_items(batch, LakeTable(silver_root), LakeTable(gold_root),
+                                 repos_by_pid, epoch, compression)
+
+    return fn
+
+
 class GoldRefresher:
     """Actor-pool stage over *pid work items* (a tiny control dataset — one row
-    per affected partition). Each call: read the pid's silver current fragments
-    (column-pruned), filter to that pid's affected repos, roll up, merge into
-    the pid's gold fragment, stage the replacement. No shuffle; parallelism =
-    number of affected pids."""
+    per affected partition); state (the broadcast affected-repo map) resolves
+    once per actor."""
 
     def __init__(self, silver_root: str, gold_root: str, repos_by_pid_ref, epoch: int,
                  compression: str = "zstd"):
@@ -138,46 +206,5 @@ class GoldRefresher:
         self.compression = compression
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import json
-
-        import pyarrow.parquet as pq
-
-        rows = []
-        for item in batch.to_pylist():
-            pid = int(item["pid"])
-            silver_paths = list(item["silver_paths"])
-            gold_path = item["gold_path"]  # '' if no gold fragment yet
-            affected = self.repos_by_pid[pid]
-            parts = [
-                pq.read_table(self.silver.abspath(p), columns=GOLD_INPUT_COLUMNS)
-                for p in silver_paths
-            ]
-            sil = pa.concat_tables(parts) if parts else None
-            if sil is not None and sil.num_rows:
-                mask = pc.is_in(sil.column("repo"), value_set=pa.array(affected, pa.string()))
-                sil = sil.filter(mask)
-            new_rows = aggregate_repos(sil, self.epoch, pid) if sil is not None else None
-            if gold_path:
-                old = pq.read_table(self.gold.abspath(gold_path))
-                keep = pc.invert(pc.is_in(old.column("repo"), value_set=pa.array(affected, pa.string())))
-                old = old.filter(keep)
-                merged = pa.concat_tables([old, new_rows]) if new_rows is not None else old
-            else:
-                merged = new_rows
-            if merged is None:
-                continue
-            merged = merged.take(pc.sort_indices(merged, sort_keys=[("repo", "ascending")]))
-            frag = self.gold.stage_fragment(merged, self.epoch, pid, 0, "gold", self.compression)
-            rows.append(
-                {
-                    "pid": pid,
-                    "repos_refreshed": len(affected),
-                    "gold_rows": merged.num_rows,
-                    "fragments_json": json.dumps([frag.__dict__]),
-                }
-            )
-        from maritime_activity_reports_cdc_ray.stages.merge import align_to_schema
-
-        if not rows:
-            return align_to_schema(pa.table({}), GOLD_RESULT_SCHEMA)
-        return pa.Table.from_pylist(rows, schema=GOLD_RESULT_SCHEMA)
+        return refresh_pid_items(batch, self.silver, self.gold, self.repos_by_pid,
+                                 self.epoch, self.compression)

@@ -119,12 +119,13 @@ def apply_events_to_partition(
     if n == 0:
         return None, empty_hist, stats
 
+    events = events.combine_chunks()
     idx = pc.sort_indices(
         events,
         sort_keys=[("repo", "ascending"), ("path", "ascending"),
                    ("commit", "ascending"), ("cdc_sequence_number", "ascending")],
     )
-    ev = events.take(idx).combine_chunks()
+    ev = events.take(idx)
 
     repo = _np_str(ev.column("repo"))
     path = _np_str(ev.column("path"))
@@ -285,13 +286,66 @@ def _history_schema() -> pa.Schema:
     return SILVER_HISTORY_SCHEMA
 
 
+def process_gid_groups(batch: pa.Table, lake, frag_map: dict, epoch: int,
+                       schema: pa.Schema, max_salt: int, compression: str) -> pa.Table:
+    """Merge every complete gid group inside ``batch`` against its (pid, salt)
+    current fragment; stage replacement fragments; return lineage rows.
+    Shared by the actor-pool (MergeApplier) and task (make_merge_task_fn)
+    execution shapes."""
+    import pyarrow.parquet as pq
+
+    if batch.num_rows == 0:
+        return align_to_schema(pa.table({}), MERGE_RESULT_SCHEMA)
+    # combine BEFORE take: post-shuffle blocks arrive with hundreds of tiny
+    # chunks and pc.take on a many-chunk string column is pathologically slow
+    batch = batch.combine_chunks()
+    order = pc.sort_indices(batch, sort_keys=[("gid", "ascending")])
+    batch = batch.take(order)
+    gids = batch.column("gid").to_numpy(zero_copy_only=False)
+    bounds = np.flatnonzero(np.diff(gids, prepend=gids[0] - 1))
+    bounds = np.append(bounds, len(gids))
+    rows = []
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        gid = int(gids[lo])
+        pid, salt = gid // max_salt, gid % max_salt
+        group = batch.slice(lo, hi - lo)
+        rel = frag_map.get((pid, salt))
+        cur = pq.read_table(lake.abspath(rel)) if rel else None
+        new_current, history, stats = apply_events_to_partition(cur, group, epoch, schema)
+        frags = []
+        if new_current is not None:
+            f = lake.stage_fragment(new_current, epoch, pid, salt, "current", compression)
+            frags.append(f.__dict__)
+        if history.num_rows:
+            f = lake.stage_fragment(history, epoch, pid, salt, "history", compression)
+            frags.append(f.__dict__)
+        rows.append(
+            {
+                "epoch": epoch, "pid": pid, "salt": salt,
+                **{k: stats[k] for k in ("rows_in", "rows_applied", "rows_stale",
+                                         "rows_duplicate", "inserted", "updated",
+                                         "deleted", "history_rows")},
+                "current_rows": new_current.num_rows if new_current is not None else -1,
+                "bytes_written": sum(f["bytes"] for f in frags),
+                "changed_repos": stats.get("changed_repos", []),
+                "fragments_json": json.dumps(frags),
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MERGE_RESULT_SCHEMA)
+
+
 class MergeApplier:
     """Stateful actor-pool stage: merges hash-partitioned event blocks into the
     silver table's (pid, salt) fragments and emits lineage rows.
 
     ``__init__`` runs once per actor: resolves the committed manifest's
     (pid, salt) → fragment map from a ``ray.put`` broadcast (shipped once, not
-    per batch). ``__call__`` runs per block.
+    per batch). ``__call__`` runs per block. This is the at-scale exchange
+    shape (hash shuffle + actor pool, north_star); for small epochs the driver
+    prefers ``make_merge_task_fn`` — identical semantics but stateless tasks on
+    warm workers, avoiding per-execution actor spin-up (see EngineConfig
+    ``merge_exchange``).
     """
 
     def __init__(self, table_root: str, frag_map_ref, epoch: int,
@@ -308,42 +362,26 @@ class MergeApplier:
         self.compression = compression
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
+        return process_gid_groups(batch, self.lake, self.frag_map, self.epoch,
+                                  self.schema, self.max_salt, self.compression)
 
-        if batch.num_rows == 0:
-            return align_to_schema(pa.table({}), MERGE_RESULT_SCHEMA)
-        order = pc.sort_indices(batch, sort_keys=[("gid", "ascending")])
-        batch = batch.take(order).combine_chunks()
-        gids = batch.column("gid").to_numpy(zero_copy_only=False)
-        bounds = np.flatnonzero(np.diff(gids, prepend=gids[0] - 1))
-        bounds = np.append(bounds, len(gids))
-        rows = []
-        for i in range(len(bounds) - 1):
-            lo, hi = int(bounds[i]), int(bounds[i + 1])
-            gid = int(gids[lo])
-            pid, salt = gid // self.max_salt, gid % self.max_salt
-            group = batch.slice(lo, hi - lo)
-            rel = self.frag_map.get((pid, salt))
-            cur = pq.read_table(self.lake.abspath(rel)) if rel else None
-            new_current, history, stats = apply_events_to_partition(cur, group, self.epoch, self.schema)
-            frags = []
-            if new_current is not None:
-                f = self.lake.stage_fragment(new_current, self.epoch, pid, salt, "current", self.compression)
-                frags.append(f.__dict__)
-            if history.num_rows:
-                f = self.lake.stage_fragment(history, self.epoch, pid, salt, "history", self.compression)
-                frags.append(f.__dict__)
-            changed = stats.get("changed_repos", [])
-            rows.append(
-                {
-                    "epoch": self.epoch, "pid": pid, "salt": salt,
-                    **{k: stats[k] for k in ("rows_in", "rows_applied", "rows_stale",
-                                             "rows_duplicate", "inserted", "updated",
-                                             "deleted", "history_rows")},
-                    "current_rows": new_current.num_rows if new_current is not None else -1,
-                    "bytes_written": sum(f["bytes"] for f in frags),
-                    "changed_repos": changed,
-                    "fragments_json": json.dumps(frags),
-                }
-            )
-        return pa.Table.from_pylist(rows, schema=MERGE_RESULT_SCHEMA)
+
+def make_merge_task_fn(table_root: str, frag_map_ref, epoch: int,
+                       silver_schema_ser: bytes, max_salt: int, compression: str):
+    """Task-pool variant of MergeApplier for ``groupby(gid).map_groups`` /
+    map_batches over already-partitioned blocks: same kernel, but a plain
+    closure so Ray schedules it on prestarted warm workers (no actor startup).
+    The broadcast frag_map is fetched per task from the local object store
+    (zero-copy plasma read, sub-ms)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray
+
+        from maritime_activity_reports_cdc_ray.state.table import LakeTable
+
+        frag_map = ray.get(frag_map_ref) if not isinstance(frag_map_ref, dict) else frag_map_ref
+        schema = pa.ipc.read_schema(pa.BufferReader(silver_schema_ser))
+        return process_gid_groups(batch, LakeTable(table_root), frag_map, epoch,
+                                  schema, max_salt, compression)
+
+    return fn
