@@ -340,6 +340,17 @@ def events_anomaly_stats(sf_dir: str):
     return pd.DataFrame([out])
 
 
+def events_value_percentiles(sf_dir: str):
+    """Per-type EXACT discrete percentiles (A5 exact-median analogue) via
+    groupby + map_groups — element selection, so float-bit-identical to
+    PERCENTILE_DISC."""
+    from maritime_activity_reports_cdc_ray.functions.stats import grouped_percentiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    out = grouped_percentiles(ds, "event_type", "value", [0.5, 0.9]).to_pandas()
+    return out[["event_type", "n", "p50", "p90"]]
+
+
 def cdc_lww_merge(sf_dir: str):
     """THE flagship operator driven through the real engine: adapt the events
     table into a change stream keyed by (user, event_type), replay it through
@@ -469,6 +480,16 @@ def docs_simhash_pairs(sf_dir: str):
     return simhash_candidates(docs, max_hamming=8, concurrency=(1, 2)).to_pandas()
 
 
+def docs_ngram_jaccard_dupes(sf_dir: str):
+    """EXACT all-pairs n-gram-Jaccard near-dup join (prefix filtering —
+    guaranteed recall, unlike the MinHash-LSH path), with exact SQL oracle."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import jaccard_similarity_join
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = jaccard_similarity_join(docs, threshold=0.5, k=8, concurrency=(1, 2)).to_pandas()
+    return out[["id_a", "id_b", "jaccard"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def docs_rolling_fingerprint(sf_dir: str):
     """Winnowing rolling-hash fingerprints (rows-only)."""
     from maritime_activity_reports_cdc_ray.functions.text import RollingFingerprint
@@ -499,6 +520,16 @@ def emb_knn_lsh(sf_dir: str):
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = knn_lsh(ds, query_ids=_KNN_QUERIES, k=10, dim=64, n_tables=6).to_pandas()
     return out[["query_id", "neighbor_id", "rank"]]
+
+
+def emb_cosine_dupes(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (broadcast matrix + per-batch
+    float64 matmul); scale path is the LSH variant (emb_knn_lsh machinery)."""
+    from maritime_activity_reports_cdc_ray.functions.similarity import cosine_dupes
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_dupes(ds, threshold=0.4, concurrency=(1, 2)).to_pandas()
+    return out[["id_a", "id_b", "sim"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def emb_label_stats(sf_dir: str):
@@ -558,16 +589,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events_hourly,
         "events_props_extract": events_props_extract,
         "events_anomaly_stats": events_anomaly_stats,
+        "events_value_percentiles": events_value_percentiles,
         "cdc_lww_merge": cdc_lww_merge,
         "docs_token_stats": docs_token_stats,
         "docs_fingerprint": docs_fingerprint,
         "docs_quality": docs_quality,
         "docs_lang_id": docs_lang_id,
         "docs_minhash_pairs": docs_minhash_pairs,
+        "docs_ngram_jaccard_dupes": docs_ngram_jaccard_dupes,
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,
+        "emb_cosine_dupes": emb_cosine_dupes,
         "emb_label_stats": emb_label_stats,
     }
 
@@ -692,6 +726,12 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
             FROM events
         """,
+        "events_value_percentiles": """
+            SELECT event_type, COUNT(*) AS n,
+                   PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+                   PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value) AS p90
+            FROM events GROUP BY event_type
+        """,
         "cdc_lww_merge": """
             SELECT user_id, event_type, event_id AS last_event_id FROM events
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
@@ -733,6 +773,36 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 'INVALID' END AS doc_quality_category,
                    COUNT(*) AS n_docs
             FROM f GROUP BY 1
+        """,
+        "docs_ngram_jaccard_dupes": """
+            WITH norm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN length(t) <= 8 THEN t
+                            ELSE substr(t, CAST(i AS INT), 8) END AS s
+                FROM norm, unnest(range(1, greatest(length(t) - 7, 1) + 1)) AS u(i)
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter JOIN sz sa ON sa.doc_id = id_a
+                       JOIN sz sb ON sb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        """,
+        "emb_cosine_dupes": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         """,
         "emb_knn_brute": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -39,6 +39,61 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 
 # ---------------------------------------------------------------------------
+# partition-local aggregation helpers
+#
+# Ray's sort-based groupby costs ~ms per OUTPUT group (one Python dispatch per
+# key), so a distinct/count over 10^5+ keys takes minutes. These helpers hash-
+# partition to ``num_partitions`` groups and run ONE vectorized pandas
+# aggregation per partition — the shuffle is identical (all-to-all on the hash
+# key), only the per-key dispatch is gone. This is the same partial-
+# aggregation shape the merge engine uses for the CDC shuffle.
+# ---------------------------------------------------------------------------
+def _hash_part(df: pd.DataFrame, cols: list[str], num_partitions: int) -> np.ndarray:
+    acc = np.zeros(len(df), dtype=np.uint64)
+    for c in cols:
+        v = df[c].to_numpy()
+        if v.dtype.kind not in "iu":
+            v = pd.util.hash_array(np.asarray(v))
+        acc = acc * np.uint64(1099511628211) + v.astype(np.uint64)
+    return (acc % np.uint64(num_partitions)).astype("int64")
+
+
+def hash_distinct(ds, cols: list[str], num_partitions: int = 16):
+    """DISTINCT on ``cols``: per-batch local dedup → hash partition →
+    per-partition vectorized dedup (P Python calls total)."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[cols].drop_duplicates()
+        d = d.copy()
+        d["_part"] = _hash_part(d, cols, num_partitions)
+        return d
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(cols)[cols]
+
+    return (ds.map_batches(local, batch_format="pandas")
+            .groupby("_part").map_groups(combine, batch_format="pandas"))
+
+
+def hash_count(ds, cols: list[str], num_partitions: int = 16,
+               count_col: str = "cnt"):
+    """COUNT(*) GROUP BY ``cols`` with per-batch partial counts before the
+    shuffle (combiner) and one vectorized reduce per partition."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby(cols, as_index=False, sort=False).size() \
+            .rename(columns={"size": count_col})
+        d["_part"] = _hash_part(d, cols, num_partitions)
+        return d
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(cols, as_index=False, sort=False)[count_col].sum()
+
+    return (ds.map_batches(local, batch_format="pandas")
+            .groupby("_part").map_groups(combine, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 def exact_dedup(ds, cols: list[str], order: list[str], id_col: str):
@@ -127,20 +182,26 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
                                           "text_col": text_col, "id_col": id_col},
         batch_format="pandas", concurrency=concurrency,
     )
-    banded = sigs.map_batches(lambda df: lsh_bands(df, bands), batch_format="pandas")
+    banded = sigs.map_batches(lambda df: lsh_bands(df, bands),
+                              batch_format="pandas").materialize()
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    # distinct pairs (same pair can surface from several bands) — built-in
-    # count() aggregation, NOT per-pair map_groups (vectorized; a python call
-    # per pair would dominate wall time at any real candidate volume)
-    return cand.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+    # pair generation via hash self-join on the bucket key — vectorized; a
+    # map_groups here would pay one Python call per bucket (tens of thousands
+    # of tiny buckets), which dominates wall time at any real doc volume
+    left = banded.map_batches(lambda df: df.rename(columns={id_col: "id_a"}),
+                              batch_format="pandas")
+    right = banded.map_batches(
+        lambda df: df.rename(columns={id_col: "id_b", "band_id": "band_id_r",
+                                      "band_hash": "band_hash_r"}),
+        batch_format="pandas")
+    joined = left.join(right, join_type="inner", num_partitions=8,
+                       on=("band_id", "band_hash"),
+                       right_on=("band_id_r", "band_hash_r"))
+    cand = joined.map_batches(
+        lambda df: df.loc[df["id_a"] < df["id_b"], ["id_a", "id_b"]],
+        batch_format="pandas")
+    # distinct pairs (same pair can surface from several bands)
+    return hash_distinct(cand, ["id_a", "id_b"])
 
 
 def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float = 0.8, k: int = 5,
@@ -156,17 +217,176 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float = 0.8, k: int = 5,
     class Verify:
         def __init__(self):
             self.lookup = ray.get(lookup_ref)
+            self.sets: dict = {}  # doc → shingle set, computed once per actor
+
+        def _set(self, i):
+            s = self.sets.get(i)
+            if s is None:
+                s = self.sets[i] = _shingles(self.lookup.get(i, ""), k)
+            return s
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            sims = [
-                ngram_jaccard(self.lookup.get(a, ""), self.lookup.get(b, ""), k)
-                for a, b in zip(df["id_a"], df["id_b"])
-            ]
+            sims = []
+            for a, b in zip(df["id_a"], df["id_b"]):
+                sa, sb = self._set(a), self._set(b)
+                inter = len(sa & sb)
+                sims.append(inter / (len(sa) + len(sb) - inter)
+                            if (sa or sb) else 1.0)
             df = df.copy()
             df["jaccard"] = sims
             return df[df["jaccard"] >= threshold]
 
     return cand_ds.map_batches(Verify, batch_format="pandas", concurrency=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram-Jaccard similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+def _hash_shingles(text: str, k: int) -> np.ndarray:
+    """Distinct k-gram hashes (uint64) of a doc, unsorted."""
+    sh = _shingles(text, k)
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+         for s in sh),
+        dtype=np.uint64, count=len(sh))
+
+
+class Shingler:
+    """Actor-pool stage: doc → its prefix shingle hashes under a global order.
+
+    Exact set-similarity-join candidate generation (Chaudhuri/Bayardo prefix
+    filtering): hash each distinct k-gram to uint64, order by a GLOBAL total
+    order, and emit only the first ``n - ceil(t²·n) + 1``. Any pair with
+    Jaccard ≥ t has overlap ≥ t·min(|A|,|B|) ≥ t²·max(|A|,|B|), so the
+    prefixes of two qualifying sets always share a hash → grouping by prefix
+    hash has guaranteed recall (unlike MinHash-LSH, which is probabilistic).
+    The t² bound is the size-agnostic safe prefix; PPJoin's shorter t·n index
+    prefix + positional filter is a further optimization we skip.
+
+    The global order is **rarest-first**: (doc-frequency, hash) with frequency
+    looked up in a broadcast hot-shingle table (absent ⇒ 0). ANY consistent
+    total order preserves exactness; rarest-first shrinks bucket sizes by
+    orders of magnitude because globally hot shingles sink to the suffix and
+    almost never enter a prefix. Only the hot tail is broadcast, so the state
+    stays small at any corpus size."""
+
+    def __init__(self, k: int = 8, threshold: float = 0.5,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 hot_ref=None):
+        import ray
+
+        self.k, self.t = k, threshold
+        self.text_col, self.id_col = text_col, id_col
+        self.hot = ray.get(hot_ref) if hot_ref is not None else {}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_sh, out_sz = [], [], []
+        hot = self.hot
+        for i, text in zip(df[self.id_col].to_numpy(), df[self.text_col].fillna("")):
+            hs = _hash_shingles(text, self.k)
+            n = len(hs)
+            if hot:
+                freq = np.fromiter((hot.get(int(h), 0) for h in hs),
+                                   dtype=np.int64, count=n)
+                hs = hs[np.lexsort((hs, freq))]
+            else:
+                hs = np.sort(hs)
+            prefix = n - int(np.ceil(self.t * self.t * n)) + 1
+            hs = hs[:max(prefix, 1)]
+            out_id.extend([i] * len(hs))
+            out_sh.extend(hs.astype("int64"))
+            out_sz.extend([n] * len(hs))
+        return pd.DataFrame({self.id_col: np.asarray(out_id, dtype="int64"),
+                             "sh": np.asarray(out_sh, dtype="int64"),
+                             "set_size": np.asarray(out_sz, dtype="int64")})
+
+
+def jaccard_similarity_join(ds, threshold: float = 0.5, k: int = 8,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            concurrency=(1, 4), hot_min: int = 4,
+                            num_partitions: int = 8):
+    """EXACT all-pairs n-gram-Jaccard join: every pair with Jaccard ≥ t, no
+    misses (vs the probabilistic MinHash-LSH path in
+    :func:`minhash_lsh_candidates`).
+
+    Pipeline (two passes over the docs, both streaming):
+      1. shingle-frequency pass: all hashes → groupby count → hot tail
+         (freq ≥ hot_min) collected + broadcast (small by construction).
+      2. map_batches(Shingler actor pool, rarest-first order) → **hash
+         self-join on the prefix hash** (vectorized pair generation — a
+         map_groups here would pay one Python call per bucket) → size filter
+         |A| ≥ t·|B| → distinct pairs → exact Jaccard verify on broadcast
+         texts. The shuffle moves prefix hashes, never text."""
+    import ray
+
+    def all_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        hs = [_hash_shingles(t, k).astype("int64") for t in df[text_col].fillna("")]
+        return pd.DataFrame({"sh": np.concatenate(hs) if hs else
+                             np.array([], dtype="int64")})
+
+    counts = hash_count(ds.map_batches(all_hashes, batch_format="pandas"),
+                        ["sh"], num_partitions)
+    hot_df = counts.map_batches(lambda df: df[df["cnt"] >= hot_min],
+                                batch_format="pandas").to_pandas()
+    hot_ref = ray.put(dict(zip(hot_df["sh"].astype(int), hot_df["cnt"].astype(int))))
+
+    sigs = ds.map_batches(
+        Shingler, fn_constructor_kwargs={"k": k, "threshold": threshold,
+                                         "text_col": text_col, "id_col": id_col,
+                                         "hot_ref": hot_ref},
+        batch_format="pandas", concurrency=concurrency,
+    )
+
+    # pair generation: hash-partition prefix rows by shingle, then ONE
+    # vectorized map_groups call per partition (numpy bucket scan inside).
+    # Neither groupby(sh).map_groups (a Python dispatch per bucket — tens of
+    # thousands) nor Dataset.join on the bucket key (Ray 2.49's hash join
+    # runs ~15k rows/s on duplicate-heavy keys) is acceptable here.
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["sh"].to_numpy().astype(np.uint64)
+                      % np.uint64(num_partitions)).astype("int64")
+        return df
+
+    def gen_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("sh", kind="mergesort")
+        sh = g["sh"].to_numpy()
+        ids = g[id_col].to_numpy()
+        sz = g["set_size"].to_numpy()
+        _, starts, cnts = np.unique(sh, return_index=True, return_counts=True)
+        out_a, out_b = [], []
+        for s, c in zip(starts, cnts):
+            if c < 2:
+                continue
+            bi = ids[s : s + c]
+            bs = sz[s : s + c]
+            ia, ib = np.triu_indices(c, k=1)
+            lo = np.minimum(bs[ia], bs[ib])
+            hi = np.maximum(bs[ia], bs[ib])
+            m = lo + 1e-9 >= threshold * hi  # J ≥ t ⟹ min ≥ t·max
+            a, b = bi[ia][m], bi[ib][m]
+            sw = a > b
+            out_a.append(np.where(sw, b, a))
+            out_b.append(np.where(sw, a, b))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    cand = (sigs.map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(gen_pairs, batch_format="pandas"))
+    uniq = hash_distinct(cand, ["id_a", "id_b"], num_partitions)
+    out = verify_pairs_jaccard(uniq, ds, threshold=threshold, k=k,
+                               text_col=text_col, id_col=id_col)
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        y = df["jaccard"].to_numpy(dtype=np.float64) * 1e6
+        df["jaccard"] = np.copysign(np.floor(np.abs(y) + 0.5), y) / 1e6
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -237,9 +457,18 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4,
         return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m], "hamming": ham[m]})
 
     cand = banded.groupby(["band_id", "chunk"]).map_groups(pairs, batch_format="pandas")
-    from ray.data.aggregate import Min
 
-    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    # per-pair min hamming via partition-local reduce (see hash_distinct note)
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby(["id_a", "id_b"], as_index=False, sort=False)["hamming"].min()
+        d["_part"] = _hash_part(d, ["id_a", "id_b"], 16)
+        return d
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["id_a", "id_b"], as_index=False, sort=False)["hamming"].min()
+
+    return (cand.map_batches(local, batch_format="pandas")
+            .groupby("_part").map_groups(combine, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------

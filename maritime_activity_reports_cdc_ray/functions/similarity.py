@@ -110,6 +110,49 @@ def knn_brute_force(ds, query_ids: list[int], k: int = 10,
     return cand.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
+def cosine_dupes(ds, threshold: float, id_col: str = "vec_id",
+                 vec_col: str = "embedding", round_decimals: int = 6,
+                 concurrency=(1, 4)):
+    """Exact embedding-cosine near-dup pairs: every (id_a < id_b) with
+    cosine ≥ threshold.
+
+    The normalized id/matrix pair is broadcast ONCE via ``ray.put``; each batch
+    does one float64 matmul (batch × all) and emits only qualifying pairs —
+    the exact baseline. This is O(n²) compute with O(n·d) broadcast state, the
+    honest brute-force floor; the scale path is LSH bucketing (share a bucket
+    ⟹ candidate, then exact verify — see :class:`LshBucketer` /
+    ``functions.dedup.simhash_candidates`` for the same shape)."""
+    import ray
+
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    full = full.sort_values(id_col)
+    ids_all = full[id_col].to_numpy(dtype="int64")
+    mat_all = _normalize_rows(_to_matrix(full[vec_col]))
+    ref = ray.put((ids_all, mat_all))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                     "id_b": pd.Series(dtype="int64"),
+                                     "sim": pd.Series(dtype="float64")})
+            ids_b = df[id_col].to_numpy(dtype="int64")
+            mb = _normalize_rows(_to_matrix(df[vec_col]))
+            sims = mb @ self.mat.T  # (nb, N) float64
+            mask = (sims >= threshold) & (ids_b[:, None] < self.ids[None, :])
+            r, c = np.nonzero(mask)
+            sim = sims[r, c]
+            if round_decimals is not None:
+                m = 10.0 ** round_decimals
+                sim = np.copysign(np.floor(np.abs(sim * m) + 0.5), sim) / m
+            return pd.DataFrame({"id_a": ids_b[r], "id_b": self.ids[c], "sim": sim})
+
+    return ds.map_batches(PairFinder, batch_format="pandas", concurrency=concurrency)
+
+
 class LshBucketer:
     """Random-hyperplane LSH: vec → one bucket id per table (actor pool; the
     hyperplanes are generated once per actor from the shared seed)."""

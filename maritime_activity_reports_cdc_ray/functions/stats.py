@@ -8,6 +8,7 @@ with conditional counts pre-computed as 0/1 columns inside ``map_batches``
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -60,6 +61,34 @@ def quality_report(ds, score_col: str, category_col: str, fields: list[str]):
     n = max(1, sums["n"])
     completeness = {f: sums[f"nn_{f}"] / n for f in fields}
     return {"summary": agg, "by_category": by_cat, "completeness": completeness}
+
+
+def grouped_percentiles(ds, key, value_col: str, qs: list[float],
+                        count_alias: str = "n"):
+    """Per-group EXACT discrete percentiles (PERCENTILE_DISC semantics: the
+    smallest value whose cumulative distribution ≥ q, i.e. sorted index
+    ``ceil(q·n) - 1``). Reference analogue: the exact ``PERCENTILE_CONT``
+    median inside port metrics (``gold/cdf_processor.py:350-414``, SURVEY.md
+    A5) — exact percentiles need the whole group, which is fine because groups
+    are per-key; the shuffle is the groupby itself.
+
+    Picking an element (no interpolation arithmetic) keeps the result
+    bit-identical to any SQL engine's PERCENTILE_DISC on the same data."""
+    import math
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy(dtype=np.float64))
+        row = {c: [g[c].iloc[0]] for c in keys}
+        row[count_alias] = [np.int64(len(v))]
+        for q in qs:
+            idx = max(0, math.ceil(q * len(v)) - 1)
+            row[f"p{int(q * 100)}"] = [v[idx]]
+        return pd.DataFrame(row)
+
+    return ds.groupby(key if isinstance(key, str) else keys).map_groups(
+        pct, batch_format="pandas")
 
 
 def table_metrics(lake) -> pd.DataFrame:

@@ -227,3 +227,53 @@ def test_multimodal_real_backends_stubbed():
         M.ImageDecoder(backend=M.DecodeBackend.PIL)
     with pytest.raises(NotImplementedError):
         M.FrameSampler(backend=M.DecodeBackend.FFMPEG)
+
+
+def test_jaccard_similarity_join_exact(ray_session, docs_df):
+    out = D.jaccard_similarity_join(_ds(docs_df), threshold=0.5, k=8,
+                                    concurrency=2, hot_min=2).to_pandas()
+    pairs = dict(zip(zip(out.id_a, out.id_b), out.jaccard))
+    assert pairs.get((0, 3)) == 1.0  # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5  # near-dup, guaranteed recall
+    assert (1, 3) in pairs
+    assert all((a, b) not in pairs for a, b in [(0, 2), (2, 4), (0, 4)])
+
+
+def test_hash_distinct_and_count(ray_session):
+    df = pd.DataFrame({"a": [1, 1, 2, 2, 2, 3], "b": ["x", "x", "y", "y", "z", "x"]})
+    d = D.hash_distinct(_ds(df), ["a", "b"], num_partitions=4).to_pandas()
+    assert len(d) == 4
+    c = D.hash_count(_ds(df), ["a", "b"], num_partitions=4).to_pandas()
+    got = dict(zip(zip(c.a, c.b), c.cnt))
+    assert got == {(1, "x"): 2, (2, "y"): 2, (2, "z"): 1, (3, "x"): 1}
+
+
+def test_cosine_dupes_exact(ray_session):
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((40, 16))
+    m[7] = m[3] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype="int64"),
+                       "embedding": [v.astype(np.float32).tolist() for v in m]})
+    out = S.cosine_dupes(_ds(df), threshold=0.95, concurrency=2).to_pandas()
+    pairs = set(zip(out.id_a, out.id_b))
+    assert (3, 7) in pairs
+    # exact: verify against numpy all-pairs ground truth
+    mm = np.asarray([np.asarray(v, np.float64) for v in df.embedding])
+    mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+    sims = mm @ mm.T
+    truth = {(i, j) for i in range(40) for j in range(i + 1, 40) if sims[i, j] >= 0.95}
+    assert pairs == truth
+
+
+def test_grouped_percentiles_disc(ray_session):
+    from maritime_activity_reports_cdc_ray.functions.stats import grouped_percentiles
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 5,
+                       "v": [4.0, 1.0, 3.0, 2.0, 50.0, 10.0, 30.0, 20.0, 40.0]})
+    out = grouped_percentiles(_ds(df), "g", "v", [0.5, 0.9]).to_pandas()
+    r = out.set_index("g")
+    assert r.loc["a", "p50"] == 2.0  # PERCENTILE_DISC: index ceil(0.5*4)-1 = 1
+    assert r.loc["b", "p50"] == 30.0
+    assert r.loc["a", "p90"] == 4.0
+    assert r.loc["b", "p90"] == 50.0
+    assert r.loc["a", "n"] == 4 and r.loc["b", "n"] == 5
