@@ -113,19 +113,16 @@ def q5_region_revenue(sf_dir: str):
     cust_map = dict(zip(dim.c_custkey, zip(dim.n_name, dim.r_name)))
     mref = ray.put(cust_map)
 
-    class Enrich:
-        def __init__(self):
-            self.m = ray.get(mref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            mapped = df["o_custkey"].map(self.m)
-            df = df.copy()
-            df["n_name"] = mapped.map(lambda x: x[0])
-            df["r_name"] = mapped.map(lambda x: x[1])
-            return df[["o_orderkey", "n_name", "r_name"]]
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(mref)  # zero-copy-ish broadcast read on a warm worker
+        mapped = df["o_custkey"].map(m)
+        df = df.copy()
+        df["n_name"] = mapped.map(lambda x: x[0])
+        df["r_name"] = mapped.map(lambda x: x[1])
+        return df[["o_orderkey", "n_name", "r_name"]]
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
-        .map_batches(Enrich, batch_format="pandas", concurrency=(1, 2))
+        .map_batches(enrich, batch_format="pandas")
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]) \
         .map_batches(_revenue, batch_format="pyarrow", zero_copy_batch=True)
     joined = li.join(orders, join_type="inner", num_partitions=8,
@@ -144,18 +141,14 @@ def top_brands_by_revenue(sf_dir: str):
     part = _t(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
     bref = ray.put(dict(zip(part.p_partkey, part.p_brand)))
 
-    class AddBrand:
-        def __init__(self):
-            self.m = ray.get(bref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["p_brand"] = df["l_partkey"].map(self.m)
-            df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-            return df[["p_brand", "revenue"]]
+    def add_brand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["p_brand"] = df["l_partkey"].map(ray.get(bref))
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df[["p_brand", "revenue"]]
 
     li = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]) \
-        .map_batches(AddBrand, batch_format="pandas", concurrency=(1, 2))
+        .map_batches(add_brand, batch_format="pandas")
     out = li.groupby("p_brand").aggregate(Sum("revenue", alias_name="revenue"),
                                           Count(alias_name="n_items")).to_pandas()
     out["revenue"] = _r(out["revenue"], 2)
@@ -456,7 +449,7 @@ def docs_lang_id(sf_dir: str):
     from maritime_activity_reports_cdc_ray.functions.text import LangId
 
     ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
-    out = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
+    out = ds.map_batches(LangId(), batch_format="pandas")
     return out.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n")).to_pandas()
 
 
@@ -468,7 +461,7 @@ def docs_minhash_pairs(sf_dir: str):
     )
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    cand = minhash_lsh_candidates(docs, num_perm=64, bands=16, concurrency=(1, 2))
+    cand = minhash_lsh_candidates(docs, num_perm=64, bands=16)
     return verify_pairs_jaccard(cand, docs, threshold=0.5).to_pandas()
 
 
@@ -477,7 +470,7 @@ def docs_simhash_pairs(sf_dir: str):
     from maritime_activity_reports_cdc_ray.functions.dedup import simhash_candidates
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_candidates(docs, max_hamming=8, concurrency=(1, 2)).to_pandas()
+    return simhash_candidates(docs, max_hamming=8).to_pandas()
 
 
 def docs_ngram_jaccard_dupes(sf_dir: str):
@@ -486,7 +479,7 @@ def docs_ngram_jaccard_dupes(sf_dir: str):
     from maritime_activity_reports_cdc_ray.functions.dedup import jaccard_similarity_join
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    out = jaccard_similarity_join(docs, threshold=0.5, k=8, concurrency=(1, 2)).to_pandas()
+    out = jaccard_similarity_join(docs, threshold=0.5, k=8).to_pandas()
     return out[["id_a", "id_b", "jaccard"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -495,7 +488,7 @@ def docs_rolling_fingerprint(sf_dir: str):
     from maritime_activity_reports_cdc_ray.functions.text import RollingFingerprint
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(RollingFingerprint, batch_format="pandas", concurrency=(1, 2))
+    out = ds.map_batches(RollingFingerprint(), batch_format="pandas")
     return out.to_pandas()[["doc_id", "doc_fingerprint"]]
 
 
@@ -528,7 +521,7 @@ def emb_cosine_dupes(sf_dir: str):
     from maritime_activity_reports_cdc_ray.functions.similarity import cosine_dupes
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = cosine_dupes(ds, threshold=0.4, concurrency=(1, 2)).to_pandas()
+    out = cosine_dupes(ds, threshold=0.4).to_pandas()
     return out[["id_a", "id_b", "sim"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

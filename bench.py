@@ -126,10 +126,14 @@ def run_replay(events_dir: str, num_cpus: int, verify: bool = True,
     shutil.rmtree(lake, ignore_errors=True)
     cfg = EngineConfig(num_partitions=max(32, 2 * num_cpus),
                        gold_refresh_every_epochs=gold_cadence,
-                       # pre-salt: spread each pid 4-ways by path hash so a
-                       # Zipf mega-repo can't serialize its merge group even
-                       # in the first epoch (before adaptive salting kicks in)
-                       default_salt=8)
+                       # mild pre-salt: one extra path-hash slice per pid so a
+                       # Zipf mega-repo can't fully serialize its merge group
+                       # in epoch 0; adaptive salting takes over from lineage
+                       # counts. Higher pre-salt (8) measured 1.9x SLOWER at
+                       # sandbox scale — per-fragment parquet open/write
+                       # overhead dominates when fragments shrink below ~1k
+                       # rows (num_partitions x salt fragments per table).
+                       default_salt=2)
     r = CDCReplay(lake, cfg)
     r.setup()
     # untimed warmup: spawn the Ray worker pool so the timed section measures
@@ -202,7 +206,9 @@ def main() -> None:
 
     events_dir = os.environ.get("GRAFT_STREAM_DIR") or prepare_stream(sf)
     fpe = int(os.environ.get("GRAFT_FILES_PER_EPOCH", stream_params(sf)["files_per_epoch"]))
-    cadence = int(os.environ.get("GRAFT_GOLD_CADENCE", "1"))
+    # gold refresh every 2 silver epochs — the reference's cadence ratio
+    # (gold trigger = 2x silver trigger, gold/cdf_processor.py:79)
+    cadence = int(os.environ.get("GRAFT_GOLD_CADENCE", "2"))
     replay = run_replay(events_dir, num_cpus, verify=not args.replay_only,
                         files_per_epoch=fpe, gold_cadence=cadence)
 

@@ -170,18 +170,17 @@ def lsh_bands(df: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
 
 def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
                            text_col: str = "text", id_col: str = "doc_id",
-                           concurrency=(1, 4)):
+                           concurrency=None):
     """documents → candidate near-dup pairs (id_a < id_b) via MinHash-LSH.
 
-    Pipeline: map_batches(MinHasher actor pool) → map_batches(band explode) →
-    groupby(band bucket) → pairs within bucket → distinct pairs.
-    """
-
-    sigs = ds.map_batches(
-        MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "k": k,
-                                          "text_col": text_col, "id_col": id_col},
-        batch_format="pandas", concurrency=concurrency,
-    )
+    Pipeline: map_batches(MinHasher) → map_batches(band explode) → bucket
+    self-join → distinct pairs. The hasher ships as a ~1 KB instance in the
+    task spec (task pool on warm workers scales to every core; an actor pool
+    here pays spin-up per invocation for state that costs microseconds to
+    build). ``concurrency`` optionally caps the task pool."""
+    hasher = MinHasher(num_perm=num_perm, k=k, text_col=text_col, id_col=id_col)
+    kw = {} if concurrency is None else {"concurrency": int(np.max(concurrency))}
+    sigs = ds.map_batches(hasher, batch_format="pandas", **kw)
     banded = sigs.map_batches(lambda df: lsh_bands(df, bands),
                               batch_format="pandas").materialize()
 
@@ -214,34 +213,37 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float = 0.8, k: int = 5,
     docs = docs_ds.select_columns([id_col, text_col]).to_pandas()
     lookup_ref = ray.put(dict(zip(docs[id_col], docs[text_col])))
 
-    class Verify:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-            self.sets: dict = {}  # doc → shingle set, computed once per actor
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        ck = lookup_ref.hex() + f":sets{k}"
+        sets = _WORKER_CACHE.setdefault(ck, {})  # doc → shingle set, per worker
 
-        def _set(self, i):
-            s = self.sets.get(i)
+        def _set(i):
+            s = sets.get(i)
             if s is None:
-                s = self.sets[i] = _shingles(self.lookup.get(i, ""), k)
+                s = sets[i] = _shingles(lookup.get(i, ""), k)
             return s
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            sims = []
-            for a, b in zip(df["id_a"], df["id_b"]):
-                sa, sb = self._set(a), self._set(b)
-                inter = len(sa & sb)
-                sims.append(inter / (len(sa) + len(sb) - inter)
-                            if (sa or sb) else 1.0)
-            df = df.copy()
-            df["jaccard"] = sims
-            return df[df["jaccard"] >= threshold]
+        sims = []
+        for a, b in zip(df["id_a"], df["id_b"]):
+            sa, sb = _set(a), _set(b)
+            inter = len(sa & sb)
+            sims.append(inter / (len(sa) + len(sb) - inter)
+                        if (sa or sb) else 1.0)
+        df = df.copy()
+        df["jaccard"] = sims
+        return df[df["jaccard"] >= threshold]
 
-    return cand_ds.map_batches(Verify, batch_format="pandas", concurrency=(1, 2))
+    return cand_ds.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
 # exact n-gram-Jaccard similarity join (prefix filtering)
 # ---------------------------------------------------------------------------
+# per-worker-process cache for broadcast objects, keyed by ObjectRef hex —
+# a task fn deserializes its instance per task, so instance attributes can't
+# hold the resolved broadcast; this keeps the ray.get to one per worker
+_WORKER_CACHE: dict = {}
 def _hash_shingles(text: str, k: int) -> np.ndarray:
     """Distinct k-gram hashes (uint64) of a doc, unsorted."""
     sh = _shingles(text, k)
@@ -273,15 +275,24 @@ class Shingler:
     def __init__(self, k: int = 8, threshold: float = 0.5,
                  text_col: str = "text", id_col: str = "doc_id",
                  hot_ref=None):
-        import ray
-
         self.k, self.t = k, threshold
         self.text_col, self.id_col = text_col, id_col
-        self.hot = ray.get(hot_ref) if hot_ref is not None else {}
+        self.hot_ref = hot_ref  # broadcast ObjectRef, resolved per worker
+
+    def _hot(self) -> dict:
+        if self.hot_ref is None:
+            return {}
+        key = self.hot_ref.hex()
+        d = _WORKER_CACHE.get(key)
+        if d is None:
+            import ray
+
+            d = _WORKER_CACHE[key] = ray.get(self.hot_ref)
+        return d
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out_id, out_sh, out_sz = [], [], []
-        hot = self.hot
+        hot = self._hot()
         for i, text in zip(df[self.id_col].to_numpy(), df[self.text_col].fillna("")):
             hs = _hash_shingles(text, self.k)
             n = len(hs)
@@ -303,7 +314,7 @@ class Shingler:
 
 def jaccard_similarity_join(ds, threshold: float = 0.5, k: int = 8,
                             text_col: str = "text", id_col: str = "doc_id",
-                            concurrency=(1, 4), hot_min: int = 4,
+                            concurrency=None, hot_min: int = 4,
                             num_partitions: int = 8):
     """EXACT all-pairs n-gram-Jaccard join: every pair with Jaccard ≥ t, no
     misses (vs the probabilistic MinHash-LSH path in
@@ -330,11 +341,11 @@ def jaccard_similarity_join(ds, threshold: float = 0.5, k: int = 8,
                                 batch_format="pandas").to_pandas()
     hot_ref = ray.put(dict(zip(hot_df["sh"].astype(int), hot_df["cnt"].astype(int))))
 
+    kw = {} if concurrency is None else {"concurrency": int(np.max(concurrency))}
     sigs = ds.map_batches(
-        Shingler, fn_constructor_kwargs={"k": k, "threshold": threshold,
-                                         "text_col": text_col, "id_col": id_col,
-                                         "hot_ref": hot_ref},
-        batch_format="pandas", concurrency=concurrency,
+        Shingler(k=k, threshold=threshold, text_col=text_col, id_col=id_col,
+                 hot_ref=hot_ref),
+        batch_format="pandas", **kw,
     )
 
     # pair generation: hash-partition prefix rows by shingle, then ONE
@@ -422,12 +433,14 @@ class SimHasher:
 
 def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4,
                        text_col: str = "text", id_col: str = "doc_id",
-                       concurrency=(1, 4)):
+                       concurrency=None):
     """Near-dup candidates with Hamming distance <= max_hamming, using the
     banded pigeonhole trick: split 64 bits into ``bands`` chunks; any pair
-    within distance < bands shares at least one exact chunk → bucket groupby."""
-    sigs = ds.map_batches(SimHasher, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-                          batch_format="pandas", concurrency=concurrency)
+    within distance < bands shares at least one exact chunk → bucket groupby.
+    Task-pool signature stage (see minhash_lsh_candidates)."""
+    kw = {} if concurrency is None else {"concurrency": int(np.max(concurrency))}
+    sigs = ds.map_batches(SimHasher(text_col=text_col, id_col=id_col),
+                          batch_format="pandas", **kw)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sig = df["simhash"].to_numpy().astype(np.uint64)

@@ -39,39 +39,37 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class _BatchTopK:
-    """map_batches combiner: local cosine top-k per query against one batch."""
+def _batch_topk(df: pd.DataFrame, *, qref, k: int, id_col: str, vec_col: str,
+                exclude_self: bool) -> pd.DataFrame:
+    """map_batches combiner: local cosine top-k per query against one batch.
 
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str, exclude_self: bool):
-        import ray
+    A plain task fn, not an actor: the broadcast query matrix comes out of the
+    object store zero-copy via ``ray.get`` per call, so there is no per-query
+    actor-pool spin-up cost (~1-2 s each) and the stage runs on warm workers."""
+    import ray
 
-        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
-        self.qids, qmat = q
-        self.qmat = _normalize_rows(np.asarray(qmat, dtype=np.float64))
-        self.k, self.id_col, self.vec_col = k, id_col, vec_col
-        self.exclude_self = exclude_self
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 "neighbor_id": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
-        ids = df[self.id_col].to_numpy()
-        m = _normalize_rows(_to_matrix(df[self.vec_col]))
-        sims = self.qmat @ m.T  # (nq, nb) float64
-        out_q, out_n, out_s = [], [], []
-        k = min(self.k, sims.shape[1])
-        for qi, qid in enumerate(self.qids):
-            row = sims[qi]
-            if self.exclude_self:
-                row = np.where(ids == qid, -np.inf, row)
-            top = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
-            out_q.extend([qid] * len(top))
-            out_n.extend(ids[top])
-            out_s.extend(row[top])
-        return pd.DataFrame({"query_id": np.asarray(out_q, dtype="int64"),
-                             "neighbor_id": np.asarray(out_n, dtype="int64"),
-                             "sim": np.asarray(out_s, dtype="float64")})
+    qids, qmat = ray.get(qref) if not isinstance(qref, tuple) else qref
+    qmat = _normalize_rows(np.asarray(qmat, dtype=np.float64))
+    if not len(df):
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "neighbor_id": pd.Series(dtype="int64"),
+                             "sim": pd.Series(dtype="float64")})
+    ids = df[id_col].to_numpy()
+    m = _normalize_rows(_to_matrix(df[vec_col]))
+    sims = qmat @ m.T  # (nq, nb) float64
+    out_q, out_n, out_s = [], [], []
+    k = min(k, sims.shape[1])
+    for qi, qid in enumerate(qids):
+        row = sims[qi]
+        if exclude_self:
+            row = np.where(ids == qid, -np.inf, row)
+        top = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
+        out_q.extend([qid] * len(top))
+        out_n.extend(ids[top])
+        out_s.extend(row[top])
+    return pd.DataFrame({"query_id": np.asarray(out_q, dtype="int64"),
+                         "neighbor_id": np.asarray(out_n, dtype="int64"),
+                         "sim": np.asarray(out_s, dtype="float64")})
 
 
 def knn_brute_force(ds, query_ids: list[int], k: int = 10,
@@ -90,9 +88,10 @@ def knn_brute_force(ds, query_ids: list[int], k: int = 10,
     qref = ray.put(queries)
 
     cand = ds.map_batches(
-        _BatchTopK,
-        fn_constructor_args=(qref, k, id_col, vec_col, exclude_self),
-        batch_format="pandas", concurrency=(1, 4),
+        _batch_topk,
+        fn_kwargs={"qref": qref, "k": k, "id_col": id_col, "vec_col": vec_col,
+                   "exclude_self": exclude_self},
+        batch_format="pandas",
     )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -111,8 +110,7 @@ def knn_brute_force(ds, query_ids: list[int], k: int = 10,
 
 
 def cosine_dupes(ds, threshold: float, id_col: str = "vec_id",
-                 vec_col: str = "embedding", round_decimals: int = 6,
-                 concurrency=(1, 4)):
+                 vec_col: str = "embedding", round_decimals: int = 6):
     """Exact embedding-cosine near-dup pairs: every (id_a < id_b) with
     cosine ≥ threshold.
 
@@ -130,27 +128,25 @@ def cosine_dupes(ds, threshold: float, id_col: str = "vec_id",
     mat_all = _normalize_rows(_to_matrix(full[vec_col]))
     ref = ray.put((ids_all, mat_all))
 
-    class PairFinder:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
+    def pair_finder(df: pd.DataFrame) -> pd.DataFrame:
+        # task fn (warm workers, zero-copy broadcast read) — see _batch_topk
+        ids_all2, mat_all2 = ray.get(ref)
+        if not len(df):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        ids_b = df[id_col].to_numpy(dtype="int64")
+        mb = _normalize_rows(_to_matrix(df[vec_col]))
+        sims = mb @ mat_all2.T  # (nb, N) float64
+        mask = (sims >= threshold) & (ids_b[:, None] < ids_all2[None, :])
+        r, c = np.nonzero(mask)
+        sim = sims[r, c]
+        if round_decimals is not None:
+            m = 10.0 ** round_decimals
+            sim = np.copysign(np.floor(np.abs(sim * m) + 0.5), sim) / m
+        return pd.DataFrame({"id_a": ids_b[r], "id_b": ids_all2[c], "sim": sim})
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                     "id_b": pd.Series(dtype="int64"),
-                                     "sim": pd.Series(dtype="float64")})
-            ids_b = df[id_col].to_numpy(dtype="int64")
-            mb = _normalize_rows(_to_matrix(df[vec_col]))
-            sims = mb @ self.mat.T  # (nb, N) float64
-            mask = (sims >= threshold) & (ids_b[:, None] < self.ids[None, :])
-            r, c = np.nonzero(mask)
-            sim = sims[r, c]
-            if round_decimals is not None:
-                m = 10.0 ** round_decimals
-                sim = np.copysign(np.floor(np.abs(sim * m) + 0.5), sim) / m
-            return pd.DataFrame({"id_a": ids_b[r], "id_b": self.ids[c], "sim": sim})
-
-    return ds.map_batches(PairFinder, batch_format="pandas", concurrency=concurrency)
+    return ds.map_batches(pair_finder, batch_format="pandas")
 
 
 class LshBucketer:
@@ -189,10 +185,9 @@ def knn_lsh(ds, query_ids: list[int], k: int = 10, dim: int = 64,
     import ray
 
     bucketer = LshBucketer(dim, n_planes, n_tables, seed, id_col, vec_col)
-    bucketed = ds.map_batches(
-        LshBucketer, fn_constructor_args=(dim, n_planes, n_tables, seed, id_col, vec_col),
-        batch_format="pandas", concurrency=(1, 4),
-    )
+    # the bucketer instance (a few KB of hyperplanes) ships in the task spec —
+    # task pool on warm workers, no per-query actor spin-up
+    bucketed = ds.map_batches(bucketer, batch_format="pandas")
     qdf = _fetch_queries(ds, query_ids, id_col)
     qm = _to_matrix(qdf[vec_col])
     qcodes = bucketer.bucket(qm)  # (nq, T)
@@ -202,31 +197,28 @@ def knn_lsh(ds, query_ids: list[int], k: int = 10, dim: int = 64,
             wanted.setdefault((t, int(qcodes[qi, t])), []).append(int(qid))
     qref = ray.put((wanted, dict(zip(qdf[id_col].astype(int), [np.asarray(v, np.float64) for v in qdf[vec_col]]))))
 
-    class Probe:
-        def __init__(self):
-            self.wanted, self.qvecs = ray.get(qref)
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        wanted_m, qvecs = ray.get(qref)
+        rows = []
+        for (t, b), grp in df.groupby(["table_id", "bucket"]):
+            qids = wanted_m.get((int(t), int(b)))
+            if not qids:
+                continue
+            ids = grp[id_col].to_numpy()
+            m = _normalize_rows(_to_matrix(grp[vec_col]))
+            for qid in qids:
+                qv = qvecs[qid]
+                qv = qv / (np.linalg.norm(qv) or 1.0)
+                sims = m @ qv
+                for i, s in zip(ids, sims):
+                    if int(i) != qid:
+                        rows.append((qid, int(i), float(s)))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"]) if rows else \
+            pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                          "neighbor_id": pd.Series(dtype="int64"),
+                          "sim": pd.Series(dtype="float64")})
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            for (t, b), grp in df.groupby(["table_id", "bucket"]):
-                qids = self.wanted.get((int(t), int(b)))
-                if not qids:
-                    continue
-                ids = grp[id_col].to_numpy()
-                m = _normalize_rows(_to_matrix(grp[vec_col]))
-                for qid in qids:
-                    qv = self.qvecs[qid]
-                    qv = qv / (np.linalg.norm(qv) or 1.0)
-                    sims = m @ qv
-                    for i, s in zip(ids, sims):
-                        if int(i) != qid:
-                            rows.append((qid, int(i), float(s)))
-            return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"]) if rows else \
-                pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                              "neighbor_id": pd.Series(dtype="int64"),
-                              "sim": pd.Series(dtype="float64")})
-
-    cand = bucketed.map_batches(Probe, batch_format="pandas", concurrency=(1, 2))
+    cand = bucketed.map_batches(probe, batch_format="pandas")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("neighbor_id")

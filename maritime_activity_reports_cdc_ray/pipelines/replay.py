@@ -314,10 +314,16 @@ class CDCReplay:
         # small epoch into ~100 tiny blocks and per-block scheduling overhead
         # swamps compute; target ~32 MB compressed per block (at 100 TB scale
         # this yields thousands of blocks — plenty of parallelism; at sandbox
-        # scale it keeps per-block overhead subordinate to compute)
+        # scale it keeps per-block overhead subordinate to compute).
+        # For the sort/task exchange the post-sort block count == the input
+        # block count and one merge task handles one block, so the block count
+        # IS the merge parallelism — floor it at ~2 blocks per CPU (bounded by
+        # the merge-group count) or the pool idles (observed: a 60k-row epoch
+        # read as 6 blocks ran the whole merge on 6 of 32 cores).
+        n_groups = int(salt_arr.sum())
         nblocks = int(max(4, min(4 * ncpu,
                                  max(est_bytes // (32 << 20) + 1,
-                                     min(2 * ncpu, est_rows // 25_000)))))
+                                     min(2 * ncpu, n_groups, est_rows // 2_000)))))
 
         def build_source():
             ds = rd.read_parquet(src_files, partitioning=None, override_num_blocks=nblocks)

@@ -254,7 +254,7 @@ def test_cosine_dupes_exact(ray_session):
     m[7] = m[3] + 0.01 * rng.standard_normal(16)  # planted near-dup
     df = pd.DataFrame({"vec_id": np.arange(40, dtype="int64"),
                        "embedding": [v.astype(np.float32).tolist() for v in m]})
-    out = S.cosine_dupes(_ds(df), threshold=0.95, concurrency=2).to_pandas()
+    out = S.cosine_dupes(_ds(df), threshold=0.95).to_pandas()
     pairs = set(zip(out.id_a, out.id_b))
     assert (3, 7) in pairs
     # exact: verify against numpy all-pairs ground truth
