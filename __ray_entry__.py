@@ -333,6 +333,52 @@ def events_anomaly_stats(sf_dir: str):
     return pd.DataFrame([out])
 
 
+def events_user_360(sf_dir: str):
+    """A9 'real-time status MV' analogue: 3-way hash join of independent
+    per-user aggregates (activity stats ⋈ session counts ⋈ recent-activity
+    counts) via Dataset.join, nulls coalesced to 0."""
+    from ray.data.aggregate import Count, Sum
+
+    from maritime_activity_reports_cdc_ray.functions.window import sessionize
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    stats = ds.groupby("user_id").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["total_value"] = _r(df["total_value"], 2)
+        return df
+
+    stats = stats.map_batches(rnd, batch_format="pandas")
+
+    sess = sessionize(ds.select_columns(["event_id", "ts", "user_id"]),
+                      "user_id", "ts", gap_seconds=1800)
+    sess = sess.map_batches(
+        lambda df: df.groupby("user_id", as_index=False)
+                     .agg(n_sessions=("session_id", "max")).astype("int64"),
+        batch_format="pandas")
+
+    recent = ds.map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("user_id"),
+            "is_recent": pc.cast(
+                pc.greater(t.column("ts"),
+                           pa.scalar(pd.Timestamp("2024-01-25").to_pydatetime())),
+                pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("user_id").aggregate(Sum("is_recent", alias_name="n_recent"))
+
+    j = stats.join(sess, join_type="left_outer", num_partitions=4, on=("user_id",))
+    j = j.join(recent, join_type="left_outer", num_partitions=4, on=("user_id",))
+    out = j.to_pandas()
+    for c in ("n_sessions", "n_recent"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return out[["user_id", "n_events", "total_value", "n_sessions", "n_recent"]]
+
+
 def events_value_percentiles(sf_dir: str):
     """Per-type EXACT discrete percentiles (A5 exact-median analogue) via
     groupby + map_groups — element selection, so float-bit-identical to
@@ -410,6 +456,25 @@ def docs_token_stats(sf_dir: str):
         Count(alias_name="n_docs"),
         Sum("n_tokens", alias_name="total_tokens"),
         Sum("n_chars", alias_name="total_chars"),
+    ).to_pandas()
+    return out
+
+
+def docs_bpe_token_stats(sf_dir: str):
+    """BPE-ish token counting (words|digits|punct regex) — vectorized
+    str.count per batch; oracle mirrors the regex in DuckDB."""
+    from ray.data.aggregate import Count, Sum
+
+    from maritime_activity_reports_cdc_ray.functions.text import bpe_token_count
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def m(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": df["lang"],
+                             "n_bpe_tokens": bpe_token_count(df["text"])})
+
+    out = ds.map_batches(m, batch_format="pandas").groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_bpe_tokens", alias_name="total_bpe_tokens"),
     ).to_pandas()
     return out
 
@@ -582,9 +647,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events_hourly,
         "events_props_extract": events_props_extract,
         "events_anomaly_stats": events_anomaly_stats,
+        "events_user_360": events_user_360,
         "events_value_percentiles": events_value_percentiles,
         "cdc_lww_merge": cdc_lww_merge,
         "docs_token_stats": docs_token_stats,
+        "docs_bpe_token_stats": docs_bpe_token_stats,
         "docs_fingerprint": docs_fingerprint,
         "docs_quality": docs_quality,
         "docs_lang_id": docs_lang_id,
@@ -719,6 +786,36 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
             FROM events
         """,
+        "events_user_360": """
+            WITH stats AS (
+                SELECT user_id, COUNT(*) AS n_events,
+                       ROUND(SUM(value), 2) AS total_value
+                FROM events GROUP BY user_id
+            ),
+            g AS (
+                SELECT user_id,
+                       CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER
+                                 (PARTITION BY user_id ORDER BY ts)) > 1800
+                            OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            sess AS (
+                SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+                FROM g GROUP BY user_id
+            ),
+            recent AS (
+                SELECT user_id,
+                       CAST(SUM(CASE WHEN ts > TIMESTAMP '2024-01-25'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_recent
+                FROM events GROUP BY user_id
+            )
+            SELECT s.user_id, s.n_events, s.total_value,
+                   COALESCE(sess.n_sessions, 0) AS n_sessions,
+                   COALESCE(recent.n_recent, 0) AS n_recent
+            FROM stats s LEFT JOIN sess ON s.user_id = sess.user_id
+                         LEFT JOIN recent ON s.user_id = recent.user_id
+        """,
         "events_value_percentiles": """
             SELECT event_type, COUNT(*) AS n,
                    PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS p50,
@@ -736,6 +833,12 @@ def oracle_sql() -> dict[str, str]:
                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
                        AS total_tokens,
                    SUM(length(text)) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "docs_bpe_token_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS total_bpe_tokens
             FROM documents GROUP BY lang
         """,
         "docs_fingerprint": """
