@@ -580,6 +580,16 @@ def emb_knn_lsh(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def emb_knn_ivf(sf_dir: str):
+    """IVF (k-means inverted lists) approximate ANN — the second scale path
+    next to LSH (rows-only: approximate by design)."""
+    from maritime_activity_reports_cdc_ray.functions.similarity import knn_ivf
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_ivf(ds, query_ids=_KNN_QUERIES, k=10, n_lists=16, nprobe=4).to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def emb_cosine_dupes(sf_dir: str):
     """Exact embedding-cosine near-dup pairs (broadcast matrix + per-batch
     float64 matmul); scale path is the LSH variant (emb_knn_lsh machinery)."""
@@ -661,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,
+        "emb_knn_ivf": emb_knn_ivf,
         "emb_cosine_dupes": emb_cosine_dupes,
         "emb_label_stats": emb_label_stats,
     }

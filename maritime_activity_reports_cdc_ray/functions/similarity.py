@@ -149,6 +149,84 @@ def cosine_dupes(ds, threshold: float, id_col: str = "vec_id",
     return ds.map_batches(pair_finder, batch_format="pandas")
 
 
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Small Lloyd's k-means on a driver-side sample (the coarse quantizer is
+    tiny state — k×d floats — broadcast to every task)."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def knn_ivf(ds, query_ids: list[int], k: int = 10, n_lists: int = 16,
+            nprobe: int = 4, sample_rows: int = 2048, seed: int = 11,
+            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF-style approximate top-k: a k-means coarse quantizer (trained on a
+    driver-side sample, broadcast once) buckets vectors into ``n_lists``
+    inverted lists; each query scores only its ``nprobe`` nearest lists.
+
+    Scale shape: one pass assigns list ids (task fn, broadcast centroids);
+    per-batch scoring emits local top-k only for (query, list) matches; a
+    per-query reduce finishes. Compute ∝ nprobe/n_lists of brute force."""
+    import ray
+
+    sample = ds.limit(sample_rows).to_pandas()
+    cent = _kmeans(_to_matrix(sample[vec_col]), n_lists, seed=seed)
+    qdf = _fetch_queries(ds, query_ids, id_col).sort_values(id_col)
+    qm = _to_matrix(qdf[vec_col])
+    # nprobe nearest centroids per query
+    qd = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, :nprobe]
+    wanted: dict[int, list[int]] = {}
+    for qi, qid in enumerate(qdf[id_col].to_numpy()):
+        for c in probes[qi]:
+            wanted.setdefault(int(c), []).append(int(qid))
+    ref = ray.put((cent, wanted,
+                   dict(zip(qdf[id_col].astype(int),
+                            [np.asarray(v, np.float64) for v in qdf[vec_col]]))))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cent2, wanted2, qvecs = ray.get(ref)
+        m = _to_matrix(df[vec_col])
+        d = ((m[:, None, :] - cent2[None, :, :]) ** 2).sum(axis=2)
+        lists = d.argmin(axis=1)
+        ids = df[id_col].to_numpy()
+        mn = _normalize_rows(m)
+        rows = []
+        for c in np.unique(lists):
+            qids = wanted2.get(int(c))
+            if not qids:
+                continue
+            sel = lists == c
+            sub_ids, sub = ids[sel], mn[sel]
+            for qid in qids:
+                qv = qvecs[qid]
+                sims = sub @ (qv / (np.linalg.norm(qv) or 1.0))
+                for i, s in zip(sub_ids, sims):
+                    if int(i) != qid:
+                        rows.append((qid, int(i), float(s)))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"]) if rows else \
+            pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                          "neighbor_id": pd.Series(dtype="int64"),
+                          "sim": pd.Series(dtype="float64")})
+
+    cand = ds.map_batches(score, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return cand.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
 class LshBucketer:
     """Random-hyperplane LSH: vec → one bucket id per table (actor pool; the
     hyperplanes are generated once per actor from the shared seed)."""

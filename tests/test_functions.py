@@ -277,3 +277,14 @@ def test_grouped_percentiles_disc(ray_session):
     assert r.loc["a", "p90"] == 4.0
     assert r.loc["b", "p90"] == 50.0
     assert r.loc["a", "n"] == 4 and r.loc["b", "n"] == 5
+
+
+def test_knn_ivf_finds_planted_neighbor(ray_session):
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((300, 16))
+    m[42] = m[0] + 0.01 * rng.standard_normal(16)  # near-dup of query 0
+    df = pd.DataFrame({"vec_id": np.arange(300, dtype="int64"),
+                       "embedding": [v.astype(np.float32).tolist() for v in m]})
+    out = S.knn_ivf(_ds(df), query_ids=[0], k=5, n_lists=8, nprobe=3).to_pandas()
+    assert out.iloc[0]["neighbor_id"] == 42  # planted neighbor ranks first
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
