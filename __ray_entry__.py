@@ -530,6 +530,28 @@ def docs_minhash_pairs(sf_dir: str):
     return verify_pairs_jaccard(cand, docs, threshold=0.5).to_pandas()
 
 
+def docs_dup_groups(sf_dir: str):
+    """Full dedup pipeline end: exact Jaccard join → connected components
+    (min-label propagation) → one keeper per duplicate group (rows-only:
+    the grouping itself is checked by the exact-join oracle upstream)."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import (
+        jaccard_similarity_join,
+        label_components,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = jaccard_similarity_join(docs, threshold=0.5, k=8).to_pandas()
+    if not len(pairs):
+        return pd.DataFrame({"component": pd.Series(dtype="int64"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "keep_doc_id": pd.Series(dtype="int64")})
+    lab = label_components(pairs[["id_a", "id_b"]])
+    out = lab.groupby("component", as_index=False).agg(
+        n_docs=("id", "count"), keep_doc_id=("id", "min"))
+    out = out.astype("int64").sort_values("component").reset_index(drop=True)
+    return out[["component", "n_docs", "keep_doc_id"]]
+
+
 def docs_simhash_pairs(sf_dir: str):
     """SimHash banded Hamming near-dups (rows-only)."""
     from maritime_activity_reports_cdc_ray.functions.dedup import simhash_candidates
@@ -667,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": docs_lang_id,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_ngram_jaccard_dupes": docs_ngram_jaccard_dupes,
+        "docs_dup_groups": docs_dup_groups,
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
         "emb_knn_brute": emb_knn_brute,
@@ -903,6 +926,43 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz sa ON sa.doc_id = id_a
                        JOIN sz sb ON sb.doc_id = id_b
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        """,
+        "docs_dup_groups": """
+            WITH RECURSIVE norm AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN length(t) <= 8 THEN t
+                            ELSE substr(t, CAST(i AS INT), 8) END AS s
+                FROM norm, unnest(range(1, greatest(length(t) - 7, 1) + 1)) AS u(i)
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+                WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+                UNION SELECT id_a, id_a FROM pairs
+                UNION SELECT id_b, id_b FROM pairs
+            ),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            comp AS (SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src)
+            SELECT component, COUNT(*) AS n_docs, MIN(id) AS keep_doc_id
+            FROM comp GROUP BY component
         """,
         "emb_cosine_dupes": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
