@@ -181,6 +181,13 @@ class CDCReplay:
     def run_epoch(self, epoch: int, files: list[str]) -> None:
         bm = self.bronze.latest_manifest()
         sm = self.silver.latest_manifest()
+        # pre-epoch hot-key detection: adaptive (post-epoch) salting reacts one
+        # epoch late, which is one epoch too late when a replay has few big
+        # epochs — a Zipf mega-repo then serializes its merge group and skews
+        # the exchange (observed: 757k-row sort blocks vs 63k mean, 30 s merge
+        # stragglers). Estimate this epoch's per-pid load from a sampled repo
+        # column and raise desired salts BEFORE the resalt/merge.
+        self._presalt_from_sample(files)
         self._maybe_resalt()
         if bm.epoch < epoch and sm.epoch < epoch and self.cfg.fuse_bronze:
             # single-execution epoch: bronze write is a pass-through stage of
@@ -387,6 +394,43 @@ class CDCReplay:
             epoch, new_frags, replaced=replaced, schema=silver_schema,
             lineage=lineage, salt_map=salt_map, stats_delta=stats_delta,
         )
+
+    def _presalt_from_sample(self, files: list[str], sample_files: int = 2) -> None:
+        """Sample the ``repo`` column of up to ``sample_files`` input files,
+        project per-pid row counts to the whole epoch, and persist raised
+        per-pid salts (max with current) so the resalt pass aligns fragments
+        before the merge. Cost: a column-pruned read of ~2 files."""
+        from maritime_activity_reports_cdc_ray.hashing import hash_strings
+
+        sm = self.silver.latest_manifest()
+        step = max(1, len(files) // sample_files)
+        sample = files[::step][:sample_files]
+        P = self.cfg.num_partitions
+        counts = np.zeros(P, dtype=np.int64)
+        sample_rows = 0
+        for f in sample:
+            t = pq.read_table(f, columns=["repo"])
+            rh = hash_strings(t.column("repo"))
+            counts += np.bincount((rh % np.uint64(P)).astype(np.int64), minlength=P)
+            sample_rows += t.num_rows
+        if not sample_rows:
+            return
+        total_rows = sum(pq.read_metadata(f).num_rows for f in files)
+        est = counts * (total_rows / sample_rows)
+        target = max(1, self.cfg.hot_partition_rows // 2)
+        cur = self._salt_array(sm)
+        out = dict(sm.salt_map)
+        changed = False
+        for pid in np.flatnonzero(est > target):
+            want = min(self.cfg.max_salt,
+                       int(2 ** np.ceil(np.log2(est[pid] / target))))
+            if want > int(cur[pid]):
+                out[str(int(pid))] = want
+                changed = True
+        if changed:
+            base = max(1, self.cfg.default_salt)
+            self.silver.commit_maintenance(
+                [], set(), salt_map={k: v for k, v in out.items() if v != base})
 
     def _salt_array(self, m) -> np.ndarray:
         s = np.ones(self.cfg.num_partitions, dtype=np.int64)
