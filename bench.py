@@ -173,16 +173,23 @@ def main() -> None:
     if args.scaling:
         events_dir = prepare_scaling_stream()
         p = scaling_stream_params()
-        lo, hi = 8, 32
+        lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
         out = {}
         for n in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        GRAFT_STREAM_DIR=events_dir,
                        GRAFT_FILES_PER_EPOCH=str(max(1, p["n_epochs"] // 2)),
                        GRAFT_GOLD_CADENCE="1000000000")
-            r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py"),
-                                "--replay-only", "--skip-queries"],
-                               env=env, capture_output=True, text=True, check=True)
+            cmd = [sys.executable, os.path.join(REPO, "bench.py"),
+                   "--replay-only", "--skip-queries"]
+            # honest cluster-size emulation: ray.init(num_cpus=n) only caps
+            # task slots — pyarrow's machine-wide thread pools (parquet io,
+            # sorts, zstd) would still use every physical core, letting the
+            # small "cluster" cheat (observed: the 8-slot leg outran the
+            # 32-slot leg). Pin the process tree to n cores at the OS level.
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+            r = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
             out[n] = json.loads(r.stdout.strip().splitlines()[-1])
         r_lo, r_hi = out[lo]["events_per_sec"], out[hi]["events_per_sec"]
         eff = (r_hi / r_lo) / (hi / lo)

@@ -60,15 +60,23 @@ class EngineConfig:
     #                  (no actor spin-up; wins when an epoch is small),
     #   "auto"       — pick by epoch input rows vs hash_exchange_min_rows.
     merge_exchange: str = "auto"
-    # single-node measurements show the sort/task exchange ahead of the hash/
-    # actor one well past 10M-row epochs (actor + aggregator spin-up is per
-    # execution); the hash path is kept for genuinely multi-node epochs where
-    # its streaming aggregators avoid the sort barrier.
-    hash_exchange_min_rows: int = 50_000_000
+    # measured crossover (32-CPU single node, 6M-row epochs): the hash/actor
+    # exchange streams through its aggregators and overlaps the read — 59 s vs
+    # 106 s for the sort/task path, whose sample→map→reduce barriers cost ~30 s
+    # wall per epoch regardless of CPU count. Below ~1M rows the per-execution
+    # actor + aggregator spin-up dominates and sort/task wins.
+    hash_exchange_min_rows: int = 1_000_000
     # fuse the bronze fragment write into the silver merge execution (single
     # pipeline per epoch: read → stamp/validate → bronze side-effect write →
     # shuffle → merge). Disable to force the two-step path.
     fuse_bronze: bool = True
+    # overlap bronze ingest of epoch k+1 with the silver merge of epoch k
+    # (background thread). Engages only at hash_exchange_min_rows-sized
+    # epochs. Default OFF: on a single node the unfused path re-reads bronze
+    # from the shared disk and loses to the fused single-execution epoch
+    # (measured 103 s vs 55 s on 2x6M rows); on a real multi-node cluster,
+    # where scan bandwidth scales with nodes, the overlap is the right shape.
+    pipeline_epochs: bool = False
 
     # --- gold refresh cadence (reference: gold/streaming_processor.py:98-105) ---
     gold_refresh_every_epochs: int = 1

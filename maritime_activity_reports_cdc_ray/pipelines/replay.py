@@ -75,7 +75,10 @@ def hash_shuffle_ctx():
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
+        # aggregators + merge actors (ncpu//2) + read tasks share the cluster;
+        # cpus//4 aggregators keeps ≥ cpus//4 slots free for reads so a small
+        # cluster can't deadlock on a fully-reserved pool
+        ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
     except Exception:
         pass
     try:
@@ -159,16 +162,45 @@ class CDCReplay:
 
     def run(self, input_path: str, files_per_epoch: int = 1, max_epochs: int | None = None) -> dict:
         """Replay all (or the next ``max_epochs``) uncommitted epochs.
-        Resumes from the silver manifest watermark."""
+        Resumes from the silver manifest watermark.
+
+        For big multi-epoch replays, bronze ingest of epoch k+1 runs in a
+        background thread while silver merges epoch k (the reference's bronze
+        and silver are independent streaming queries — ``silver/
+        streaming_processor.py:50-75`` — so the overlap is semantically free):
+        the merge phase's otherwise-idle read slots absorb the next epoch's
+        scan/stamp/validate. Correctness is unchanged — bronze commits are
+        per-epoch 2PC and the silver path only consumes committed bronze
+        epochs, so a crash mid-prefetch resumes exactly as before."""
+        import threading
+
         epochs = self.discover_epochs(input_path, files_per_epoch)
         sm = self.silver.latest_manifest()
         start = sm.epoch + 1
+        end = len(epochs) if max_epochs is None else min(len(epochs), start + max_epochs)
+        pipelined = (self.cfg.pipeline_epochs and end - start > 1
+                     and sum(pq.read_metadata(f).num_rows for f in epochs[start] if os.path.exists(f))
+                     >= self.cfg.hash_exchange_min_rows)
+
+        def ensure_bronze(e: int) -> None:
+            if self.bronze.latest_manifest().epoch < e:
+                self._bronze_ingest(e, epochs[e])
+
         done = 0
-        for e in range(start, len(epochs)):
-            if max_epochs is not None and done >= max_epochs:
-                break
+        prefetch: threading.Thread | None = None
+        for e in range(start, end):
+            if pipelined:
+                if prefetch is not None:
+                    prefetch.join()
+                    prefetch = None
+                ensure_bronze(e)
+                if e + 1 < end:
+                    prefetch = threading.Thread(target=ensure_bronze, args=(e + 1,))
+                    prefetch.start()
             self.run_epoch(e, epochs[e])
             done += 1
+        if prefetch is not None:
+            prefetch.join()
         self.finalize_gold()
         return {
             "epochs_run": done,
@@ -351,19 +383,26 @@ class CDCReplay:
             # + execute must sit inside the hash-shuffle scope
             with hash_shuffle_ctx():
                 ds = build_source().repartition(nshuffle, keys=["gid"])
+                # autoscaling pool (min, max): a fixed pool would reserve its
+                # CPUs through the whole read+shuffle phase (starving reads),
+                # then merge on only half the cluster. Min 1 avoids deadlock on
+                # tiny clusters; max leaves the aggregators room.
+                aggs = max(2, ncpu // 4)
                 res = ds.map_batches(
                     MergeApplier,
                     fn_constructor_args=merge_args,
                     batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-                    # leave headroom for the hash-shuffle aggregator actors and
-                    # the read tasks — a pool that reserves every CPU deadlocks
-                    # the pipeline
-                    concurrency=max(1, min(nshuffle, ncpu // 2)), num_cpus=cfg.merge_num_cpus,
+                    concurrency=(max(1, ncpu // 4),
+                                 max(2, min(nshuffle, ncpu - aggs - 2))),
+                    num_cpus=cfg.merge_num_cpus,
                 )
                 lineage_rows = res.take_all()
         else:  # sort_task: warm-worker tasks, no actor spin-up per epoch
             ds = build_source()
-            res = ds.groupby("gid").map_groups(
+            # group by the scrambled gkey (see make_gid_assigner) so the
+            # sort's range partitions interleave hot-pid sub-groups instead of
+            # reuniting them in one straggler block
+            res = ds.groupby("gkey").map_groups(
                 make_merge_task_fn(*merge_args), batch_format="pyarrow",
             )
             lineage_rows = res.take_all()

@@ -43,7 +43,7 @@ _EVENT_META_COLS = {
     "repo", "path", "commit", "lang", "content",
     "cdc_operation", "cdc_sequence_number", "source_system", "epoch",
     "content_sha256", "content_bytes", "data_quality_score", "quality_category",
-    "pid", "path_hash", "gid",
+    "pid", "path_hash", "gid", "gkey",
 }
 
 MERGE_RESULT_SCHEMA = pa.schema(list(LINEAGE_SCHEMA) + [pa.field("fragments_json", pa.string())])

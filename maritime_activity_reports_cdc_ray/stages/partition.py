@@ -47,6 +47,14 @@ def make_gid_assigner(num_partitions: int, salt_by_pid: np.ndarray, max_salt: in
         s = salt_by_pid[pid]
         salt = (ph % s).astype(np.int64)
         gid = pid * max_salt + salt
-        return batch.append_column("gid", pa.array(gid, pa.int64()))
+        # gkey: bijective scramble of gid (odd-multiplier Knuth hash). The
+        # sort/task exchange RANGE-partitions its key — on raw gid a hot pid's
+        # salted sub-groups are consecutive values and land back in one output
+        # block, resurrecting the straggler that salting just split. Grouping
+        # by the scrambled key interleaves groups across blocks; the merge fn
+        # still keys on the real gid column inside each group.
+        gkey = (gid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)).astype(np.int64)
+        return batch.append_column("gid", pa.array(gid, pa.int64())) \
+                    .append_column("gkey", pa.array(gkey, pa.int64()))
 
     return assign
