@@ -194,7 +194,7 @@ def main() -> None:
         r_lo, r_hi = out[lo]["events_per_sec"], out[hi]["events_per_sec"]
         eff = (r_hi / r_lo) / (hi / lo)
         print(json.dumps({
-            "metric": "replay scaling efficiency (num_cpus 8 -> 32)",
+            "metric": f"replay scaling efficiency (num_cpus {lo} -> {hi})",
             "value": round(eff, 3), "unit": "efficiency", "sf": sf,
             "events": out[lo]["events"], "epochs": out[lo]["epochs"],
             "events_per_sec_8": r_lo, "events_per_sec_32": r_hi,
