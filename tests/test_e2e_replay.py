@@ -136,3 +136,23 @@ def test_gold_cadence_lag_and_finalize(ray_session, stream, tmp_path):
     # finalize_gold() must have brought gold to the silver watermark
     assert out["gold_epoch"] == out["silver_epoch"]
     _assert_matches_oracle(r, oracle)
+
+
+def test_presalt_detects_hot_pid_before_first_merge(ray_session, tmp_path):
+    """Pre-epoch sampling raises the hot pid's salt in epoch 0 — fragments are
+    salt-sliced already at the FIRST commit (adaptive salting alone would only
+    react from epoch 1), and the state still matches the oracle."""
+    d = str(tmp_path / "skewed")
+    files = generate_events(d, n_events=6000, n_repos=3, n_epochs=2, seed=11, zipf_s=3.0)
+    oracle = replay_files(files)
+    cfg = EngineConfig(num_partitions=2, hot_partition_rows=400, max_salt=8)
+    r = CDCReplay(str(tmp_path / "lake"), cfg)
+    r.setup()
+    r.run(d, max_epochs=1)  # epoch 0 ONLY
+    sm = r.silver.latest_manifest()
+    assert sm.salt_map, "sampled pre-salting should engage before the first merge"
+    pid = int(next(iter(sm.salt_map)))
+    slices = {f.salt for f in sm.fragments if f.kind == "current" and f.pid == pid}
+    assert len(slices) > 1, "epoch-0 fragments should already be salt-sliced"
+    r.run(d)  # finish the replay; converges to oracle
+    _assert_matches_oracle(r, oracle)

@@ -130,3 +130,63 @@ def test_kernel_matches_oracle_on_generated_stream(tmp_path):
     for k, v in exp.items():
         assert eng[k] == (v["commit"], v["lang"], v["content_sha256"], v["version_count"])
     assert tot_hist == oracle.history_rows
+
+
+# ----------------------------------------------------------- property-based
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as hs
+
+    _REPOS = ["ra", "rb"]
+    _PATHS = ["p1", "p2", "p3"]
+
+    _event = hs.tuples(
+        hs.sampled_from(_REPOS), hs.sampled_from(_PATHS),
+        hs.integers(min_value=0, max_value=9),  # commit pool (dups likely)
+        hs.booleans(),  # tombstone?
+    )
+
+    @given(events=hs.lists(_event, min_size=1, max_size=40),
+           n_epochs=hs.integers(min_value=1, max_value=3))
+    @settings(max_examples=30, deadline=None)
+    def test_kernel_matches_oracle_property(events, n_epochs):
+        """Any stream of upserts/tombstones with duplicate and out-of-order
+        commits, split into arbitrary epochs, converges to the oracle state —
+        the executable spec of LWW + SCD2 + tombstone semantics."""
+        from maritime_activity_reports_cdc_ray.oracle import OracleState
+
+        def materialize(e):
+            repo, path, ci, tomb = e
+            commit = f"c{ci:012d}"
+            if tomb:
+                return (repo, path, commit, "", TOMBSTONE)
+            return (repo, path, commit, "py", f"{repo}/{path}@{commit}")
+
+        rows = [materialize(e) for e in events]
+        bounds = [len(rows) * i // n_epochs for i in range(n_epochs + 1)]
+        oracle = OracleState()
+        cur, hist_total = None, 0
+        for ep in range(n_epochs):
+            chunk = rows[bounds[ep]:bounds[ep + 1]]
+            if not chunk:
+                continue
+            oracle.apply_epoch(chunk)
+            new_cur, hist, _ = _apply(cur, chunk, epoch=ep)
+            if new_cur is not None:
+                cur = new_cur
+            hist_total += hist.num_rows
+
+        exp = oracle.expected_silver()
+        got = {}
+        if cur is not None:
+            for r in cur.to_pylist():
+                if not r["is_deleted"]:
+                    got[(r["repo"], r["path"])] = (
+                        r["commit"], r["lang"], r["content_sha256"], r["version_count"])
+        assert set(got) == set(exp)
+        for k, v in exp.items():
+            assert got[k] == (v["commit"], v["lang"], v["content_sha256"],
+                              v["version_count"]), k
+        assert hist_total == oracle.history_rows
+except ImportError:  # pragma: no cover - hypothesis is baked in per the brief
+    pass
