@@ -580,6 +580,42 @@ def docs_rolling_fingerprint(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# multimodal: binary payload decode plumbing
+# ---------------------------------------------------------------------------
+def media_decode_features(sf_dir: str):
+    """Multimodal plumbing end-to-end: deterministic synthetic binary media →
+    actor-pool decode (fake backend — real codecs are stubbed) → per-kind
+    feature stats. Rows-only: the payloads are synthesized, not in testdata;
+    determinism is what the check validates (seeded, so counts are stable)."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    from maritime_activity_reports_cdc_ray.functions.multimodal import (
+        decode_features,
+        synthesize_media,
+    )
+
+    media = rd.from_arrow(synthesize_media(n=256, seed=7))
+    feats = decode_features(media, concurrency=(1, 2), batch_size=32)
+
+    def m(t: pa.Table) -> pa.Table:
+        first = pc.list_element(t.column("feature"), 0)
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "payload_bytes": t.column("payload_bytes"),
+            "nonzero_first_bin": pc.cast(pc.greater(first, 0.0), pa.int64()),
+        })
+
+    out = feats.map_batches(m, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Count(alias_name="n_media"),
+        Sum("payload_bytes", alias_name="total_payload_bytes"),
+        Sum("nonzero_first_bin", alias_name="n_nonzero_first_bin"),
+    )
+    return pd.DataFrame([out])
+
+
+# ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
 _KNN_QUERIES = [0, 1, 2, 3, 4]
@@ -692,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_groups": docs_dup_groups,
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
+        "media_decode_features": media_decode_features,
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,
         "emb_knn_ivf": emb_knn_ivf,
