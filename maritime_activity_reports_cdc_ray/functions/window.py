@@ -9,12 +9,15 @@ Reference analogues (SURVEY.md §2.3):
 - W4 sequence numbering + adjacent pairing (``gold/materialized_views.py:254-292``),
 - W5 rank within partition (``gold/table_setup.py:466-467``).
 
-Execution shape: ``ds.groupby(key).map_groups(fn, batch_format="pandas")`` —
-one shuffle on the key, then a vectorized pandas kernel per group (sort by the
-order column + shift/cumsum; never a Python row loop). ``latest_per_key``
-additionally pre-reduces inside ``map_batches`` (one candidate row per key per
-batch) so the shuffle moves candidates, not the full table — the combiner
-pattern the guide prescribes for aggregation at scale.
+Execution shape: hash-partition the key into ``num_partitions`` groups, then
+ONE ``map_groups`` call per partition whose kernel is vectorized across every
+key in the partition via pandas ``groupby(...).shift()/diff()/rank()/tail()``.
+A naive ``groupby(key).map_groups`` would pay one Python dispatch per key
+(~ms each — hours at millions of keys); this shape does the identical shuffle
+with P dispatches total. ``latest_per_key`` additionally pre-reduces inside
+``map_batches`` (one candidate row per key per batch) so the shuffle moves
+candidates, not the full table — the combiner pattern for aggregation at
+scale.
 """
 
 from __future__ import annotations
@@ -22,110 +25,136 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from maritime_activity_reports_cdc_ray.functions.dedup import _hash_part
 
-def per_key_lag(ds, key: str, order: list[str], lag_cols: dict[str, str]):
+
+def _per_key_apply(ds, keys: list[str], kernel, num_partitions: int = 32):
+    """Hash-partition on ``keys`` → one vectorized ``kernel`` call per
+    partition. ``kernel`` receives a partition DataFrame (``_part`` already
+    dropped) holding every row of each of its keys."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = _hash_part(df, keys, num_partitions)
+        return df
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        return kernel(g.drop(columns=["_part"]))
+
+    return (ds.map_batches(local, batch_format="pandas")
+            .groupby("_part").map_groups(part, batch_format="pandas"))
+
+
+def per_key_lag(ds, key: str, order: list[str], lag_cols: dict[str, str],
+                num_partitions: int = 32):
     """Append ``prev_<col>`` columns (lag 1) per key ordered by ``order``.
 
     ``lag_cols`` maps source column → output column name.
     """
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="mergesort")
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order, kind="mergesort")
+        gb = g.groupby(key, sort=False)
         for src, dst in lag_cols.items():
-            g[dst] = g[src].shift(1)
+            g[dst] = gb[src].shift(1)
         return g
 
-    return ds.groupby(key).map_groups(f, batch_format="pandas")
+    return _per_key_apply(ds, [key], kernel, num_partitions)
 
 
-def latest_per_key(ds, key: str | list[str], order: list[str]):
+def latest_per_key(ds, key: str | list[str], order: list[str],
+                   num_partitions: int = 32):
     """Argmax per key (LWW view): the row with the greatest ``order`` tuple.
-    Two-stage: per-batch reduce (combiner) → per-key reduce after the shuffle."""
+    Two-stage: per-batch reduce (combiner) → per-partition reduce after the
+    shuffle."""
     keys = [key] if isinstance(key, str) else list(key)
 
-    def reduce_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def reduce_local(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df
         df = df.sort_values(keys + order, kind="mergesort")
         return df.groupby(keys, as_index=False, sort=False).tail(1)
 
-    pre = ds.map_batches(reduce_batch, batch_format="pandas")
-    return pre.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        reduce_batch, batch_format="pandas"
-    )
+    pre = ds.map_batches(reduce_local, batch_format="pandas")
+    return _per_key_apply(pre, keys, reduce_local, num_partitions)
 
 
-def transitions(ds, key: str, order: list[str], col: str):
+def transitions(ds, key: str, order: list[str], col: str,
+                num_partitions: int = 32):
     """Rows where ``col`` differs from the previous row of the same key
     (zone-entry analogue). Adds ``prev_<col>`` and keeps only transitions;
     the first row of a key counts as a transition from null."""
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="mergesort")
-        g[f"prev_{col}"] = g[col].shift(1)
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order, kind="mergesort")
+        g[f"prev_{col}"] = g.groupby(key, sort=False)[col].shift(1)
         return g[(g[col] != g[f"prev_{col}"]) | g[f"prev_{col}"].isna()]
 
-    return ds.groupby(key).map_groups(f, batch_format="pandas")
+    return _per_key_apply(ds, [key], kernel, num_partitions)
 
 
-def scd2_view(ds, key: str, order: str):
+def scd2_view(ds, key: str, order: str, num_partitions: int = 32):
     """Turn an event log into SCD2 version rows: ``valid_from`` = own order
     value, ``valid_to`` = next row's (null for the open version),
     ``is_current`` flag (reference: SCD2 columns bronze/table_setup.py:113-116)."""
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="mergesort")
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort")
         g["valid_from"] = g[order]
-        g["valid_to"] = g[order].shift(-1)
+        g["valid_to"] = g.groupby(key, sort=False)[order].shift(-1)
         g["is_current"] = g["valid_to"].isna()
         return g
 
-    return ds.groupby(key).map_groups(f, batch_format="pandas")
+    return _per_key_apply(ds, [key], kernel, num_partitions)
 
 
-def sessionize(ds, key: str, ts_col: str, gap_seconds: float):
+def sessionize(ds, key: str, ts_col: str, gap_seconds: float,
+               num_partitions: int = 32):
     """Assign per-key session ids: a new session starts when the gap to the
     previous event exceeds ``gap_seconds``. Session id = cumulative count of
     session starts within the key (1-based)."""
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col], kind="mergesort")
-        gap = g[ts_col].diff().dt.total_seconds()
-        g["session_id"] = (gap.isna() | (gap > gap_seconds)).cumsum().astype("int64")
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        gap = g.groupby(key, sort=False)[ts_col].diff().dt.total_seconds()
+        starts = gap.isna() | (gap > gap_seconds)
+        g["session_id"] = starts.groupby(g[key], sort=False).cumsum().astype("int64")
         return g
 
-    return ds.groupby(key).map_groups(f, batch_format="pandas")
+    return _per_key_apply(ds, [key], kernel, num_partitions)
 
 
 def rank_within(ds, partition: str, order_col: str, descending: bool = True,
-                rank_col: str = "rnk"):
+                rank_col: str = "rnk", num_partitions: int = 32):
     """SQL RANK() OVER (PARTITION BY partition ORDER BY order_col) — ties get
     the same rank, next rank skips (competition ranking)."""
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, partition], ascending=[not descending, True],
-                          kind="mergesort")
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([partition, order_col], kind="mergesort")
         g[rank_col] = (
-            g[order_col].rank(method="min", ascending=not descending).astype("int64")
+            g.groupby(partition, sort=False)[order_col]
+            .rank(method="min", ascending=not descending).astype("int64")
         )
         return g
 
-    return ds.groupby(partition).map_groups(f, batch_format="pandas")
+    return _per_key_apply(ds, [partition], kernel, num_partitions)
 
 
-def adjacent_pairs(ds, key: str, order: list[str], cols: list[str]):
+def adjacent_pairs(ds, key: str, order: list[str], cols: list[str],
+                   num_partitions: int = 32):
     """Pair each row with its predecessor per key (journey pairing, W4):
     emits rows 2..n of each key with ``prev_<col>`` columns — the map_groups
     translation of the reference's ROW_NUMBER + self-join on seq = seq+1
     (gold/materialized_views.py:254-292), computed in one pass."""
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="mergesort")
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order, kind="mergesort")
+        gb = g.groupby(key, sort=False)
         for c in cols:
-            g[f"prev_{c}"] = g[c].shift(1)
-        return g.iloc[1:]
+            g[f"prev_{c}"] = gb[c].shift(1)
+        return g[gb.cumcount() > 0]
 
-    return ds.groupby(key).map_groups(f, batch_format="pandas")
+    return _per_key_apply(ds, [key], kernel, num_partitions)
 
 
 def global_rank(ds, order_col: str, descending: bool = True, rank_col: str = "rnk"):
@@ -140,3 +169,6 @@ def global_rank(ds, order_col: str, descending: bool = True, rank_col: str = "rn
         rnk = pd.Series(vals).rank(method="min", ascending=True).astype("int64")
     df[rank_col] = rnk.to_numpy()
     return df
+
+
+assert np is not None
