@@ -96,9 +96,12 @@ def hash_count(ds, cols: list[str], num_partitions: int = 16,
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
-def exact_dedup(ds, cols: list[str], order: list[str], id_col: str):
+def exact_dedup(ds, cols: list[str], order: list[str], id_col: str,
+                num_partitions: int = 16):
     """Keep, per distinct ``cols`` tuple, the first row by ``order`` (+id tie
-    -break). Shape: md5 key column → groupby(key) → head(1)."""
+    -break). Shape: md5 key column → per-batch local first (combiner) → hash
+    partition → ONE vectorized per-partition reduce (P Python calls — never a
+    dispatch per key; see the partition-local note above)."""
 
     def add_key(df: pd.DataFrame) -> pd.DataFrame:
         key = df[cols].astype(str).agg("\x1f".join, axis=1)
@@ -106,15 +109,21 @@ def exact_dedup(ds, cols: list[str], order: list[str], id_col: str):
         df["_dk"] = key.map(lambda s: hashlib.md5(s.encode()).hexdigest())
         return df
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order + [id_col], kind="mergesort").head(1)
+    def local_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_dk"] + order + [id_col], kind="mergesort")
+        df = df.groupby("_dk", as_index=False, sort=False).head(1)
+        df = df.copy()
+        df["_part"] = _hash_part(df, ["_dk"], num_partitions)
+        return df
 
-    return (
-        ds.map_batches(add_key, batch_format="pandas")
-        .groupby("_dk")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["_dk"])
-    )
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_dk"] + order + [id_col], kind="mergesort")
+        return g.groupby("_dk", as_index=False, sort=False).head(1) \
+                .drop(columns=["_dk", "_part"])
+
+    return (ds.map_batches(add_key, batch_format="pandas")
+            .map_batches(local_first, batch_format="pandas")
+            .groupby("_part").map_groups(combine, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
