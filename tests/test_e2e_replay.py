@@ -156,3 +156,28 @@ def test_presalt_detects_hot_pid_before_first_merge(ray_session, tmp_path):
     assert len(slices) > 1, "epoch-0 fragments should already be salt-sliced"
     r.run(d)  # finish the replay; converges to oracle
     _assert_matches_oracle(r, oracle)
+
+
+def test_hash_actor_exchange_matches_oracle(ray_session, stream, tmp_path):
+    """The streaming hash-shuffle + actor-pool exchange (the large-epoch path
+    bench.py exercises) converges to the same oracle state as sort/task."""
+    d, files, oracle = stream
+    cfg = EngineConfig(num_partitions=4, merge_exchange="hash_actor")
+    r = CDCReplay(str(tmp_path / "lake"), cfg)
+    r.setup()
+    r.run(d)
+    _assert_matches_oracle(r, oracle)
+
+
+def test_pipelined_bronze_prefetch_matches_oracle(ray_session, stream, tmp_path):
+    """Background bronze prefetch of epoch k+1 during the merge of epoch k
+    (pipeline_epochs) preserves exactly-once state and resumability."""
+    d, files, oracle = stream
+    cfg = EngineConfig(num_partitions=4, pipeline_epochs=True,
+                       hash_exchange_min_rows=1)  # force pipelining on tiny epochs
+    r = CDCReplay(str(tmp_path / "lake"), cfg)
+    r.setup()
+    out = r.run(d)
+    assert out["epochs_run"] == 4
+    _assert_matches_oracle(r, oracle)
+    assert r.run(d)["epochs_run"] == 0  # still exactly-once
