@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from maritime_activity_reports_cdc_ray.config import EngineConfig
 from maritime_activity_reports_cdc_ray.schemas import EVENT_SCHEMA
-from maritime_activity_reports_cdc_ray.stages.gold import GOLD_RESULT_SCHEMA, GoldRefresher
+from maritime_activity_reports_cdc_ray.stages.gold import GOLD_RESULT_SCHEMA
 from maritime_activity_reports_cdc_ray.stages.merge import (
     MergeApplier,
     silver_schema_for,
