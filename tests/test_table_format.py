@@ -72,3 +72,28 @@ def test_union_schemas():
         union_schemas(s1, pa.schema([("b", pa.string())]))
     # string/large_string widening allowed
     union_schemas(pa.schema([("a", pa.string())]), pa.schema([("a", pa.large_string())]))
+
+
+def test_reference_data_readers(ray_session, tmp_path):
+    """S1/S2 extension-dispatched readers (JSON + CSV + Parquet)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from maritime_activity_reports_cdc_ray.sources.readers import (
+        read_events,
+        read_reference_data,
+    )
+
+    df = pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "ref.parquet")
+    df.to_json(tmp_path / "ref.json", orient="records", lines=True)
+    df.to_csv(tmp_path / "ref.csv", index=False)
+    for name in ("ref.parquet", "ref.json", "ref.csv"):
+        got = read_reference_data(str(tmp_path / name)).to_pandas()
+        assert got.sort_values("k").v.tolist() == ["a", "b", "c"], name
+    with _pytest.raises(ValueError):
+        read_reference_data(str(tmp_path / "ref.xml"))
+    ev = read_events(str(tmp_path / "ref.parquet"), columns=["k"]).to_pandas()
+    assert list(ev.columns) == ["k"]
