@@ -972,7 +972,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, COUNT(*) AS total_versions FROM events GROUP BY user_id
             )
             SELECT w.user_id, COUNT(*) AS file_count,
-                   SUM(length(CAST(w.event_id AS VARCHAR))) AS total_bytes,
+                   CAST(SUM(length(CAST(w.event_id AS VARCHAR))) AS BIGINT) AS total_bytes,
                    MIN(latest.latest_event_id) AS latest_event_id,
                    MIN(totals.total_versions) AS total_versions
             FROM w JOIN latest ON w.user_id = latest.user_id
@@ -981,16 +981,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_token_stats": """
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(CASE WHEN trim(text) = '' THEN 0
+                   CAST(SUM(CASE WHEN trim(text) = '' THEN 0
                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
-                       AS total_tokens,
-                   SUM(length(text)) AS total_chars
+                       AS BIGINT) AS total_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
         """,
         "docs_bpe_token_stats": """
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS total_bpe_tokens
+                   CAST(SUM(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens
             FROM documents GROUP BY lang
         """,
         "docs_fingerprint": """

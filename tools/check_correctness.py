@@ -64,6 +64,13 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
         return problems
     if len(mine) != len(oracle):
         problems.append(f"row count differs: mine={len(mine)} oracle={len(oracle)}")
+    # The driver's value hash is dtype-sensitive (an int64 engine column vs a
+    # HUGEINT->float64 oracle column hash-mismatches even when values agree), so
+    # flag any dtype divergence as a failure here too.
+    for c in sorted(mine.columns):
+        mk, ok_ = mine[c].dtype.kind, oracle[c].dtype.kind
+        if mk != ok_ and {mk, ok_} != {"O"} and not ({mk, ok_} <= {"i", "u", "b"}):
+            problems.append(f"dtype differs on {c}: mine={mine[c].dtype} oracle={oracle[c].dtype}")
     a, b = normalize(mine), normalize(oracle)
     if len(a) == len(b):
         neq = (a != b)
