@@ -339,6 +339,7 @@ def events_user_360(sf_dir: str):
     counts) via Dataset.join, nulls coalesced to 0."""
     from ray.data.aggregate import Count, Sum
 
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
     from maritime_activity_reports_cdc_ray.functions.window import sessionize
 
     ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
@@ -355,9 +356,11 @@ def events_user_360(sf_dir: str):
 
     sess = sessionize(ds.select_columns(["event_id", "ts", "user_id"]),
                       "user_id", "ts", gap_seconds=1800)
+    # Global two-stage reduce (partial max per batch, re-reduced per hash
+    # partition) — correct even if a user's rows straddle batch boundaries.
+    sess = hash_agg(sess, "user_id", {"n_sessions": ("session_id", "max")})
     sess = sess.map_batches(
-        lambda df: df.groupby("user_id", as_index=False)
-                     .agg(n_sessions=("session_id", "max")).astype("int64"),
+        lambda df: df.astype({"user_id": "int64", "n_sessions": "int64"}),
         batch_format="pandas")
 
     recent = ds.map_batches(

@@ -212,20 +212,58 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
     return hash_distinct(cand, ["id_a", "id_b"])
 
 
-def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float = 0.8, k: int = 5,
-                         text_col: str = "text", id_col: str = "doc_id"):
-    """Exact n-gram-Jaccard verification of candidate pairs. The doc texts are
-    broadcast via ray.put (small side — candidates reference few docs) and the
-    check runs vectorized per batch of pairs."""
+def referenced_docs(cand_ds, docs_ds, id_col: str = "doc_id",
+                    text_col: str = "text") -> pd.DataFrame:
+    """Semi-join: the docs actually referenced by candidate pairs.
+
+    The candidate id set (≤ 2·|pairs| int64s — tiny next to the corpus) is
+    collected, broadcast once via ``ray.put``, and used as a streaming filter
+    over the docs Dataset; only the matching (id, text) rows ever reach the
+    driver. The returned frame is bounded by the candidate count, NOT the
+    corpus size — this is what makes broadcast-side verification scale."""
     import ray
 
-    docs = docs_ds.select_columns([id_col, text_col]).to_pandas()
+    ids = cand_ds.map_batches(
+        lambda df: pd.DataFrame({"_id": pd.unique(
+            pd.concat([df["id_a"], df["id_b"]], ignore_index=True))}),
+        batch_format="pandas")
+    ids = hash_distinct(ids, ["_id"]).to_pandas()
+    id_arr = (np.sort(ids["_id"].to_numpy(dtype=np.int64))
+              if "_id" in ids.columns else np.empty(0, dtype=np.int64))
+    id_ref = ray.put(id_arr)
+
+    def keep_referenced(df: pd.DataFrame) -> pd.DataFrame:
+        key = id_ref.hex()
+        arr = _WORKER_CACHE.get(key)
+        if arr is None:
+            arr = _cache_put(key, ray.get(id_ref))
+        if len(arr) == 0:
+            return df.iloc[0:0][[id_col, text_col]]
+        v = df[id_col].to_numpy(dtype=np.int64)
+        pos = np.minimum(np.searchsorted(arr, v), len(arr) - 1)
+        return df.loc[arr[pos] == v, [id_col, text_col]]
+
+    return (docs_ds.select_columns([id_col, text_col])
+            .map_batches(keep_referenced, batch_format="pandas").to_pandas())
+
+
+def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float = 0.8, k: int = 5,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Exact n-gram-Jaccard verification of candidate pairs. Only the texts
+    REFERENCED by candidates are broadcast (semi-join via ``referenced_docs``
+    — payload ∝ candidate count, never corpus size); the check then runs per
+    batch of pairs with per-worker shingle-set caching."""
+    import ray
+
+    docs = referenced_docs(cand_ds, docs_ds, id_col=id_col, text_col=text_col)
     lookup_ref = ray.put(dict(zip(docs[id_col], docs[text_col])))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(lookup_ref)
         ck = lookup_ref.hex() + f":sets{k}"
-        sets = _WORKER_CACHE.setdefault(ck, {})  # doc → shingle set, per worker
+        sets = _WORKER_CACHE.get(ck)
+        if sets is None:  # doc → shingle set, per worker
+            sets = _cache_put(ck, {})
 
         def _set(i):
             s = sets.get(i)
@@ -251,8 +289,18 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float = 0.8, k: int = 5,
 # ---------------------------------------------------------------------------
 # per-worker-process cache for broadcast objects, keyed by ObjectRef hex —
 # a task fn deserializes its instance per task, so instance attributes can't
-# hold the resolved broadcast; this keeps the ray.get to one per worker
+# hold the resolved broadcast; this keeps the ray.get to one per worker.
+# Bounded (FIFO evict) so long-lived workers don't leak dead broadcasts
+# across successive queries: at most a handful of refs are live per stage.
 _WORKER_CACHE: dict = {}
+_WORKER_CACHE_MAX = 8
+
+
+def _cache_put(key, value):
+    while len(_WORKER_CACHE) >= _WORKER_CACHE_MAX:
+        _WORKER_CACHE.pop(next(iter(_WORKER_CACHE)))
+    _WORKER_CACHE[key] = value
+    return value
 def _hash_shingles(text: str, k: int) -> np.ndarray:
     """Distinct k-gram hashes (uint64) of a doc, unsorted."""
     sh = _shingles(text, k)
@@ -296,7 +344,7 @@ class Shingler:
         if d is None:
             import ray
 
-            d = _WORKER_CACHE[key] = ray.get(self.hot_ref)
+            d = _cache_put(key, ray.get(self.hot_ref))
         return d
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:

@@ -106,6 +106,36 @@ def grouped_percentiles(ds, key, value_col: str, qs: list[float],
                 lambda g: pct(g.drop(columns=["_part"])), batch_format="pandas"))
 
 
+def hash_agg(ds, keys, aggs: dict, num_partitions: int = 16):
+    """Grouped aggregation with a REAL global reduce: per-batch partial pandas
+    agg (combiner — shrinks the shuffle to ≤ |batches|×|keys-in-batch| rows)
+    → hash partition on the keys → ONE vectorized re-aggregation per partition.
+
+    ``aggs`` maps output alias → (column, fn) with fn ∈ {sum, max, min, count}.
+    Unlike a per-batch-only groupby (correct only while one hash partition ==
+    one batch), this is correct under ANY batching/blocking — the partials are
+    re-reduced globally. Count re-reduces as sum; sum/max/min are associative.
+    """
+    from maritime_activity_reports_cdc_ray.functions.dedup import _hash_part
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    partial_spec = {a: (c, "size" if f == "count" else f) for a, (c, f) in aggs.items()}
+    final_spec = {a: (a, "sum" if f in ("sum", "count") else f) for a, (_, f) in aggs.items()}
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby(keys, as_index=False, sort=False).agg(**{
+            a: pd.NamedAgg(column=c, aggfunc=f) for a, (c, f) in partial_spec.items()})
+        d["_part"] = _hash_part(d, keys, num_partitions)
+        return d
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False, sort=False).agg(**{
+            a: pd.NamedAgg(column=c, aggfunc=f) for a, (c, f) in final_spec.items()})
+
+    return (ds.map_batches(local, batch_format="pandas")
+            .groupby("_part").map_groups(combine, batch_format="pandas"))
+
+
 def table_metrics(lake) -> pd.DataFrame:
     """Per-table fragment/row/byte counts from the manifest — free from
     lineage (reference: DESCRIBE DETAIL metrics, utils/spark_utils.py:111-150)."""

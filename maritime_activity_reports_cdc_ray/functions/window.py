@@ -22,7 +22,6 @@ scale.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from maritime_activity_reports_cdc_ray.functions.dedup import _hash_part
@@ -170,5 +169,3 @@ def global_rank(ds, order_col: str, descending: bool = True, rank_col: str = "rn
     df[rank_col] = rnk.to_numpy()
     return df
 
-
-assert np is not None

@@ -159,6 +159,19 @@ def test_minhash_lsh_finds_near_dups(ray_session, docs_df):
     assert all(p not in pairs for p in [(0, 2), (2, 4)])
 
 
+def test_referenced_docs_bounded_by_candidates(ray_session, docs_df):
+    # the verify-stage broadcast must ship only candidate-referenced texts,
+    # never the whole corpus
+    cand = _ds(pd.DataFrame({"id_a": [0, 0], "id_b": [1, 3]}))
+    ref = D.referenced_docs(cand, _ds(docs_df))
+    assert set(ref.doc_id) == {0, 1, 3}          # exactly the referenced ids
+    assert len(ref) < len(docs_df)               # strictly less than the corpus
+    empty = D.referenced_docs(_ds(pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                                "id_b": pd.Series([], dtype="int64")})),
+                              _ds(docs_df))
+    assert len(empty) == 0
+
+
 def test_simhash_candidates(ray_session, docs_df):
     out = D.simhash_candidates(_ds(docs_df), max_hamming=3, concurrency=2).to_pandas()
     pairs = set(zip(out.id_a, out.id_b))
