@@ -162,52 +162,95 @@ class MinHasher:
 
 
 def lsh_bands(df: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
-    """Explode signatures into (band_id, band_hash, id) rows — the LSH bucket
-    key for the groupby."""
+    """Explode signatures into (id, band_id, band_hash int64) rows — the LSH
+    bucket key. Fully vectorized: each band's r signature lanes are folded
+    into one 64-bit FNV-style hash across ALL docs at once (no per-doc loop,
+    no hex strings through the shuffle)."""
     id_col = df.columns[0]
-    rows_id, rows_band, rows_hash = [], [], []
-    for i, sig in zip(df[id_col].to_numpy(), df["minhash"]):
-        sig = np.asarray(sig, dtype=np.uint64)
-        r = len(sig) // bands
-        for b in range(bands):
-            h = hashlib.blake2b(sig[b * r : (b + 1) * r].tobytes(), digest_size=8).hexdigest()
-            rows_id.append(i)
-            rows_band.append(b)
-            rows_hash.append(h)
-    return pd.DataFrame({id_col: rows_id, "band_id": rows_band, "band_hash": rows_hash})
+    if not len(df):
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "band_id": pd.Series(dtype="int64"),
+                             "band_hash": pd.Series(dtype="int64")})
+    sigs = np.asarray([np.asarray(s, dtype=np.uint64) for s in df["minhash"]],
+                      dtype=np.uint64)  # (n, num_perm)
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    prime = np.uint64(1099511628211)
+    out = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        acc = np.full(n, 1469598103934665603, dtype=np.uint64)
+        for j in range(r):
+            acc = (acc * prime) ^ sigs[:, b * r + j]
+        out[:, b] = acc
+    return pd.DataFrame({
+        id_col: np.repeat(df[id_col].to_numpy(), bands),
+        "band_id": np.tile(np.arange(bands, dtype="int64"), n),
+        "band_hash": out.reshape(-1).astype("int64"),
+    })
 
 
 def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
                            text_col: str = "text", id_col: str = "doc_id",
-                           concurrency=None):
+                           concurrency=None, num_partitions: int = 16,
+                           bucket_cap: int = 4096):
     """documents → candidate near-dup pairs (id_a < id_b) via MinHash-LSH.
 
-    Pipeline: map_batches(MinHasher) → map_batches(band explode) → bucket
-    self-join → distinct pairs. The hasher ships as a ~1 KB instance in the
-    task spec (task pool on warm workers scales to every core; an actor pool
-    here pays spin-up per invocation for state that costs microseconds to
-    build). ``concurrency`` optionally caps the task pool."""
+    Pipeline: map_batches(MinHasher) → map_batches(band explode) →
+    hash-partition on band_hash → ONE vectorized bucket-scan kernel per
+    partition (numpy triu pairs per bucket) → distinct pairs. The hasher
+    ships as a ~1 KB instance in the task spec (task pool on warm workers;
+    an actor pool here pays spin-up per invocation for state that costs
+    microseconds to build).
+
+    Pair generation deliberately avoids BOTH Ray 2.49 slow paths measured in
+    this repo: groupby(bucket).map_groups (a Python dispatch per bucket) and
+    Dataset.join on duplicate-heavy bucket keys (~15k rows/s). ``bucket_cap``
+    bounds the O(c²) blowup of a degenerate hot bucket (e.g. empty docs)."""
     hasher = MinHasher(num_perm=num_perm, k=k, text_col=text_col, id_col=id_col)
     kw = {} if concurrency is None else {"concurrency": int(np.max(concurrency))}
     sigs = ds.map_batches(hasher, batch_format="pandas", **kw)
     banded = sigs.map_batches(lambda df: lsh_bands(df, bands),
-                              batch_format="pandas").materialize()
-
-    # pair generation via hash self-join on the bucket key — vectorized; a
-    # map_groups here would pay one Python call per bucket (tens of thousands
-    # of tiny buckets), which dominates wall time at any real doc volume
-    left = banded.map_batches(lambda df: df.rename(columns={id_col: "id_a"}),
                               batch_format="pandas")
-    right = banded.map_batches(
-        lambda df: df.rename(columns={id_col: "id_b", "band_id": "band_id_r",
-                                      "band_hash": "band_hash_r"}),
-        batch_format="pandas")
-    joined = left.join(right, join_type="inner", num_partitions=8,
-                       on=("band_id", "band_hash"),
-                       right_on=("band_id_r", "band_hash_r"))
-    cand = joined.map_batches(
-        lambda df: df.loc[df["id_a"] < df["id_b"], ["id_a", "id_b"]],
-        batch_format="pandas")
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (df["band_hash"].to_numpy().astype(np.uint64)
+                       % np.uint64(num_partitions)).astype("int64")
+        return df
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band_id", "band_hash", id_col], kind="mergesort") \
+             .drop_duplicates(["band_id", "band_hash", id_col])
+        bid = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g[id_col].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        change = np.empty(len(g), dtype=bool)
+        change[0] = True
+        change[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.nonzero(change)[0]
+        cnts = np.diff(np.append(starts, len(g)))
+        out_a, out_b = [], []
+        for s, c in zip(starts, cnts):
+            if c < 2:
+                continue
+            c = min(int(c), bucket_cap)
+            bi = ids[s : s + c]
+            ia, ib = np.triu_indices(c, k=1)
+            out_a.append(bi[ia])
+            out_b.append(bi[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a).astype("int64"),
+                             "id_b": np.concatenate(out_b).astype("int64")})
+
+    cand = (banded.map_batches(add_part, batch_format="pandas")
+            .groupby("_part").map_groups(
+                lambda g: bucket_pairs(g.drop(columns=["_part"])),
+                batch_format="pandas"))
     # distinct pairs (same pair can surface from several bands)
     return hash_distinct(cand, ["id_a", "id_b"])
 
@@ -512,21 +555,55 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4,
 
     banded = sigs.map_batches(explode, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
+    # pair generation: hash-partition (band, chunk) buckets, then ONE
+    # vectorized kernel per partition that walks its buckets with numpy —
+    # NOT groupby(band,chunk).map_groups, which pays a ~ms Python dispatch
+    # per bucket (every doc makes `bands` buckets ⇒ ~bands·n dispatches).
+    n_parts = 16
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = (df["band_id"].to_numpy().astype(np.uint64) * np.uint64(1099511628211)
+               + df["chunk"].to_numpy().astype(np.uint64))
+        df["_part"] = (key % np.uint64(n_parts)).astype("int64")
+        return df
+
+    def popcount64(x: np.ndarray) -> np.ndarray:
+        return np.unpackbits(x.astype(np.uint64).view(np.uint8)) \
+            .reshape(len(x), 8 * 8).sum(axis=1).astype(np.int64)
+
+    def bucket_pairs(g: pd.DataFrame, cap: int = 1024) -> pd.DataFrame:
+        g = g.sort_values(["band_id", "chunk", id_col], kind="mergesort") \
+             .drop_duplicates(["band_id", "chunk", id_col])
+        key = (g["band_id"].to_numpy().astype(np.uint64) << np.uint64(56)) \
+            | g["chunk"].to_numpy().astype(np.uint64)
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
+        _, starts, cnts = np.unique(key, return_index=True, return_counts=True)
+        out_a, out_b, out_h = [], [], []
+        for s, c in zip(starts, cnts):
+            if c < 2:
+                continue
+            c = min(int(c), cap)  # hot-bucket cap: O(cap²) bound per bucket
+            bi, bs = ids[s : s + c], sh[s : s + c]
+            ia, ib = np.triu_indices(c, k=1)
+            ham = popcount64(bs[ia] ^ bs[ib])
+            m = ham <= max_hamming
+            out_a.append(bi[ia][m])
+            out_b.append(bi[ib][m])
+            out_h.append(ham[m])
+        if not out_a:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
                                  "hamming": pd.Series(dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
-        m = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m], "hamming": ham[m]})
+        return pd.DataFrame({"id_a": np.concatenate(out_a).astype("int64"),
+                             "id_b": np.concatenate(out_b).astype("int64"),
+                             "hamming": np.concatenate(out_h)})
 
-    cand = banded.groupby(["band_id", "chunk"]).map_groups(pairs, batch_format="pandas")
+    cand = (banded.map_batches(add_part, batch_format="pandas")
+            .groupby("_part").map_groups(
+                lambda g: bucket_pairs(g.drop(columns=["_part"])),
+                batch_format="pandas"))
 
     # per-pair min hamming via partition-local reduce (see hash_distinct note)
     def local(df: pd.DataFrame) -> pd.DataFrame:

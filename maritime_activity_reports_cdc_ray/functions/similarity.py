@@ -109,44 +109,62 @@ def knn_brute_force(ds, query_ids: list[int], k: int = 10,
     return cand.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
+_EMPTY_PAIRS = {"id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64")}
+
+
 def cosine_dupes(ds, threshold: float, id_col: str = "vec_id",
-                 vec_col: str = "embedding", round_decimals: int = 6):
+                 vec_col: str = "embedding", round_decimals: int = 6,
+                 n_blocks: int = 8):
     """Exact embedding-cosine near-dup pairs: every (id_a < id_b) with
     cosine ≥ threshold.
 
-    The normalized id/matrix pair is broadcast ONCE via ``ray.put``; each batch
-    does one float64 matmul (batch × all) and emits only qualifying pairs —
-    the exact baseline. This is O(n²) compute with O(n·d) broadcast state, the
-    honest brute-force floor; the scale path is LSH bucketing (share a bucket
-    ⟹ candidate, then exact verify — see :class:`LshBucketer` /
-    ``functions.dedup.simhash_candidates`` for the same shape)."""
+    Block-partitioned pair scan: the dataset is repartitioned into
+    ``n_blocks`` blocks that stay in the object store; one Ray task per
+    unordered block pair (i ≤ j) pulls exactly two blocks (zero-copy) and does
+    one float64 matmul. Compute is the exact O(n²) floor, but memory per task
+    is two blocks and NOTHING is materialized on the driver or broadcast
+    whole — the all-pairs structure lives in the task graph, not in a
+    replicated matrix. Size ``n_blocks`` so a block (n/n_blocks × d floats)
+    fits a worker's heap; task count grows as n_blocks²/2.
+
+    The probabilistic scale path for much larger n is LSH bucketing + exact
+    verify (:class:`LshBucketer`, ``functions.dedup.simhash_candidates``)."""
     import ray
+    import ray.data as rd
 
-    full = ds.select_columns([id_col, vec_col]).to_pandas()
-    full = full.sort_values(id_col)
-    ids_all = full[id_col].to_numpy(dtype="int64")
-    mat_all = _normalize_rows(_to_matrix(full[vec_col]))
-    ref = ray.put((ids_all, mat_all))
+    packed = (ds.select_columns([id_col, vec_col])
+              .repartition(n_blocks).materialize())
+    refs = packed.to_pandas_refs()
 
-    def pair_finder(df: pd.DataFrame) -> pd.DataFrame:
-        # task fn (warm workers, zero-copy broadcast read) — see _batch_topk
-        ids_all2, mat_all2 = ray.get(ref)
-        if not len(df):
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
-        ids_b = df[id_col].to_numpy(dtype="int64")
-        mb = _normalize_rows(_to_matrix(df[vec_col]))
-        sims = mb @ mat_all2.T  # (nb, N) float64
-        mask = (sims >= threshold) & (ids_b[:, None] < ids_all2[None, :])
+    @ray.remote
+    def cross(df_a: pd.DataFrame, df_b: pd.DataFrame, same: bool) -> pd.DataFrame:
+        if not len(df_a) or not len(df_b):
+            return pd.DataFrame(_EMPTY_PAIRS)
+        ids_a = df_a[id_col].to_numpy(dtype="int64")
+        ids_b = df_b[id_col].to_numpy(dtype="int64")
+        ma = _normalize_rows(_to_matrix(df_a[vec_col]))
+        mb = ma if same else _normalize_rows(_to_matrix(df_b[vec_col]))
+        sims = ma @ mb.T
+        # each unordered pair appears once per (block_i, block_j) task; emit
+        # with id_a = min, id_b = max (same-block: strict upper triangle)
+        mask = (sims >= threshold) & (ids_a[:, None] != ids_b[None, :])
+        if same:
+            mask &= ids_a[:, None] < ids_b[None, :]
         r, c = np.nonzero(mask)
+        a, b = ids_a[r], ids_b[c]
+        sw = a > b
+        a, b = np.where(sw, b, a), np.where(sw, a, b)
         sim = sims[r, c]
         if round_decimals is not None:
             m = 10.0 ** round_decimals
             sim = np.copysign(np.floor(np.abs(sim * m) + 0.5), sim) / m
-        return pd.DataFrame({"id_a": ids_b[r], "id_b": ids_all2[c], "sim": sim})
+        return pd.DataFrame({"id_a": a, "id_b": b, "sim": sim})
 
-    return ds.map_batches(pair_finder, batch_format="pandas")
+    outs = [cross.remote(refs[i], refs[j], i == j)
+            for i in range(len(refs)) for j in range(i, len(refs))]
+    return rd.from_pandas_refs(outs)
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.ndarray:
@@ -193,28 +211,37 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10, n_lists: int = 16,
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         cent2, wanted2, qvecs = ray.get(ref)
+        if not len(df):
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
         m = _to_matrix(df[vec_col])
         d = ((m[:, None, :] - cent2[None, :, :]) ** 2).sum(axis=2)
         lists = d.argmin(axis=1)
-        ids = df[id_col].to_numpy()
+        ids = df[id_col].to_numpy(dtype="int64")
         mn = _normalize_rows(m)
-        rows = []
+        out_q, out_n, out_s = [], [], []
         for c in np.unique(lists):
             qids = wanted2.get(int(c))
             if not qids:
                 continue
             sel = lists == c
             sub_ids, sub = ids[sel], mn[sel]
-            for qid in qids:
-                qv = qvecs[qid]
-                sims = sub @ (qv / (np.linalg.norm(qv) or 1.0))
-                for i, s in zip(sub_ids, sims):
-                    if int(i) != qid:
-                        rows.append((qid, int(i), float(s)))
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"]) if rows else \
-            pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                          "neighbor_id": pd.Series(dtype="int64"),
-                          "sim": pd.Series(dtype="float64")})
+            qm2 = np.stack([qvecs[q] for q in qids])
+            qm2 = _normalize_rows(qm2)
+            sims = qm2 @ sub.T  # (nq, nsub) — one matmul per probed list
+            for qi, qid in enumerate(qids):
+                keep = sub_ids != qid
+                out_q.append(np.full(keep.sum(), qid, dtype="int64"))
+                out_n.append(sub_ids[keep])
+                out_s.append(sims[qi][keep])
+        if not out_q:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "neighbor_id": np.concatenate(out_n),
+                             "sim": np.concatenate(out_s).astype("float64")})
 
     cand = ds.map_batches(score, batch_format="pandas")
 
@@ -244,6 +271,10 @@ class LshBucketer:
         return codes
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Emit (id, table_id, bucket) rows ONLY — bucket ids, never vectors.
+        Downstream stages that need the vectors gather them by id; replicating
+        the embedding column ×n_tables through the shuffle is the scale bug
+        this stage used to have."""
         m = _to_matrix(df[self.vec_col])
         codes = self.bucket(m)
         n, t = codes.shape
@@ -251,7 +282,6 @@ class LshBucketer:
             self.id_col: np.repeat(df[self.id_col].to_numpy(), t),
             "table_id": np.tile(np.arange(t, dtype="int64"), n),
             "bucket": codes.reshape(-1).astype("int64"),
-            self.vec_col: [v for v in df[self.vec_col] for _ in range(t)],
         })
 
 
@@ -259,44 +289,71 @@ def knn_lsh(ds, query_ids: list[int], k: int = 10, dim: int = 64,
             n_planes: int = 8, n_tables: int = 4, seed: int = 13,
             id_col: str = "vec_id", vec_col: str = "embedding"):
     """Approximate top-k: only vectors sharing an LSH bucket with the query are
-    scored. Same output shape as knn_brute_force (plus possible misses)."""
+    scored. Same output shape as knn_brute_force (plus possible misses).
+
+    One streaming pass: each batch computes its own bucket codes (hyperplanes
+    ship in the task spec — a few KB), selects rows whose code matches ANY
+    wanted (table, bucket) of the broadcast query set via one ``np.isin`` per
+    table, and scores them with one matmul per wanted bucket. Vectors are
+    never replicated ×n_tables and never leave their batch."""
     import ray
 
     bucketer = LshBucketer(dim, n_planes, n_tables, seed, id_col, vec_col)
-    # the bucketer instance (a few KB of hyperplanes) ships in the task spec —
-    # task pool on warm workers, no per-query actor spin-up
-    bucketed = ds.map_batches(bucketer, batch_format="pandas")
     qdf = _fetch_queries(ds, query_ids, id_col)
+    qdf = qdf.sort_values(id_col)
     qm = _to_matrix(qdf[vec_col])
     qcodes = bucketer.bucket(qm)  # (nq, T)
-    wanted = {}  # (table, bucket) -> [qids]
-    for qi, qid in enumerate(qdf[id_col].to_numpy()):
-        for t in range(qcodes.shape[1]):
-            wanted.setdefault((t, int(qcodes[qi, t])), []).append(int(qid))
-    qref = ray.put((wanted, dict(zip(qdf[id_col].astype(int), [np.asarray(v, np.float64) for v in qdf[vec_col]]))))
+    qids_arr = qdf[id_col].to_numpy(dtype="int64")
+    qm_norm = _normalize_rows(qm)
+    # per-table: wanted bucket codes (sorted uniques) + per-bucket query rows
+    tables = []
+    for t in range(qcodes.shape[1]):
+        buckets: dict[int, list[int]] = {}
+        for qi in range(len(qids_arr)):
+            buckets.setdefault(int(qcodes[qi, t]), []).append(qi)
+        tables.append(buckets)
+    qref = ray.put((tables, qids_arr, qm_norm))
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
-        wanted_m, qvecs = ray.get(qref)
-        rows = []
-        for (t, b), grp in df.groupby(["table_id", "bucket"]):
-            qids = wanted_m.get((int(t), int(b)))
-            if not qids:
+        tables_m, qids2, qmat = ray.get(qref)
+        if not len(df):
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        m = _to_matrix(df[vec_col])
+        codes = bucketer.bucket(m)  # (n, T)
+        ids = df[id_col].to_numpy(dtype="int64")
+        mn = _normalize_rows(m)
+        out_q, out_n, out_s = [], [], []
+        for t, buckets in enumerate(tables_m):
+            if not buckets:
                 continue
-            ids = grp[id_col].to_numpy()
-            m = _normalize_rows(_to_matrix(grp[vec_col]))
-            for qid in qids:
-                qv = qvecs[qid]
-                qv = qv / (np.linalg.norm(qv) or 1.0)
-                sims = m @ qv
-                for i, s in zip(ids, sims):
-                    if int(i) != qid:
-                        rows.append((qid, int(i), float(s)))
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"]) if rows else \
-            pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                          "neighbor_id": pd.Series(dtype="int64"),
-                          "sim": pd.Series(dtype="float64")})
+            col = codes[:, t].astype(np.int64)
+            hit = np.isin(col, np.fromiter(buckets, dtype=np.int64))
+            if not hit.any():
+                continue
+            hit_idx = np.nonzero(hit)[0]
+            for b in np.unique(col[hit_idx]):
+                qrows = buckets.get(int(b))
+                if not qrows:
+                    continue
+                sel = hit_idx[col[hit_idx] == b]
+                sub_ids, sub = ids[sel], mn[sel]
+                sims = qmat[qrows] @ sub.T  # (nq_b, nsel)
+                for r, qi in enumerate(qrows):
+                    keep = sub_ids != qids2[qi]
+                    out_q.append(np.full(keep.sum(), qids2[qi], dtype="int64"))
+                    out_n.append(sub_ids[keep])
+                    out_s.append(sims[r][keep])
+        if not out_q:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "neighbor_id": np.concatenate(out_n),
+                             "sim": np.concatenate(out_s).astype("float64")})
 
-    cand = bucketed.map_batches(probe, batch_format="pandas")
+    cand = ds.map_batches(probe, batch_format="pandas")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("neighbor_id")
