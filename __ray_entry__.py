@@ -468,6 +468,82 @@ def cdc_scd2_history(sf_dir: str):
     }).sort_values(["user_id", "event_type", "closed_event_id"]).reset_index(drop=True)
 
 
+_CDC_NOCHG_V = "v1"  # bump when the nochange stream or engine config changes
+
+
+def _replay_events_nochange_cdc(sf_dir: str):
+    """Adapted change stream for the G3 change-detection lake: same keying as
+    ``_replay_events_as_cdc`` but content = str(event_id % 3) — a small pool,
+    so consecutive same-content events per key are genuine no-op updates —
+    replayed with ``EngineConfig(detect_changes=True)``."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from maritime_activity_reports_cdc_ray.config import EngineConfig
+    from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    work = os.path.join("/tmp", f"cdc_nochg_{tag}_{_CDC_NOCHG_V}")
+    done = os.path.join(work, "_DONE")
+    cfg = EngineConfig(num_partitions=8, commit_regex=r"^c[0-9]{24}$",
+                       detect_changes=True)
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(os.path.join(work, "events"))
+        ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]).to_pandas()
+        ev = ev.sort_values("event_id")
+        micros = (ev.ts.astype("int64")).to_numpy()
+        stream = pd.DataFrame({
+            "repo": "u" + ev.user_id.astype(str),
+            "path": ev.event_type,
+            "commit": [f"c{m:016d}{e:08d}" for m, e in zip(micros, ev.event_id)],
+            "lang": "txt",
+            "content": (ev.event_id % 3).astype(str),
+        })
+        n = len(stream)
+        for i in range(4):  # 4 epochs
+            sl = stream.iloc[i * n // 4 : (i + 1) * n // 4]
+            tbl = pa.Table.from_pandas(sl, preserve_index=False)
+            tbl = tbl.set_column(4, "content", tbl.column("content").cast(pa.large_string()))
+            pq.write_table(tbl, os.path.join(work, "events", f"part-{i:05d}.parquet"))
+    r = CDCReplay(os.path.join(work, "lake"), cfg)
+    r.setup()
+    r.run(os.path.join(work, "events"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return r
+
+
+def cdc_scd2_nochange(sf_dir: str):
+    """G3 SCD2 with change detection through the REAL engine: only events
+    whose content differs from the key's running state mint versions, so the
+    history chain is exactly the consecutive KEPT (content-changing) event
+    pairs. SQL oracle: LAG to find kept events, LEAD over kept for closure."""
+    r = _replay_events_nochange_cdc(sf_dir)
+    h = r.read_history().to_pandas()
+    return pd.DataFrame({
+        "user_id": h.repo.str.slice(1).astype("int64"),
+        "event_type": h.path,
+        "closed_event_id": h.commit.str.slice(17).astype("int64"),
+        "closed_by_event_id": h.valid_to_commit.str.slice(17).astype("int64"),
+    }).sort_values(["user_id", "event_type", "closed_event_id"]).reset_index(drop=True)
+
+
+def cdc_nochange_current(sf_dir: str):
+    """Current state under change detection: each key's live row carries the
+    LAST CONTENT-CHANGING event (a trailing run of no-op updates leaves the
+    commit watermark untouched — reference MERGE WHEN MATCHED AND <changed>)."""
+    r = _replay_events_nochange_cdc(sf_dir)
+    sil = r.read_silver(columns=["repo", "path", "commit", "content"]).to_pandas()
+    return pd.DataFrame({
+        "user_id": sil.repo.str.slice(1).astype("int64"),
+        "event_type": sil.path,
+        "last_change_event_id": sil.commit.str.slice(17).astype("int64"),
+        "content": sil.content,
+    }).sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
 def cdc_gold_rollup(sf_dir: str):
     """Gold incremental aggregates through the real engine: per-repo (= user)
     rollup after the adapted replay. SQL oracle recomputes file_count (live
@@ -768,6 +844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentiles": events_value_percentiles,
         "cdc_lww_merge": cdc_lww_merge,
         "cdc_scd2_history": cdc_scd2_history,
+        "cdc_scd2_nochange": cdc_scd2_nochange,
+        "cdc_nochange_current": cdc_nochange_current,
         "cdc_gold_rollup": cdc_gold_rollup,
         "docs_token_stats": docs_token_stats,
         "docs_bpe_token_stats": docs_bpe_token_stats,
@@ -959,6 +1037,48 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY ts, event_id) AS next_event_id
                 FROM events
             ) WHERE next_event_id IS NOT NULL
+        """,
+        "cdc_scd2_nochange": """
+            WITH s AS (
+                SELECT user_id, event_type, event_id, ts,
+                       CAST(event_id % 3 AS VARCHAR) AS content
+                FROM events
+            ), k AS (
+                SELECT *, LAG(content) OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts, event_id) AS prev_c
+                FROM s
+            ), kept AS (
+                SELECT user_id, event_type, event_id, ts FROM k
+                WHERE prev_c IS NULL OR prev_c <> content
+            )
+            SELECT user_id, event_type,
+                   event_id AS closed_event_id,
+                   next_id AS closed_by_event_id
+            FROM (
+                SELECT user_id, event_type, event_id,
+                       LEAD(event_id) OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) AS next_id
+                FROM kept
+            ) WHERE next_id IS NOT NULL
+        """,
+        "cdc_nochange_current": """
+            WITH s AS (
+                SELECT user_id, event_type, event_id, ts,
+                       CAST(event_id % 3 AS VARCHAR) AS content
+                FROM events
+            ), k AS (
+                SELECT *, LAG(content) OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts, event_id) AS prev_c
+                FROM s
+            ), kept AS (
+                SELECT user_id, event_type, event_id, ts, content FROM k
+                WHERE prev_c IS NULL OR prev_c <> content
+            )
+            SELECT user_id, event_type,
+                   event_id AS last_change_event_id, content
+            FROM kept
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) = 1
         """,
         "cdc_gold_rollup": """
             WITH w AS (

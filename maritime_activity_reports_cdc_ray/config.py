@@ -78,6 +78,12 @@ class EngineConfig:
     # where scan bandwidth scales with nodes, the overlap is the right shape.
     pipeline_epochs: bool = False
 
+    # --- SCD2 change detection (reference G3, silver/cdf_processor.py:296-300) ---
+    # when True, an applicable event whose watched state (alive, content
+    # sha256, lang) equals the key's running state is a no-op: no history row,
+    # no version bump, current row (incl. commit watermark) untouched.
+    detect_changes: bool = False
+
     # --- gold refresh cadence (reference: gold/streaming_processor.py:98-105) ---
     gold_refresh_every_epochs: int = 1
 

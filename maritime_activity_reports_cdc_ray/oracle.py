@@ -50,6 +50,11 @@ class OracleState:
     applied: int = 0
     stale: int = 0
     duplicate: int = 0
+    unchanged: int = 0
+    # G3 no-op suppression (reference silver/cdf_processor.py:296-300): skip
+    # an applicable event whose watched state equals the key's running state —
+    # commit watermark included stays untouched. Mirrors EngineConfig.
+    detect_changes: bool = False
 
     def apply_epoch(self, rows: list[tuple]) -> None:
         """rows: (repo, path, commit, lang, content) — one epoch's events."""
@@ -64,9 +69,16 @@ class OracleState:
                 if commit < st.commit:
                     self.stale += 1
                     continue
-            else:
-                st = self.keys[k] = KeyState()
             is_tomb = content == TOMBSTONE and (lang == "" or lang is None)
+            if self.detect_changes:
+                noop = ((st is None or st.is_deleted) if is_tomb else
+                        (st is not None and not st.is_deleted
+                         and st.lang == lang and st.content == content))
+                if noop:
+                    self.unchanged += 1
+                    continue
+            if st is None:
+                st = self.keys[k] = KeyState()
             self.applied += 1
             if is_tomb:
                 if not st.is_deleted:

@@ -346,7 +346,8 @@ class CDCReplay:
         nshuffle = cfg.resolved_shuffle_partitions(ncpu)
         exchange = self._choose_exchange(est_rows)
         merge_args = (self.silver.root, frag_map_ref, epoch,
-                      silver_schema.serialize().to_pybytes(), cfg.max_salt, cfg.write_compression)
+                      silver_schema.serialize().to_pybytes(), cfg.max_salt,
+                      cfg.write_compression, cfg.detect_changes)
 
         est_bytes = sum(os.path.getsize(f) for f in src_files)
         # explicit block sizing: Ray's default parallelism heuristic shreds a
@@ -426,7 +427,8 @@ class CDCReplay:
                   for k, v in r.items() if k != "fragments_json"}
             lineage.append(lr)
             for k in ("rows_in", "rows_applied", "rows_stale", "rows_duplicate",
-                      "inserted", "updated", "deleted", "history_rows"):
+                      "rows_unchanged", "inserted", "updated", "deleted",
+                      "history_rows"):
                 stats_delta[k] = stats_delta.get(k, 0) + int(r[k])
         salt_map = self._next_salt_map(sm, lineage)
         self.silver.commit_epoch(

@@ -129,6 +129,7 @@ LINEAGE_SCHEMA = pa.schema(
         ("rows_applied", pa.int64()),
         ("rows_stale", pa.int64()),
         ("rows_duplicate", pa.int64()),
+        ("rows_unchanged", pa.int64()),
         ("inserted", pa.int64()),
         ("updated", pa.int64()),
         ("deleted", pa.int64()),

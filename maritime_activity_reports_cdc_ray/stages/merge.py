@@ -100,6 +100,7 @@ def apply_events_to_partition(
     events: pa.Table,
     epoch: int,
     silver_schema: pa.Schema,
+    detect_changes: bool = False,
 ) -> tuple[pa.Table | None, pa.Table, dict]:
     """Apply one (pid, salt) group's events to its current fragment.
 
@@ -107,14 +108,25 @@ def apply_events_to_partition(
     when nothing applied (fragment unchanged). Deterministic: output sorted by
     (repo, path); ties in ``commit`` broken by ``cdc_sequence_number`` (content
     -derived, so identical at any parallelism).
-    """
+
+    ``detect_changes`` enables the reference's G3 no-op suppression
+    (``silver/cdf_processor.py:296-300``): an otherwise-applicable event whose
+    watched state — (alive, content_sha256, lang) — equals the key's running
+    state is skipped entirely: no history row, no version bump, and the
+    current row (including its commit watermark) stays untouched, exactly like
+    a MERGE ``WHEN MATCHED AND <changed>`` whose condition is false. Real CDC
+    feeds are full of replayed/no-op updates; without this every one mints a
+    spurious SCD2 version. Because a non-tombstone's post-state always equals
+    its own signature, "running state" reduces to the previous applied event's
+    signature (stored current for the segment head) — one vectorized shift."""
     extra_fields = [f for f in silver_schema if f.name not in {x.name for x in SILVER_CURRENT_SCHEMA}]
     if current is not None:
         current = align_to_schema(current, silver_schema)
 
     n = events.num_rows
     stats = {"rows_in": n, "rows_applied": 0, "rows_stale": 0, "rows_duplicate": 0,
-             "inserted": 0, "updated": 0, "deleted": 0, "history_rows": 0}
+             "rows_unchanged": 0, "inserted": 0, "updated": 0, "deleted": 0,
+             "history_rows": 0}
     empty_hist = align_to_schema(pa.table({}), _history_schema())
     if n == 0:
         return None, empty_hist, stats
@@ -174,6 +186,32 @@ def apply_events_to_partition(
         return None, empty_hist, stats
 
     a = np.flatnonzero(applied)
+
+    if detect_changes and len(a):
+        n_repo, n_path = repo[a], path[a]
+        n_tomb = is_tomb[a]
+        n_first = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            n_first[1:] = (n_repo[1:] != n_repo[:-1]) | (n_path[1:] != n_path[:-1])
+        n_pos = pos[a]
+        n_has = n_pos >= 0
+        n_safe = np.where(n_has, n_pos, 0)
+        n_sha = _np_str(ev.column("content_sha256"))[a]
+        n_lang = _np_str(ev.column("lang"))[a]
+        head_alive = n_has & (~cur_deleted[n_safe] if len(cur_deleted) else False)
+        head_sha = np.where(n_has, cur_sha[n_safe] if len(cur_sha) else None, None)
+        head_lang = np.where(n_has, cur_lang[n_safe] if len(cur_lang) else None, None)
+        prev_alive = np.where(n_first, head_alive,
+                              _seg_shift(~n_tomb, n_first, False)).astype(bool)
+        prev_sha = np.where(n_first, head_sha, _seg_shift(n_sha, n_first, None))
+        prev_lang = np.where(n_first, head_lang, _seg_shift(n_lang, n_first, None))
+        noop = np.where(n_tomb, ~prev_alive,
+                        prev_alive & (n_sha == prev_sha) & (n_lang == prev_lang))
+        stats["rows_unchanged"] = int(noop.sum())
+        stats["rows_applied"] -= stats["rows_unchanged"]
+        if stats["rows_applied"] == 0:
+            return None, empty_hist, stats
+        a = a[~noop]
     a_repo, a_path, a_commit = repo[a], path[a], commit[a]
     a_tomb = is_tomb[a]
     a_first = np.ones(len(a), dtype=bool)
@@ -287,7 +325,8 @@ def _history_schema() -> pa.Schema:
 
 
 def process_gid_groups(batch: pa.Table, lake, frag_map: dict, epoch: int,
-                       schema: pa.Schema, max_salt: int, compression: str) -> pa.Table:
+                       schema: pa.Schema, max_salt: int, compression: str,
+                       detect_changes: bool = False) -> pa.Table:
     """Merge every complete gid group inside ``batch`` against its (pid, salt)
     current fragment; stage replacement fragments; return lineage rows.
     Shared by the actor-pool (MergeApplier) and task (make_merge_task_fn)
@@ -312,7 +351,8 @@ def process_gid_groups(batch: pa.Table, lake, frag_map: dict, epoch: int,
         group = batch.slice(lo, hi - lo)
         rel = frag_map.get((pid, salt))
         cur = pq.read_table(lake.abspath(rel)) if rel else None
-        new_current, history, stats = apply_events_to_partition(cur, group, epoch, schema)
+        new_current, history, stats = apply_events_to_partition(
+            cur, group, epoch, schema, detect_changes=detect_changes)
         frags = []
         if new_current is not None:
             f = lake.stage_fragment(new_current, epoch, pid, salt, "current", compression)
@@ -324,7 +364,8 @@ def process_gid_groups(batch: pa.Table, lake, frag_map: dict, epoch: int,
             {
                 "epoch": epoch, "pid": pid, "salt": salt,
                 **{k: stats[k] for k in ("rows_in", "rows_applied", "rows_stale",
-                                         "rows_duplicate", "inserted", "updated",
+                                         "rows_duplicate", "rows_unchanged",
+                                         "inserted", "updated",
                                          "deleted", "history_rows")},
                 "current_rows": new_current.num_rows if new_current is not None else -1,
                 "bytes_written": sum(f["bytes"] for f in frags),
@@ -349,7 +390,8 @@ class MergeApplier:
     """
 
     def __init__(self, table_root: str, frag_map_ref, epoch: int,
-                 silver_schema_ser: bytes, max_salt: int, compression: str = "zstd"):
+                 silver_schema_ser: bytes, max_salt: int, compression: str = "zstd",
+                 detect_changes: bool = False):
         import ray
 
         from maritime_activity_reports_cdc_ray.state.table import LakeTable
@@ -360,14 +402,17 @@ class MergeApplier:
         self.schema = pa.ipc.read_schema(pa.BufferReader(silver_schema_ser))
         self.max_salt = max_salt
         self.compression = compression
+        self.detect_changes = detect_changes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return process_gid_groups(batch, self.lake, self.frag_map, self.epoch,
-                                  self.schema, self.max_salt, self.compression)
+                                  self.schema, self.max_salt, self.compression,
+                                  detect_changes=self.detect_changes)
 
 
 def make_merge_task_fn(table_root: str, frag_map_ref, epoch: int,
-                       silver_schema_ser: bytes, max_salt: int, compression: str):
+                       silver_schema_ser: bytes, max_salt: int, compression: str,
+                       detect_changes: bool = False):
     """Task-pool variant of MergeApplier for ``groupby(gid).map_groups`` /
     map_batches over already-partitioned blocks: same kernel, but a plain
     closure so Ray schedules it on prestarted warm workers (no actor startup).
@@ -382,6 +427,7 @@ def make_merge_task_fn(table_root: str, frag_map_ref, epoch: int,
         frag_map = ray.get(frag_map_ref) if not isinstance(frag_map_ref, dict) else frag_map_ref
         schema = pa.ipc.read_schema(pa.BufferReader(silver_schema_ser))
         return process_gid_groups(batch, LakeTable(table_root), frag_map, epoch,
-                                  schema, max_salt, compression)
+                                  schema, max_salt, compression,
+                                  detect_changes=detect_changes)
 
     return fn

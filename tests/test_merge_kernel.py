@@ -37,9 +37,10 @@ def _events(rows, epoch=0):
     return t
 
 
-def _apply(cur, rows, epoch=0):
+def _apply(cur, rows, epoch=0, detect_changes=False):
     ev = _events(rows, epoch)
-    return apply_events_to_partition(cur, ev, epoch, silver_schema_for(ev.schema))
+    return apply_events_to_partition(cur, ev, epoch, silver_schema_for(ev.schema),
+                                     detect_changes=detect_changes)
 
 
 def _row(cur, repo, path):
@@ -94,6 +95,37 @@ def test_scd2_history_chain():
     assert row["commit"] == "c000000000001" and row["valid_to_commit"] == "c000000000002"
     assert row["lang"] == "py" and row["closed_by_op"] == "update"
     assert row["valid_from_commit"] == "c000000000001"
+
+
+def test_detect_changes_skips_noop_updates():
+    """G3 (reference silver/cdf_processor.py:296-300): a replayed-but-unchanged
+    payload mints no version/history and leaves the commit watermark alone."""
+    cur, _, _ = _apply(None, [("r", "a", "c000000000001", "py", "v1")],
+                       detect_changes=True)
+    # same payload, newer commit → no-op: row untouched
+    cur2, hist, st = _apply(cur, [("r", "a", "c000000000002", "py", "v1")],
+                            epoch=1, detect_changes=True)
+    assert cur2 is None and hist.num_rows == 0
+    assert st["rows_unchanged"] == 1 and st["rows_applied"] == 0
+    # changed payload → applies normally
+    cur3, hist, st = _apply(cur, [("r", "a", "c000000000003", "py", "v2")],
+                            epoch=2, detect_changes=True)
+    r = _row(cur3, "r", "a")
+    assert r["commit"] == "c000000000003" and r["version_count"] == 2
+    assert hist.num_rows == 1 and st["rows_unchanged"] == 0
+    # in-batch: change, noop, change — only the two changes version
+    cur4, hist, st = _apply(None, [
+        ("r", "b", "c000000000001", "py", "x1"),
+        ("r", "b", "c000000000002", "py", "x1"),  # noop vs previous in batch
+        ("r", "b", "c000000000003", "py", "x2"),
+    ], detect_changes=True)
+    r = _row(cur4, "r", "b")
+    assert r["version_count"] == 2 and r["commit"] == "c000000000003"
+    assert st["rows_unchanged"] == 1 and hist.num_rows == 1
+    # delete-of-nonexistent and delete-of-deleted are no-ops
+    cur5, hist, st = _apply(None, [("r", "c", "c000000000001", "", TOMBSTONE)],
+                            detect_changes=True)
+    assert cur5 is None and st["rows_unchanged"] == 1
 
 
 def test_schema_evolution_extra_column():
@@ -172,6 +204,51 @@ try:
                 continue
             oracle.apply_epoch(chunk)
             new_cur, hist, _ = _apply(cur, chunk, epoch=ep)
+            if new_cur is not None:
+                cur = new_cur
+            hist_total += hist.num_rows
+
+        exp = oracle.expected_silver()
+        got = {}
+        if cur is not None:
+            for r in cur.to_pylist():
+                if not r["is_deleted"]:
+                    got[(r["repo"], r["path"])] = (
+                        r["commit"], r["lang"], r["content_sha256"], r["version_count"])
+        assert set(got) == set(exp)
+        for k, v in exp.items():
+            assert got[k] == (v["commit"], v["lang"], v["content_sha256"],
+                              v["version_count"]), k
+        assert hist_total == oracle.history_rows
+
+    @given(events=hs.lists(_event, min_size=1, max_size=40),
+           n_epochs=hs.integers(min_value=1, max_value=3))
+    @settings(max_examples=30, deadline=None)
+    def test_kernel_matches_oracle_detect_changes(events, n_epochs):
+        """Same convergence property with G3 change detection on — content
+        drawn from a small pool so no-op updates actually occur. Payload is
+        derived from the commit (tombstone-ness included): a commit uniquely
+        identifies its change, so duplicate deliveries are true duplicates —
+        the well-formedness the engine's LWW-by-commit contract assumes."""
+        from maritime_activity_reports_cdc_ray.oracle import OracleState
+
+        def materialize(e):
+            repo, path, ci, _ = e
+            commit = f"c{ci:012d}"
+            if ci % 5 == 4:
+                return (repo, path, commit, "", TOMBSTONE)
+            return (repo, path, commit, "py", f"{repo}/{path}@{ci % 3}")
+
+        rows = [materialize(e) for e in events]
+        bounds = [len(rows) * i // n_epochs for i in range(n_epochs + 1)]
+        oracle = OracleState(detect_changes=True)
+        cur, hist_total = None, 0
+        for ep in range(n_epochs):
+            chunk = rows[bounds[ep]:bounds[ep + 1]]
+            if not chunk:
+                continue
+            oracle.apply_epoch(chunk)
+            new_cur, hist, _ = _apply(cur, chunk, epoch=ep, detect_changes=True)
             if new_cur is not None:
                 cur = new_cur
             hist_total += hist.num_rows
