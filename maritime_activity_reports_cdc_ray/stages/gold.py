@@ -66,42 +66,68 @@ def aggregate_repos(silver_rows: pa.Table, epoch: int, pid: int) -> pa.Table:
     deleted_count = np.add.reduceat(ever.astype(np.int64), starts)
     total_versions = np.add.reduceat(versions, starts)
 
-    ends = np.append(starts[1:], n)
-    repos, latest, lang_counts, repo_shas = [], [], [], []
-    for s, e in zip(starts, ends):
-        repos.append(repo[s])
-        lc: dict = {}
-        mx = ""
-        h = hashlib.sha256()
-        for i in range(s, e):
-            if not live[i]:
-                continue
-            c = commit[i]
-            if c > mx:
-                mx = c
-            lg = lang[i]
-            lc[lg] = lc.get(lg, 0) + 1
-            # rows are sorted by (repo, path) → pairs arrive pre-sorted
-            h.update(path[i].encode())
-            h.update(b"\x00")
-            h.update(sha[i].encode())
-            h.update(b"\n")
-        latest.append(mx)
-        lang_counts.append([{"lang": k, "n": v} for k, v in sorted(lc.items())])
-        repo_shas.append(h.hexdigest())
+    n_seg = len(starts)
+    repos_all = repo[starts]
+
+    # live-row view: latest commit / lang counts / repo sha only read live rows
+    lv = np.flatnonzero(live)
+    latest = np.full(n_seg, "", dtype=object)
+    empty_digest = hashlib.sha256().hexdigest()
+    repo_shas = np.full(n_seg, empty_digest, dtype=object)
+    # per-segment distinct-lang run counts (for list offsets) + children
+    lang_child_lang: np.ndarray = np.empty(0, dtype=object)
+    lang_child_n: np.ndarray = np.empty(0, dtype=np.int64)
+    seg_nlang = np.zeros(n_seg, dtype=np.int64)
+    if len(lv):
+        l_first = np.ones(len(lv), dtype=bool)
+        l_first[1:] = repo[lv][1:] != repo[lv][:-1]
+        l_starts = np.flatnonzero(l_first)
+        # which global segment each live-run belongs to
+        g_seg = np.searchsorted(starts, lv[l_starts], side="right") - 1
+        # max commit per live run — np.maximum ufunc compares Python strings
+        latest[g_seg] = np.maximum.reduceat(commit[lv], l_starts)
+        # lang counts: C-level pandas groupby over (seg, lang), then one
+        # list<struct> column built from offsets — no per-repo Python
+        seg_of_live = np.cumsum(l_first) - 1
+        import pandas as pd
+
+        lc = (pd.DataFrame({"seg": g_seg[seg_of_live], "lang": lang[lv]})
+              .groupby(["seg", "lang"], sort=True, as_index=False).size())
+        lang_child_lang = lc["lang"].to_numpy()
+        lang_child_n = lc["size"].to_numpy(dtype=np.int64)
+        seg_nlang = np.bincount(lc["seg"].to_numpy(), minlength=n_seg).astype(np.int64)
+        # repo sha: one joined bytes blob per live run, one hash call each
+        # (rows sorted by (repo, path) → pairs arrive pre-sorted).
+        # NB frompyfunc, not `arr + "\x00"`: numpy (and pandas' numpy-routed
+        # broadcast) coerce the separator scalar through a fixed-width U
+        # dtype, which silently strips the NUL byte.
+        blob = np.frompyfunc(lambda p, s: f"{p}\x00{s}\n", 2, 1)(path[lv], sha[lv])
+        l_ends = np.append(l_starts[1:], len(lv))
+        for ri, (s, e) in enumerate(zip(l_starts, l_ends)):
+            repo_shas[g_seg[ri]] = hashlib.sha256(
+                "".join(blob[s:e]).encode()).hexdigest()
+
+    offsets = np.zeros(n_seg + 1, dtype=np.int32)
+    np.cumsum(seg_nlang, out=offsets[1:])
+    lang_counts_arr = pa.ListArray.from_arrays(
+        pa.array(offsets),
+        pa.StructArray.from_arrays(
+            [pa.array(lang_child_lang, pa.string()), pa.array(lang_child_n, pa.int64())],
+            names=["lang", "n"]),
+    )
 
     return pa.table(
         {
-            "repo": pa.array(repos, pa.string()),
+            "repo": pa.array(repos_all, pa.string()),
             "file_count": pa.array(file_count, pa.int64()),
             "latest_commit": pa.array(latest, pa.string()),
             "total_bytes": pa.array(total_bytes, pa.int64()),
-            "lang_counts": pa.array(lang_counts, GOLD_SCHEMA.field("lang_counts").type),
+            "lang_counts": lang_counts_arr.cast(GOLD_SCHEMA.field("lang_counts").type),
             "deleted_count": pa.array(deleted_count, pa.int64()),
             "total_versions": pa.array(total_versions, pa.int64()),
             "repo_sha256": pa.array(repo_shas, pa.string()),
-            "last_epoch": pa.array(np.full(len(repos), epoch, dtype=np.int64)),
-            "pid": pa.array(np.full(len(repos), pid, dtype=np.int32)),
+            "last_epoch": pa.array(np.full(n_seg, epoch, dtype=np.int64)),
+            "pid": pa.array(np.full(n_seg, pid, dtype=np.int32)),
         },
         schema=GOLD_SCHEMA,
     )
