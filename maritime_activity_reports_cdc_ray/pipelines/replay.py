@@ -133,6 +133,35 @@ def _make_bronze_writer(outdir: str, compression: str):
     return write
 
 
+def _make_resalt_task_fn(root: str, compression: str):
+    """Task fn for distributed re-salting: read one pid's current fragments,
+    re-slice by path_hash % want, stage the new per-salt fragments. Same
+    shape as maintenance.make_compact_task_fn — partition-local, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lake = LakeTable(root)
+        rows = []
+        for item in batch.to_pylist():
+            pid, want, epoch = int(item["pid"]), int(item["want"]), int(item["epoch"])
+            tabs = [pq.read_table(lake.abspath(p)) for p in item["paths"]]
+            t = pa.concat_tables(tabs, promote_options="permissive")
+            ph = t.column("path_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+            slot = (ph % np.uint64(want)).astype(np.int64)
+            frags = []
+            for s in range(want):
+                part = t.filter(pa.array(slot == s))
+                frags.append(lake.stage_fragment(
+                    part, epoch, pid, s, "current", compression, suffix="rs"))
+            rows.append({"fragments_json": json.dumps([f.__dict__ for f in frags]),
+                         "replaced_json": json.dumps(list(item["paths"]))})
+        if not rows:
+            return pa.table({"fragments_json": pa.array([], pa.string()),
+                             "replaced_json": pa.array([], pa.string())})
+        return pa.Table.from_pylist(rows)
+
+    return fn
+
+
 class CDCReplay:
     def __init__(self, root: str, cfg: EngineConfig | None = None):
         self.root = root
@@ -514,19 +543,24 @@ class CDCReplay:
                 todo.append((pid, frs, int(desired[pid])))
         if not todo:
             return
+        # one Ray task per pid (compaction's task-pool shape,
+        # maintenance.make_compact_task_fn) — a hot mega-pid's fragments can
+        # be GBs, so the read+re-slice+write must NOT run serially in the
+        # driver; the driver only collects fragment descriptors and commits.
+        import ray
+        import ray.data as rd
+
+        items = [{"pid": pid, "want": want, "epoch": sm.epoch,
+                  "paths": [fr.path for fr in frs]} for pid, frs, want in todo]
+        assert ray.is_initialized()
+        res = rd.from_items(items).map_batches(
+            _make_resalt_task_fn(self.silver.root, self.cfg.write_compression),
+            batch_format="pyarrow", batch_size=1,
+        ).take_all()
         new_frags, replaced = [], set()
-        for pid, frs, want in todo:
-            tabs = [pq.read_table(self.silver.abspath(fr.path)) for fr in frs]
-            t = pa.concat_tables(tabs, promote_options="permissive")
-            ph = t.column("path_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-            slot = (ph % np.uint64(want)).astype(np.int64)
-            for s in range(want):
-                part = t.filter(pa.array(slot == s))
-                frag = self.silver.stage_fragment(
-                    part, sm.epoch, pid, s, "current", self.cfg.write_compression, suffix="rs"
-                )
-                new_frags.append(frag)
-            replaced.update(fr.path for fr in frs)
+        for r in res:
+            new_frags.extend(Fragment(**d) for d in json.loads(r["fragments_json"]))
+            replaced.update(json.loads(r["replaced_json"]))
         self.silver.commit_maintenance(new_frags, replaced)
 
     # ------------------------------------------------------------------- gold
