@@ -661,18 +661,19 @@ def docs_dup_groups(sf_dir: str):
     the grouping itself is checked by the exact-join oracle upstream)."""
     from maritime_activity_reports_cdc_ray.functions.dedup import (
         jaccard_similarity_join,
-        label_components,
+        label_components_distributed,
     )
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    pairs = jaccard_similarity_join(docs, threshold=0.5, k=8).to_pandas()
-    if not len(pairs):
+    pairs = jaccard_similarity_join(docs, threshold=0.5, k=8)
+    lab = label_components_distributed(pairs)
+    out = hash_agg(lab, "component", {"n_docs": ("id", "count"),
+                                      "keep_doc_id": ("id", "min")}).to_pandas()
+    if not len(out):
         return pd.DataFrame({"component": pd.Series(dtype="int64"),
                              "n_docs": pd.Series(dtype="int64"),
                              "keep_doc_id": pd.Series(dtype="int64")})
-    lab = label_components(pairs[["id_a", "id_b"]])
-    out = lab.groupby("component", as_index=False).agg(
-        n_docs=("id", "count"), keep_doc_id=("id", "min"))
     out = out.astype("int64").sort_values("component").reset_index(drop=True)
     return out[["component", "n_docs", "keep_doc_id"]]
 

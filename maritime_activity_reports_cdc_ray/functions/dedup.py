@@ -623,8 +623,8 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4,
 # ---------------------------------------------------------------------------
 def label_components(pairs_df: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
     """(id_a, id_b) edges → (id, component) with component = min id reachable.
-    Pure-pandas min-label propagation (the distributed version iterates the
-    same relation as a groupby per round; candidate sets here are small)."""
+    Pure-pandas min-label propagation for driver-sized pair sets; the
+    distributed equivalent is :func:`label_components_distributed`."""
     ids = pd.unique(pd.concat([pairs_df["id_a"], pairs_df["id_b"]], ignore_index=True))
     label = pd.Series(ids, index=ids)
     a = pairs_df["id_a"].to_numpy()
@@ -641,3 +641,125 @@ def label_components(pairs_df: pd.DataFrame, max_rounds: int = 20) -> pd.DataFra
             break
         label = merged
     return pd.DataFrame({"id": label.index.to_numpy(), "component": label.to_numpy()})
+
+
+def label_components_distributed(pairs_ds, num_partitions: int = 16,
+                                 max_rounds: int = 30):
+    """Distributed connected components over an (id_a, id_b) edge Dataset →
+    (id, component) Dataset with component = min id reachable.
+
+    Min-label propagation, one co-partitioned exchange per round — edges and
+    labels are hash-partitioned on the SAME key, so the per-round "join"
+    (attach each source node's current label to its outgoing edges) is a
+    C-level pandas merge inside ONE kernel per partition, never Dataset.join
+    (Ray 2.49's hash join is ~15k rows/s on duplicate-heavy keys) and never a
+    driver-side union-find. Edges are materialized once in the object store;
+    labels (one row per node) are re-materialized per round; the driver sees
+    only the changed-count scalar. Rounds needed = component diameter (dup
+    groups are near-cliques in practice, so 2-3).
+    """
+    import ray.data as rd
+
+    _I64MAX = np.iinfo(np.int64).max
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy(dtype=np.int64)
+        b = df["id_b"].to_numpy(dtype=np.int64)
+        d = pd.DataFrame({"key": np.concatenate([a, b]),
+                          "dst": np.concatenate([b, a])})
+        d["_part"] = _hash_part(d, ["key"], num_partitions)
+        d["is_lab"] = np.int64(0)
+        d["lab"] = np.int64(-1)
+        return d
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pandas").materialize()
+    edges = rd.from_pandas_refs(edges.to_pandas_refs())  # lineage cut, see rebase()
+    if edges.count() == 0:
+        return rd.from_pandas(pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                            "component": pd.Series(dtype="int64")}))
+
+    # initial labels: per node, min(self, neighbors) — a hash_agg-style
+    # two-stage min (per-batch partial → per-partition reduce)
+    def init_local(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"id": df["key"],
+                          "lab": np.minimum(df["key"], df["dst"])})
+        d = d.groupby("id", as_index=False, sort=False)["lab"].min()
+        d["_part"] = _hash_part(d, ["id"], num_partitions)
+        return d
+
+    labels = (edges.map_batches(init_local, batch_format="pandas")
+              .groupby("_part").map_groups(
+                  lambda g: g.groupby(["id", "_part"], as_index=False,
+                                      sort=False)["lab"].min(),
+                  batch_format="pandas")).materialize()
+
+    def as_msgs(df: pd.DataFrame) -> pd.DataFrame:
+        # label rows enter the exchange keyed by their own id
+        return pd.DataFrame({"key": df["id"], "dst": df["id"],
+                             "_part": df["_part"], "is_lab": np.int64(1),
+                             "lab": df["lab"]})
+
+    def jump_edges(df: pd.DataFrame) -> pd.DataFrame:
+        # pointer jumping: a synthetic edge lab(i) → i makes i receive
+        # lab(lab(i)) this round, shrinking convergence from O(diameter)
+        # to O(log diameter) rounds (path-halving short-cut)
+        d = df[df["lab"] != df["id"]]
+        out = pd.DataFrame({"key": d["lab"], "dst": d["id"]})
+        out["_part"] = _hash_part(out, ["key"], num_partitions)
+        out["is_lab"] = np.int64(0)
+        out["lab"] = np.int64(-1)
+        return out
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        labs = g[g["is_lab"] == 1]
+        eds = g[g["is_lab"] == 0]
+        out = [pd.DataFrame({"id": labs["dst"], "lab": labs["lab"],
+                             "old": labs["lab"]})]
+        if len(eds):
+            m = eds.merge(labs[["key", "lab"]], on="key", how="inner",
+                          suffixes=("", "_src"))
+            out.append(pd.DataFrame({"id": m["dst"], "lab": m["lab_src"],
+                                     "old": np.int64(_I64MAX)}))
+        d = pd.concat(out, ignore_index=True)
+        d = d.groupby("id", as_index=False, sort=False).min()  # partial
+        d["_part"] = _hash_part(d, ["id"], num_partitions)
+        return d
+
+    def reduce_labels(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["id", "_part"], as_index=False, sort=False).min()
+        d["changed"] = (d["lab"] < d["old"]).astype("int64")
+        return d[["id", "lab", "_part", "changed"]]
+
+    import ray
+
+    changed_of = ray.remote(lambda df: int(df["changed"].sum()) if "changed" in df else 0)
+
+    # ONE streaming execution per round. Two tricks keep rounds O(1):
+    # - HARD lineage cut: materialize() alone is not enough — feeding a
+    #   materialized dataset through union+groupby next round copies its
+    #   logical plan into the new plan, and the plan (and per-round cost)
+    #   grows geometrically (measured: 1.8s → 162s by round 8 on 200 rows).
+    #   Rebasing onto the materialized block refs (which stay in the object
+    #   store — nothing is collected to the driver) resets the plan.
+    # - the convergence check sums the changed column with tiny per-block Ray
+    #   tasks over those same refs instead of a second Dataset execution.
+    labels = rd.from_pandas_refs(labels.to_pandas_refs())
+    for _ in range(max_rounds):
+        msgs = labels.map_batches(as_msgs, batch_format="pandas")
+        jumps = labels.map_batches(jump_edges, batch_format="pandas")
+        exchanged = (msgs.union(jumps, edges)
+                     .groupby("_part").map_groups(propagate, batch_format="pandas"))
+        # propagate re-keys its partial output by id, so the second exchange
+        # groups on the already-correct _part
+        refs = (exchanged.groupby("_part")
+                .map_groups(reduce_labels, batch_format="pandas")
+                .materialize().to_pandas_refs())
+        n_changed = sum(ray.get([changed_of.remote(r) for r in refs]))
+        # next round's msgs/jumps simply never read the changed column
+        labels = rd.from_pandas_refs(refs)
+        if not n_changed:
+            break
+
+    return labels.map_batches(
+        lambda df: df.rename(columns={"lab": "component"})[["id", "component"]],
+        batch_format="pandas")

@@ -186,6 +186,36 @@ def test_label_components():
     assert lab[5] == lab[6] == 5
 
 
+def test_label_components_distributed_matches_pandas(ray_session):
+    pairs = pd.DataFrame({"id_a": [0, 1, 5, 9, 10], "id_b": [1, 3, 6, 10, 11]})
+    out = (D.label_components_distributed(_ds(pairs)).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    exp = D.label_components(pairs).sort_values("id").reset_index(drop=True)
+    assert out.equals(exp.astype("int64"))
+    # a 200-long chain exercises the pointer-jumping short-cut (plain
+    # propagation would need 200 rounds; max_rounds is 30)
+    chain = pd.DataFrame({"id_a": np.arange(200), "id_b": np.arange(1, 201)})
+    out = D.label_components_distributed(_ds(chain)).to_pandas()
+    assert (out.component == 0).all()
+
+
+def test_label_components_distributed_1m_edges(ray_session):
+    """1M edges generated AND labeled without ever materializing edges on the
+    driver: 100k star blocks of 11 nodes each."""
+    import ray.data as rd
+
+    edges = rd.range(1_000_000).map_batches(
+        lambda b: pd.DataFrame({"id_a": (b["id"] // 10) * 10,
+                                "id_b": b["id"] + 1_000_000}),
+        batch_format="pandas")
+    lab = D.label_components_distributed(edges, num_partitions=32)
+    assert lab.count() == 1_100_000
+    comps = lab.map_batches(
+        lambda df: pd.DataFrame({"c": df["component"].unique()}),
+        batch_format="pandas")
+    assert D.hash_distinct(comps, ["c"], 32).count() == 100_000
+
+
 # ------------------------------------------------------------- similarity
 def test_knn_brute_force(ray_session):
     rng = np.random.default_rng(0)
