@@ -53,40 +53,53 @@ from maritime_activity_reports_cdc_ray.schemas import GOLD_SCHEMA
 
 
 import contextlib
+import threading
+
+# Serializes DataContext mutation windows against concurrent dataset CREATION
+# (the bronze-prefetch thread). Ray seals a copy of the global DataContext
+# into each Dataset's plan at creation time and the executor reads ONLY the
+# sealed copy, so the lock needs to cover creation, never execution — both
+# critical sections are milliseconds and the prefetch overlap is preserved.
+_CTX_LOCK = threading.Lock()
 
 
 @contextlib.contextmanager
 def hash_shuffle_ctx():
-    """Scope the hash-shuffle strategy to one pipeline execution.
+    """Scope the hash-shuffle strategy to one pipeline's dataset CREATION.
 
     ``repartition(keys=...)`` needs ``ShuffleStrategy.HASH_SHUFFLE`` (Ray >=
     2.46), but the strategy is process-global on DataContext and leaking it
-    into unrelated groupby pipelines changes their physical plan (and its
-    aggregator actors can starve small clusters). Set it, size the aggregator
-    pool to the cluster, run, restore."""
+    into unrelated pipelines changes their physical plan (and its aggregator
+    actors can starve small clusters). A Dataset seals a context copy at
+    creation, so: take the lock, set the strategy, build the plan inside the
+    scope, restore + release — then execute OUTSIDE the scope (the sealed
+    copy keeps hash shuffle through execution; verified on Ray 2.49). The
+    lock keeps a concurrently-creating dataset (bronze prefetch thread) from
+    sealing the temporarily-mutated context."""
     import ray.data as rd
     from ray.data.context import ShuffleStrategy
 
-    ctx = rd.DataContext.get_current()
-    prev_strategy = ctx.shuffle_strategy
-    prev_aggs = getattr(ctx, "max_hash_shuffle_aggregators", None)
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
-        import ray
+    with _CTX_LOCK:
+        ctx = rd.DataContext.get_current()
+        prev_strategy = ctx.shuffle_strategy
+        prev_aggs = getattr(ctx, "max_hash_shuffle_aggregators", None)
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            import ray
 
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        # aggregators + merge actors (ncpu//2) + read tasks share the cluster;
-        # cpus//4 aggregators keeps ≥ cpus//4 slots free for reads so a small
-        # cluster can't deadlock on a fully-reserved pool
-        ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
-    except Exception:
-        pass
-    try:
-        yield
-    finally:
-        ctx.shuffle_strategy = prev_strategy
-        if prev_aggs is not None:
-            ctx.max_hash_shuffle_aggregators = prev_aggs
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            # aggregators + merge actors (ncpu//2) + read tasks share the
+            # cluster; cpus//4 aggregators keeps ≥ cpus//4 slots free for
+            # reads so a small cluster can't deadlock on a fully-reserved pool
+            ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
+        except Exception:
+            pass
+        try:
+            yield
+        finally:
+            ctx.shuffle_strategy = prev_strategy
+            if prev_aggs is not None:
+                ctx.max_hash_shuffle_aggregators = prev_aggs
 
 
 def ensure_hash_shuffle() -> None:  # kept for scripts that opt in globally
@@ -200,7 +213,13 @@ class CDCReplay:
         the merge phase's otherwise-idle read slots absorb the next epoch's
         scan/stamp/validate. Correctness is unchanged — bronze commits are
         per-epoch 2PC and the silver path only consumes committed bronze
-        epochs, so a crash mid-prefetch resumes exactly as before."""
+        epochs, so a crash mid-prefetch resumes exactly as before. Two
+        thread-safety invariants the overlap relies on: (1) manifest commits
+        are a single same-filesystem ``os.rename`` (``state/table.py``), so a
+        concurrent ``latest_manifest()`` read sees either the old or the new
+        manifest, never a partial one; (2) dataset creation is serialized
+        against DataContext mutation windows via ``_CTX_LOCK`` (see
+        ``hash_shuffle_ctx``)."""
         import threading
 
         epochs = self.discover_epochs(input_path, files_per_epoch)
@@ -215,6 +234,20 @@ class CDCReplay:
             if self.bronze.latest_manifest().epoch < e:
                 self._bronze_ingest(e, epochs[e])
 
+        def prefetch_bronze(e: int) -> None:
+            # best-effort: the main loop calls ensure_bronze(e) again after
+            # join, so a failed prefetch (e.g. a concurrent lazy-import race
+            # inside Ray's filesystem resolution surfacing as a plain
+            # ImportError) degrades to the unfused inline path, never a crash
+            try:
+                ensure_bronze(e)
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "bronze prefetch of epoch %d failed; retrying inline", e,
+                    exc_info=True)
+
         done = 0
         prefetch: threading.Thread | None = None
         for e in range(start, end):
@@ -224,7 +257,7 @@ class CDCReplay:
                     prefetch = None
                 ensure_bronze(e)
                 if e + 1 < end:
-                    prefetch = threading.Thread(target=ensure_bronze, args=(e + 1,))
+                    prefetch = threading.Thread(target=prefetch_bronze, args=(e + 1,))
                     prefetch.start()
             self.run_epoch(e, epochs[e])
             done += 1
@@ -282,7 +315,11 @@ class CDCReplay:
         import ray.data as rd
 
         cfg = self.cfg
-        ds = rd.read_parquet(files)
+        # creation (not execution) seals the DataContext — take the lock so a
+        # concurrent hash_shuffle_ctx mutation can't leak into this plan when
+        # this runs on the prefetch thread
+        with _CTX_LOCK:
+            ds = rd.read_parquet(files)
         ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
         ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
         ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow", zero_copy_batch=True)
@@ -409,8 +446,9 @@ class CDCReplay:
             )
 
         if exchange == "hash_actor":
-            # NB: a Dataset snapshots DataContext at creation — the whole build
-            # + execute must sit inside the hash-shuffle scope
+            # a Dataset seals its DataContext at CREATION, so only the plan
+            # build sits inside the hash-shuffle scope; take_all() executes
+            # with the sealed copy after the global context is restored
             with hash_shuffle_ctx():
                 ds = build_source().repartition(nshuffle, keys=["gid"])
                 # autoscaling pool (min, max): a fixed pool would reserve its
@@ -426,7 +464,7 @@ class CDCReplay:
                                  max(2, min(nshuffle, ncpu - aggs - 2))),
                     num_cpus=cfg.merge_num_cpus,
                 )
-                lineage_rows = res.take_all()
+            lineage_rows = res.take_all()
         else:  # sort_task: warm-worker tasks, no actor spin-up per epoch
             ds = build_source()
             # group by the scrambled gkey (see make_gid_assigner) so the
