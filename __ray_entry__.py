@@ -393,7 +393,7 @@ def events_value_percentiles(sf_dir: str):
     return out[["event_type", "n", "p50", "p90"]]
 
 
-_CDC_STREAM_V = "v2"  # bump when the adapted stream or engine config changes
+_CDC_STREAM_V = "v3"  # bump when the adapted stream or engine config changes
 
 
 def _replay_events_as_cdc(sf_dir: str):
@@ -412,7 +412,8 @@ def _replay_events_as_cdc(sf_dir: str):
     tag = os.path.basename(os.path.normpath(sf_dir))
     work = os.path.join("/tmp", f"cdc_adapt_{tag}_{_CDC_STREAM_V}")
     done = os.path.join(work, "_DONE")
-    cfg = EngineConfig(num_partitions=8, commit_regex=r"^c[0-9]{24}$")
+    cfg = EngineConfig(num_partitions=8, commit_regex=r"^c[0-9]{24}$",
+                       lookup_cache_keys=("repo", "path"))
     if not os.path.exists(done):
         shutil.rmtree(work, ignore_errors=True)
         os.makedirs(os.path.join(work, "events"))
@@ -541,6 +542,25 @@ def cdc_nochange_current(sf_dir: str):
         "event_type": sil.path,
         "last_change_event_id": sil.commit.str.slice(17).astype("int64"),
         "content": sil.content,
+    }).sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+def cdc_lookup_cache(sf_dir: str):
+    """G4 keyed lookup-cache through the real engine (reference
+    silver/streaming_processor.py:150-191): each replayed epoch MERGEs its
+    distinct (user, event_type) keys — matched bumps access_count + refreshes
+    last_accessed_epoch, unmatched inserts with count 1. SQL oracle: count of
+    DISTINCT epochs per key plus min/max epoch, with the adapter's exact
+    quartile epoch split (row j of the event_id order → epoch i iff
+    i*n//4 <= j < (i+1)*n//4)."""
+    r = _replay_events_as_cdc(sf_dir)
+    df = r.cache().read().to_pandas()
+    return pd.DataFrame({
+        "user_id": df.repo.str.slice(1).astype("int64"),
+        "event_type": df.path,
+        "access_count": df.access_count.astype("int64"),
+        "first_seen_epoch": df.first_seen_epoch.astype("int64"),
+        "last_accessed_epoch": df.last_accessed_epoch.astype("int64"),
     }).sort_values(["user_id", "event_type"]).reset_index(drop=True)
 
 
@@ -848,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_nochange": cdc_scd2_nochange,
         "cdc_nochange_current": cdc_nochange_current,
         "cdc_gold_rollup": cdc_gold_rollup,
+        "cdc_lookup_cache": cdc_lookup_cache,
         "docs_token_stats": docs_token_stats,
         "docs_bpe_token_stats": docs_bpe_token_stats,
         "docs_fingerprint": docs_fingerprint,
@@ -1080,6 +1101,28 @@ def oracle_sql() -> dict[str, str]:
             FROM kept
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                        ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_lookup_cache": """
+            WITH ev AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS j,
+                       COUNT(*) OVER () AS n
+                FROM events
+            ),
+            e2 AS (
+                SELECT user_id, event_type,
+                       CASE WHEN j < (1*n)//4 THEN 0
+                            WHEN j < (2*n)//4 THEN 1
+                            WHEN j < (3*n)//4 THEN 2
+                            ELSE 3 END AS epoch
+                FROM ev
+            )
+            SELECT user_id, event_type,
+                   CAST(COUNT(DISTINCT epoch) AS BIGINT) AS access_count,
+                   CAST(MIN(epoch) AS BIGINT) AS first_seen_epoch,
+                   CAST(MAX(epoch) AS BIGINT) AS last_accessed_epoch
+            FROM e2
+            GROUP BY user_id, event_type
         """,
         "cdc_gold_rollup": """
             WITH w AS (

@@ -87,6 +87,14 @@ class EngineConfig:
     # --- gold refresh cadence (reference: gold/streaming_processor.py:98-105) ---
     gold_refresh_every_epochs: int = 1
 
+    # --- lookup cache (reference G4, silver/streaming_processor.py:150-191) ---
+    # when set, each epoch MERGEs its distinct key tuples into a keyed cache
+    # table at <lake>/cache: matched keys bump access_count and refresh
+    # last_accessed_epoch, new keys insert with count 1 (the reference's
+    # spatial_enrichment_cache, with the deterministic epoch number standing
+    # in for current_timestamp()). Empty tuple = no cache.
+    lookup_cache_keys: tuple[str, ...] = ()
+
     # --- misc ---
     source_system: str = "repo-commit-stream"
     extra: dict = field(default_factory=dict)

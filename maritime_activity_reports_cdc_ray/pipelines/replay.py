@@ -190,6 +190,14 @@ class CDCReplay:
         LakeTable.create(self.bronze.root, "bronze_events", BRONZE_SCHEMA, self.cfg.num_partitions)
         LakeTable.create(self.silver.root, "silver_current", SILVER_CURRENT_SCHEMA, self.cfg.num_partitions)
         LakeTable.create(self.gold.root, "gold_repo_summary", GOLD_SCHEMA, self.cfg.num_partitions)
+        if self.cfg.lookup_cache_keys:
+            from maritime_activity_reports_cdc_ray.state.cache import LookupCache
+
+            keys = list(self.cfg.lookup_cache_keys)
+            LookupCache.create(
+                os.path.join(self.root, "cache"), keys,
+                pa.schema([BRONZE_SCHEMA.field(k) for k in keys]),
+                num_partitions=8)
 
     # ------------------------------------------------------------------- run
     @staticmethod
@@ -293,12 +301,42 @@ class CDCReplay:
             sm = self.silver.latest_manifest()
             if sm.epoch < epoch:
                 self._silver_merge(epoch)
+        if self.cfg.lookup_cache_keys:
+            self._update_lookup_cache(epoch)
         gm = self.gold.latest_manifest()
         # cadence knob (reference: MV refresh every 10 ticks,
         # gold/streaming_processor.py:98-105): skipped epochs leave the gold
         # watermark lagging; the next refresh folds in all lineage since it.
         if gm.epoch < epoch and epoch % self.cfg.gold_refresh_every_epochs == 0:
             self._gold_refresh(epoch)
+
+    def _update_lookup_cache(self, epoch: int) -> None:
+        """MERGE each committed epoch's distinct key tuples into the lookup
+        cache (G4; reference silver/streaming_processor.py:150-191). The cache
+        has its own watermark, so a crash between the silver and cache commits
+        replays the missed epochs from the committed bronze fragments here —
+        one upsert per epoch keeps access_count exactly-once."""
+        import ray.data as rd
+
+        from maritime_activity_reports_cdc_ray.state.cache import LookupCache
+
+        cache = self.cache()
+        keys = list(self.cfg.lookup_cache_keys)
+        for e in range(cache.table.latest_manifest().epoch + 1, epoch + 1):
+            paths = self._bronze_epoch_paths(e)
+            if not paths:
+                continue
+            with _CTX_LOCK:
+                # columns= prunes hive-inferred partition fields itself;
+                # combining it with partitioning=None trips a Ray 2.49 bug
+                # (see read_silver)
+                upd = rd.read_parquet(paths, columns=keys)
+            cache.upsert_epoch(upd, e)
+
+    def cache(self):
+        from maritime_activity_reports_cdc_ray.state.cache import LookupCache
+
+        return LookupCache(os.path.join(self.root, "cache"))
 
     def finalize_gold(self) -> None:
         """Bring gold up to the silver watermark regardless of cadence (also
