@@ -65,6 +65,10 @@ def main(argv=None):
     sp = sub.add_parser("vacuum", help="delete unreferenced fragment files")
     common(sp)
 
+    sp = sub.add_parser("metrics", help="per-epoch stream progress (lastProgress analogue)")
+    common(sp)
+    sp.add_argument("--history", action="store_true", help="all epochs, not just the last")
+
     sp = sub.add_parser("health", help="lake health summary")
     common(sp)
 
@@ -101,6 +105,11 @@ def main(argv=None):
         from maritime_activity_reports_cdc_ray.pipelines.maintenance import health_check
 
         print(json.dumps(health_check(r), indent=1))
+        return 0
+
+    if args.cmd == "metrics":
+        out = r.epoch_history() if args.history else r.stream_metrics()
+        print(json.dumps(out, indent=1))
         return 0
 
     if args.cmd == "vacuum":

@@ -281,6 +281,9 @@ class CDCReplay:
 
     # ------------------------------------------------------------ one epoch
     def run_epoch(self, epoch: int, files: list[str]) -> None:
+        import time
+
+        t0 = time.monotonic()
         bm = self.bronze.latest_manifest()
         sm = self.silver.latest_manifest()
         # pre-epoch hot-key detection: adaptive (post-epoch) salting reacts one
@@ -309,6 +312,76 @@ class CDCReplay:
         # watermark lagging; the next refresh folds in all lineage since it.
         if gm.epoch < epoch and epoch % self.cfg.gold_refresh_every_epochs == 0:
             self._gold_refresh(epoch)
+        self._record_progress(epoch, time.monotonic() - t0)
+
+    # ------------------------------------------------------------- monitoring
+    def _record_progress(self, epoch: int, duration_s: float) -> None:
+        """Persist a per-epoch progress record (reference: per-stream
+        ``lastProgress`` metrics surfaced by ``get_stream_metrics``,
+        ``silver/cdf_processor.py:334-349``). One small JSON per epoch under
+        ``<lake>/_progress`` — atomic rename, cheap at any scale (one file
+        per epoch, not per task)."""
+        lp = os.path.join(self.silver.root, "_lineage", f"epoch-{epoch}.json")
+        rows_in = rows_applied = 0
+        if os.path.exists(lp):
+            for r in json.load(open(lp)):
+                rows_in += int(r.get("rows_in", 0))
+                rows_applied += int(r.get("rows_applied", 0))
+        dur_ms = duration_s * 1e3
+        rec = {
+            "batch_id": epoch,
+            "num_input_rows": rows_in,
+            "num_applied_rows": rows_applied,
+            "batch_duration_ms": round(dur_ms, 1),
+            "input_rows_per_second": round(rows_in / duration_s, 1) if duration_s > 0 else 0.0,
+            "processed_rows_per_second": round(rows_applied / duration_s, 1) if duration_s > 0 else 0.0,
+            "silver_epoch": self.silver.latest_manifest().epoch,
+            "gold_epoch": self.gold.latest_manifest().epoch,
+        }
+        pdir = os.path.join(self.root, "_progress")
+        os.makedirs(pdir, exist_ok=True)
+        dst = os.path.join(pdir, f"epoch-{epoch:010d}.json")
+        with open(dst + ".tmp", "w") as f:
+            json.dump(rec, f)
+        os.replace(dst + ".tmp", dst)
+
+    def last_progress(self) -> dict | None:
+        """Most recent per-epoch progress record (``lastProgress`` analogue)."""
+        pdir = os.path.join(self.root, "_progress")
+        if not os.path.isdir(pdir):
+            return None
+        names = sorted(n for n in os.listdir(pdir) if n.endswith(".json"))
+        if not names:
+            return None
+        return json.load(open(os.path.join(pdir, names[-1])))
+
+    def stream_metrics(self) -> dict:
+        """Reference-shaped stream metrics (``get_stream_metrics``,
+        ``silver/cdf_processor.py:334-349``): last batch's rates + watermark
+        status. ``status`` is 'active' while gold lags silver or silver lags
+        bronze (work pending), else 'idle'."""
+        p = self.last_progress() or {}
+        bm, sm, gm = (self.bronze.latest_manifest(), self.silver.latest_manifest(),
+                      self.gold.latest_manifest())
+        pending = (sm.epoch < bm.epoch) or (gm.epoch < sm.epoch)
+        return {
+            "query_id": self.silver.latest_manifest().name,
+            "status": "active" if pending else "idle",
+            "batch_id": p.get("batch_id", -1),
+            "num_input_rows": p.get("num_input_rows", 0),
+            "batch_duration_ms": p.get("batch_duration_ms", 0),
+            "input_rows_per_second": p.get("input_rows_per_second", 0.0),
+            "processed_rows_per_second": p.get("processed_rows_per_second", 0.0),
+            "bronze_epoch": bm.epoch, "silver_epoch": sm.epoch, "gold_epoch": gm.epoch,
+        }
+
+    def epoch_history(self) -> list[dict]:
+        """All per-epoch progress records, oldest first (recentProgress)."""
+        pdir = os.path.join(self.root, "_progress")
+        if not os.path.isdir(pdir):
+            return []
+        return [json.load(open(os.path.join(pdir, n)))
+                for n in sorted(os.listdir(pdir)) if n.endswith(".json")]
 
     def _update_lookup_cache(self, epoch: int) -> None:
         """MERGE each committed epoch's distinct key tuples into the lookup

@@ -33,6 +33,7 @@ Delta checkpoint file. Per-epoch lineage lives in side files, not the manifest.
 from __future__ import annotations
 
 import base64
+import glob
 import json
 import os
 import re
@@ -238,6 +239,57 @@ class LakeTable:
             fragments=keep + list(new_fragments),
             salt_map=dict(salt_map) if salt_map is not None else m.salt_map,
             stats=m.stats,
+        )
+        self._write_manifest(m2)
+        return m2
+
+    def overwrite(self, data, schema: pa.Schema | None = None,
+                  compression: str = "zstd") -> Manifest:
+        """Full refresh (S4): atomically replace the table's entire contents —
+        the reference-data path (``mode("overwrite")`` +
+        ``overwriteSchema=true``, ``bronze/cdc_ingestion.py:121-127``).
+
+        ``data`` is a Ray Dataset (streamed fragment-per-block, the scale
+        path) or a ``pyarrow.Table`` (small dims). Fragments are staged under
+        a version-scoped directory, then ONE manifest swap publishes them and
+        drops every previous fragment — readers see the old or the new table,
+        never a mix; ``vacuum()`` reclaims the old files. The epoch watermark
+        is preserved (a reference refresh is not a CDC epoch)."""
+        import pyarrow.parquet as pq
+
+        m = self.latest_manifest()
+        assert m is not None, "table not created"
+        ver = m.version + 1
+        outdir = self.abspath(f"fragments/refresh-{ver:010d}")
+        os.makedirs(outdir, exist_ok=True)
+        if isinstance(data, pa.Table):
+            dst = os.path.join(outdir, "part-000000.parquet")
+            pq.write_table(data, dst + ".tmp", compression=compression)
+            os.replace(dst + ".tmp", dst)
+            new_schema = schema or data.schema
+        else:
+            data.write_parquet(outdir, compression=compression)
+            new_schema = schema  # resolved from the written files below
+        frags = []
+        for fp in sorted(glob.glob(os.path.join(outdir, "*.parquet"))):
+            if new_schema is None:
+                new_schema = pq.read_schema(fp)
+            md = pq.read_metadata(fp)
+            frags.append(Fragment(
+                path=os.path.relpath(fp, self.root), pid=-1, salt=0,
+                kind="data", epoch=m.epoch, rows=md.num_rows,
+                bytes=os.path.getsize(fp)))
+        if new_schema is None:  # empty refresh keeps the old schema
+            new_schema = m.schema
+        m2 = Manifest(
+            version=ver,
+            epoch=m.epoch,
+            name=m.name,
+            num_partitions=m.num_partitions,
+            schema_b64=schema_to_b64(new_schema),
+            fragments=frags,
+            salt_map={},
+            stats=_merge_stats(m.stats, {"overwrites": 1}),
         )
         self._write_manifest(m2)
         return m2

@@ -181,3 +181,32 @@ def test_pipelined_bronze_prefetch_matches_oracle(ray_session, stream, tmp_path)
     assert out["epochs_run"] == 4
     _assert_matches_oracle(r, oracle)
     assert r.run(d)["epochs_run"] == 0  # still exactly-once
+
+
+def test_stream_progress_metrics(ray_session, stream, tmp_path):
+    """Per-epoch progress records + reference-shaped stream metrics
+    (get_stream_metrics, silver/cdf_processor.py:334-349)."""
+    src, files, oracle = stream
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(src)
+    hist = r.epoch_history()
+    assert [h["batch_id"] for h in hist] == [0, 1, 2, 3]
+    for h in hist:
+        assert h["num_input_rows"] > 0
+        assert h["batch_duration_ms"] > 0
+        assert h["input_rows_per_second"] > 0
+    p = r.last_progress()
+    assert p["batch_id"] == 3 and p["silver_epoch"] == 3
+    m = r.stream_metrics()
+    assert m["status"] == "idle" and m["batch_id"] == 3
+    assert m["bronze_epoch"] == m["silver_epoch"] == m["gold_epoch"] == 3
+    # CLI surface (no Ray session needed)
+    import json as _json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "maritime_activity_reports_cdc_ray.cli", "metrics",
+         "--root", str(tmp_path / "lake")], capture_output=True, text=True, check=True)
+    assert _json.loads(out.stdout)["batch_id"] == 3

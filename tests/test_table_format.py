@@ -97,3 +97,40 @@ def test_reference_data_readers(ray_session, tmp_path):
         read_reference_data(str(tmp_path / "ref.xml"))
     ev = read_events(str(tmp_path / "ref.parquet"), columns=["k"]).to_pandas()
     assert list(ev.columns) == ["k"]
+
+
+def test_overwrite_full_refresh(ray_session, tmp_path):
+    """S4: mode('overwrite') + overwriteSchema analogue — one manifest swap
+    replaces all contents; vacuum reclaims the old fragments."""
+    import ray.data as rd
+
+    lake = LakeTable.create(str(tmp_path / "t"), "t", SCHEMA, 4)
+    f = lake.stage_fragment(_t([("a", 1), ("b", 2)]), 0, 0, 0, "data")
+    lake.commit_epoch(0, [f])
+    # pa.Table refresh with a NEW schema (overwriteSchema)
+    s2 = pa.schema([("k", pa.string()), ("v", pa.int64()), ("z", pa.string())])
+    m = lake.overwrite(pa.table({"k": ["x"], "v": [9], "z": ["Z"]}, schema=s2))
+    assert m.epoch == 0  # watermark preserved
+    assert m.schema.equals(s2)
+    assert [f.rows for f in m.fragments] == [1]
+    assert m.stats.get("overwrites") == 1
+    # Dataset refresh (streamed, fragment per block)
+    ds = rd.from_arrow(pa.table({"k": ["p", "q"], "v": [1, 2], "z": ["a", "b"]}, schema=s2))
+    m = lake.overwrite(ds)
+    assert sum(f.rows for f in m.fragments) == 2
+    assert m.schema.names == ["k", "v", "z"]
+    # old files are gone after vacuum; live data intact
+    assert lake.vacuum() > 0
+    import pyarrow.parquet as pq
+
+    live = pa.concat_tables([pq.read_table(p) for p in lake.all_fragment_paths(m)])
+    assert sorted(live.column("k").to_pylist()) == ["p", "q"]
+
+
+def test_overwrite_empty_keeps_schema(tmp_path):
+    lake = LakeTable.create(str(tmp_path / "t"), "t", SCHEMA, 4)
+    f = lake.stage_fragment(_t([("a", 1)]), 0, 0, 0, "data")
+    lake.commit_epoch(0, [f])
+    m = lake.overwrite(pa.table({"k": pa.array([], pa.string()),
+                                 "v": pa.array([], pa.int64())}, schema=SCHEMA))
+    assert m.schema.equals(SCHEMA) and sum(fr.rows for fr in m.fragments) == 0
