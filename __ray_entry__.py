@@ -663,6 +663,40 @@ def docs_lang_id(sf_dir: str):
     return out.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n")).to_pandas()
 
 
+def docs_enrichment(sf_dir: str):
+    """M9 dim-enrichment stage: declarative CASE ladders (the reference's
+    zone banding, silver/streaming_processor.py:130-147) evaluated with one
+    np.select per ladder inside map_batches — script_family from lang set
+    membership, size_tier from n_chars range bands — then a global rollup.
+    SQL oracle: the same CASE ladders in DuckDB."""
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+    from maritime_activity_reports_cdc_ray.stages.enrich import (
+        CaseLadder,
+        Rule,
+        make_enricher,
+    )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    ladders = [
+        CaseLadder("script_family", [
+            Rule("lang", "in", ("zh", "ja", "ko"), "cjk"),
+            Rule("lang", "in", ("ru", "uk"), "cyrillic"),
+            Rule("lang", "in", ("en", "de", "fr", "es", "pt", "it", "nl"), "latin"),
+        ], "other"),
+        CaseLadder("size_tier", [
+            Rule("n_chars", "ge", 400, "long"),
+            Rule("n_chars", "between", (200, 400), "medium"),
+        ], "short"),
+    ]
+    enr = ds.map_batches(make_enricher(ladders), batch_format="pandas")
+    out = hash_agg(enr, ["script_family", "size_tier"],
+                   {"n_docs": ("doc_id", "count"),
+                    "total_chars": ("n_chars", "sum")}).to_pandas()
+    out = out.astype({"n_docs": "int64", "total_chars": "int64"})
+    return (out[["script_family", "size_tier", "n_docs", "total_chars"]]
+            .sort_values(["script_family", "size_tier"]).reset_index(drop=True))
+
+
 def docs_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates with exact Jaccard verify (rows-only)."""
     from maritime_activity_reports_cdc_ray.functions.dedup import (
@@ -874,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": docs_fingerprint,
         "docs_quality": docs_quality,
         "docs_lang_id": docs_lang_id,
+        "docs_enrichment": docs_enrichment,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_ngram_jaccard_dupes": docs_ngram_jaccard_dupes,
         "docs_dup_groups": docs_dup_groups,
@@ -1101,6 +1136,24 @@ def oracle_sql() -> dict[str, str]:
             FROM kept
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                        ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "docs_enrichment": """
+            WITH e AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN lang IN ('zh','ja','ko') THEN 'cjk'
+                            WHEN lang IN ('ru','uk') THEN 'cyrillic'
+                            WHEN lang IN ('en','de','fr','es','pt','it','nl') THEN 'latin'
+                            ELSE 'other' END AS script_family,
+                       CASE WHEN n_chars >= 400 THEN 'long'
+                            WHEN n_chars >= 200 AND n_chars < 400 THEN 'medium'
+                            ELSE 'short' END AS size_tier
+                FROM documents
+            )
+            SELECT script_family, size_tier,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM e
+            GROUP BY script_family, size_tier
         """,
         "cdc_lookup_cache": """
             WITH ev AS (
