@@ -1,0 +1,157 @@
+"""Materialized views over the gold/silver tables with per-view staleness.
+
+Reference model: one BigQuery MV per analytics product, each carrying its own
+``max_staleness`` option (``gold/materialized_views.py:41-52``, configured via
+``models/schemas.py:181``) — the engine of record refreshes a view only when
+its age exceeds the view's own budget, so cheap hot views stay fresh while
+expensive rollups refresh lazily.
+
+Engine analogue: a :class:`ViewRegistry` of named view definitions. Each view
+is a callable from the replay handle to a (small) result — typically a
+projection / argmax / rollup over ``read_gold()`` or ``read_silver()`` that
+executes as a streamed Dataset and collects only the view-sized output. Per
+view we persist the result parquet plus a watermark meta under
+``<lake>/views/<name>/`` (temp + atomic rename, same commit discipline as the
+manifests); ``refresh_due()`` recomputes exactly the views whose watermark
+lags the silver epoch by more than their ``max_staleness_epochs``.
+
+Scale note: view RESULTS are the small side (per-repo / per-lang rollups);
+their inputs stream through Ray Data. A view whose result is itself huge
+belongs in gold as a table, not here — mirroring the reference, where MVs sit
+on top of the already-aggregated gold exports.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+@dataclass
+class ViewDef:
+    name: str
+    fn: Callable  # (replay) -> pandas.DataFrame | ray Dataset
+    max_staleness_epochs: int = 1  # refresh when silver_epoch - view_epoch > this - 1
+    description: str = ""
+
+
+class ViewRegistry:
+    def __init__(self, replay, views: list[ViewDef] | None = None):
+        self.replay = replay
+        self.views: dict[str, ViewDef] = {}
+        for v in views if views is not None else default_views():
+            self.register(v)
+
+    def register(self, v: ViewDef) -> None:
+        self.views[v.name] = v
+
+    # ------------------------------------------------------------------ paths
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.replay.root, "views", name)
+
+    def _meta(self, name: str) -> dict:
+        mp = os.path.join(self._dir(name), "_meta.json")
+        if not os.path.exists(mp):
+            return {"epoch": -1}
+        return json.load(open(mp))
+
+    # ---------------------------------------------------------------- refresh
+    def view_epoch(self, name: str) -> int:
+        return int(self._meta(name)["epoch"])
+
+    def staleness(self) -> dict:
+        """Per-view lag vs the silver watermark (epochs)."""
+        cur = self.replay.silver.latest_manifest().epoch
+        return {n: {"view_epoch": self.view_epoch(n),
+                    "lag_epochs": cur - self.view_epoch(n),
+                    "max_staleness_epochs": v.max_staleness_epochs}
+                for n, v in self.views.items()}
+
+    def refresh_due(self, force: bool = False) -> dict:
+        """Refresh every view whose lag exceeds its staleness budget (or all,
+        when ``force``). Returns {name: 'refreshed' | 'fresh'}."""
+        cur = self.replay.silver.latest_manifest().epoch
+        out = {}
+        for name, v in self.views.items():
+            ve = self.view_epoch(name)
+            lag = cur - ve
+            # a view that has never materialized (epoch -1) always refreshes
+            if not force and ve >= 0 and lag < v.max_staleness_epochs:
+                out[name] = "fresh"
+                continue
+            res = v.fn(self.replay)
+            if not isinstance(res, pd.DataFrame):
+                res = res.to_pandas()  # view results are small by contract
+            d = self._dir(name)
+            os.makedirs(d, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            os.close(fd)
+            try:
+                pq.write_table(pa.Table.from_pandas(res, preserve_index=False), tmp)
+                os.replace(tmp, os.path.join(d, "data.parquet"))
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            mp = os.path.join(d, "_meta.json")
+            with open(mp + ".tmp", "w") as f:
+                json.dump({"epoch": cur, "rows": len(res)}, f)
+            os.replace(mp + ".tmp", mp)
+            out[name] = "refreshed"
+        return out
+
+    def read(self, name: str) -> pd.DataFrame:
+        return pq.read_table(os.path.join(self._dir(name), "data.parquet")).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Built-in views — the A7-A9 analytics products over the code-change domain.
+# ---------------------------------------------------------------------------
+def _activity_summary(replay) -> pd.DataFrame:
+    """A7: per-repo activity rollup straight off gold (already aggregated —
+    the view is a cheap projection, refresh every epoch)."""
+    g = replay.read_gold().to_pandas()
+    if not len(g):
+        return pd.DataFrame(columns=["repo", "file_count", "total_bytes",
+                                     "total_versions", "deleted_count"])
+    return (g[["repo", "file_count", "total_bytes", "total_versions", "deleted_count"]]
+            .sort_values("repo").reset_index(drop=True))
+
+
+def _latest_repo_status(replay) -> pd.DataFrame:
+    """A9/J2-style: latest commit + live file count per repo (argmax over
+    gold's latest_commit watermark)."""
+    g = replay.read_gold().to_pandas()
+    if not len(g):
+        return pd.DataFrame(columns=["repo", "latest_commit", "file_count"])
+    return (g[["repo", "latest_commit", "file_count"]]
+            .sort_values("repo").reset_index(drop=True))
+
+
+def _lang_breakdown(replay) -> pd.DataFrame:
+    """A10-style: global language histogram from gold's per-repo lang_counts
+    (small: one row per lang)."""
+    g = replay.read_gold().to_pandas()
+    rows: dict[str, int] = {}
+    for lc in g.get("lang_counts", []):
+        for d in lc:
+            rows[d["lang"]] = rows.get(d["lang"], 0) + int(d["n"])
+    return (pd.DataFrame({"lang": list(rows), "n_files": list(rows.values())})
+            .sort_values("lang").reset_index(drop=True))
+
+
+def default_views() -> list[ViewDef]:
+    return [
+        ViewDef("repo_activity_summary", _activity_summary, 1,
+                "per-repo rollup (refresh every epoch)"),
+        ViewDef("latest_repo_status", _latest_repo_status, 1,
+                "hot status view (refresh every epoch)"),
+        ViewDef("lang_breakdown", _lang_breakdown, 3,
+                "slow-moving histogram (staleness budget 3 epochs)"),
+    ]

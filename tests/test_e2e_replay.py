@@ -210,3 +210,38 @@ def test_stream_progress_metrics(ray_session, stream, tmp_path):
         [sys.executable, "-m", "maritime_activity_reports_cdc_ray.cli", "metrics",
          "--root", str(tmp_path / "lake")], capture_output=True, text=True, check=True)
     assert _json.loads(out.stdout)["batch_id"] == 3
+
+
+def test_materialized_views_staleness(ray_session, stream, tmp_path):
+    """Per-view max_staleness (reference gold/materialized_views.py:41-52):
+    views refresh only when their lag exceeds their own budget."""
+    from maritime_activity_reports_cdc_ray.pipelines.views import ViewRegistry
+
+    src, files, oracle = stream
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(src, max_epochs=2)  # epochs 0-1
+    reg = ViewRegistry(r)
+    out = reg.refresh_due()
+    assert set(out.values()) == {"refreshed"}  # all lag from -1
+    st = reg.staleness()
+    assert all(v["lag_epochs"] == 0 for v in st.values())
+    # immediately after: everything is fresh
+    assert set(reg.refresh_due().values()) == {"fresh"}
+    # two more epochs: hot views (budget 1) refresh, the slow one (budget 3)
+    # stays within budget
+    r.run(src)  # epochs 2-3
+    out = reg.refresh_due()
+    assert out["repo_activity_summary"] == "refreshed"
+    assert out["latest_repo_status"] == "refreshed"
+    assert out["lang_breakdown"] == "fresh"
+    assert reg.staleness()["lang_breakdown"]["lag_epochs"] == 2
+    # view content matches gold
+    g = r.read_gold().to_pandas()
+    v = reg.read("repo_activity_summary")
+    assert len(v) == len(g)
+    assert int(v.total_versions.sum()) == int(g.total_versions.sum())
+    # force refresh catches the slow view up
+    assert reg.refresh_due(force=True)["lang_breakdown"] == "refreshed"
+    lb = reg.read("lang_breakdown")
+    assert int(lb.n_files.sum()) == int(g.file_count.sum())
