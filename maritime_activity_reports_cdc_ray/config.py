@@ -53,12 +53,19 @@ class EngineConfig:
     merge_num_cpus: float = 1.0
     write_compression: str = "zstd"
     # merge exchange shape:
-    #   "hash_actor" — hash-shuffle operator + stateful actor pool (north_star
-    #                  shape; per-execution actor startup amortizes on big
-    #                  epochs — the 100 TB path),
+    #   "bronze_bucket" — map-side-file exchange: the fused bronze persist
+    #                  writes one fragment per (block, bucket) and merge tasks
+    #                  read exactly their bucket — the all-to-all rides the
+    #                  mandatory bronze write (filesystem / shared storage),
+    #                  with no object-store shuffle, aggregator actors, or
+    #                  sort barrier. Fused large epochs only; auto default.
+    #   "hash_actor" — hash-shuffle operator + stateful actor pool (in-memory
+    #                  exchange; the large-epoch path when bronze is already
+    #                  committed, e.g. crash resume),
     #   "sort_task"  — sort-based groupby + task closures on warm workers
     #                  (no actor spin-up; wins when an epoch is small),
-    #   "auto"       — pick by epoch input rows vs hash_exchange_min_rows.
+    #   "auto"       — bronze_bucket for fused epochs >= hash_exchange_min_rows,
+    #                  hash_actor for unfused large epochs, else sort_task.
     merge_exchange: str = "auto"
     # measured crossover (32-CPU single node, 6M-row epochs): the hash/actor
     # exchange streams through its aggregators and overlaps the read — 59 s vs

@@ -146,6 +146,106 @@ def _make_bronze_writer(outdir: str, compression: str):
     return write
 
 
+_BUCKET_META_SCHEMA = pa.schema([("path", pa.string()), ("bucket", pa.int64()),
+                                 ("rows", pa.int64())])
+
+
+def _make_bucketed_bronze_writer(outdir: str, compression: str, nbuckets: int,
+                                 salt_arr, max_salt: int):
+    """Map-side shuffle writer for the ``bronze_bucket`` exchange: the
+    mandatory bronze persist doubles as the all-to-all.
+
+    Each task splits its block by ``bucket = scramble(gid) % nbuckets`` (gid
+    computed transiently from pid/path_hash + the epoch's salt array — NOT
+    persisted, so the files are ordinary bronze fragments and the unfused
+    resume path reads them unchanged) and writes one fragment per non-empty
+    bucket. A merge task then reads exactly its bucket's files — complete gid
+    groups by construction — with no object-store exchange, no aggregator
+    actors, and no sort barrier: the only inter-phase hop is the filesystem
+    (page cache on one box; the classic external-shuffle layout on a real
+    cluster, where bronze lives on shared storage every node can read).
+
+    File names derive from block content (min sequence number + row count +
+    bucket), so a retried task overwrites its own output; the driver clears
+    the epoch dir before the execution. Returns one metadata row per file."""
+    import tempfile
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    salt_by_pid = np.asarray(salt_arr, dtype=np.uint64)
+
+    def write(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return align_empty(_BUCKET_META_SCHEMA)
+        pid = batch.column("pid").to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = batch.column("path_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        gid = (pid * max_salt + (ph % salt_by_pid[pid]).astype(np.int64)).astype(np.uint64)
+        # NB: take the HIGH bits of the multiplicative scramble. gid =
+        # pid*max_salt+salt, so with a power-of-two bucket count a low-bits
+        # modulus degenerates to f(salt) alone and every pid collapses into
+        # ~default_salt buckets (observed: 16 skewed merge tasks on 32 cores)
+        mixed = (gid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        bucket = (mixed % np.uint64(nbuckets)).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        sb = batch.take(pa.array(order, pa.int64()))
+        bs = bucket[order]
+        bounds = np.flatnonzero(np.diff(bs, prepend=bs[0] - 1))
+        bounds = np.append(bounds, len(bs))
+        seqmin = int(_pc.min(batch.column("cdc_sequence_number")).as_py())
+        rows = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            b = int(bs[lo])
+            dst = os.path.join(
+                outdir, f"data-{seqmin:020d}-{batch.num_rows}-b{b:05d}.parquet")
+            fd, tmp = tempfile.mkstemp(dir=outdir, suffix=".tmp")
+            os.close(fd)
+            try:
+                _pq.write_table(sb.slice(lo, hi - lo), tmp, compression=compression)
+                os.replace(tmp, dst)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            rows.append({"path": dst, "bucket": b, "rows": hi - lo})
+        return pa.Table.from_pylist(rows, schema=_BUCKET_META_SCHEMA)
+
+    return write
+
+
+def align_empty(schema: pa.Schema) -> pa.Table:
+    return pa.Table.from_pylist([], schema=schema)
+
+
+def _make_bucket_merge_fn(num_partitions: int, salt_arr, merge_args):
+    """Merge-task fn for the ``bronze_bucket`` exchange: each item is one
+    bucket (a list of fragment paths holding complete gid groups). Reads the
+    bucket, recomputes gid (same salt array as the writer), and runs the
+    shared ``process_gid_groups`` kernel."""
+    from maritime_activity_reports_cdc_ray.stages.merge import make_merge_task_fn
+
+    (table_root, frag_map_ref, epoch, schema_ser, max_salt,
+     compression, detect_changes) = merge_args
+    merge = make_merge_task_fn(table_root, frag_map_ref, epoch, schema_ser,
+                               max_salt, compression, detect_changes)
+    assign = make_gid_assigner(num_partitions, salt_arr, max_salt)
+
+    def fn(items: pa.Table) -> pa.Table:
+        from maritime_activity_reports_cdc_ray.stages.merge import MERGE_RESULT_SCHEMA
+
+        outs = []
+        for item in items.to_pylist():
+            t = pa.concat_tables([pq.read_table(p) for p in item["paths"]],
+                                 promote_options="permissive")
+            if t.num_rows:
+                outs.append(merge(assign(t)))
+        if not outs:
+            return align_empty(MERGE_RESULT_SCHEMA)
+        return pa.concat_tables(outs)
+
+    return fn
+
+
 def _make_resalt_task_fn(root: str, compression: str):
     """Task fn for distributed re-salting: read one pid's current fragments,
     re-slice by path_hash % want, stage the new per-salt fragments. Same
@@ -292,8 +392,13 @@ class CDCReplay:
         # the exchange (observed: 757k-row sort blocks vs 63k mean, 30 s merge
         # stragglers). Estimate this epoch's per-pid load from a sampled repo
         # column and raise desired salts BEFORE the resalt/merge.
+        _tp = time.monotonic()
         self._presalt_from_sample(files)
+        _tr = time.monotonic()
         self._maybe_resalt()
+        if os.environ.get("ENGINE_STATS"):
+            print(f"[epoch {epoch}] presalt={_tr - _tp:.1f}s "
+                  f"resalt={time.monotonic() - _tr:.1f}s")
         if bm.epoch < epoch and sm.epoch < epoch and self.cfg.fuse_bronze:
             # single-execution epoch: bronze write is a pass-through stage of
             # the merge pipeline (one Ray execution instead of two)
@@ -473,10 +578,15 @@ class CDCReplay:
         bm = self.bronze.latest_manifest()
         return [self.bronze.abspath(f.path) for f in bm.fragments if f.epoch == epoch and f.kind == "data"]
 
-    def _choose_exchange(self, est_rows: int) -> str:
-        if self.cfg.merge_exchange != "auto":
-            return self.cfg.merge_exchange
-        return "hash_actor" if est_rows >= self.cfg.hash_exchange_min_rows else "sort_task"
+    def _choose_exchange(self, est_rows: int, fused: bool = False) -> str:
+        ex = self.cfg.merge_exchange
+        if ex == "auto":
+            ex = "bronze_bucket" if est_rows >= self.cfg.hash_exchange_min_rows else "sort_task"
+        if ex == "bronze_bucket" and not fused:
+            # resume path over already-committed bronze: no fused write to
+            # piggyback the bucket split on — use the in-memory exchange
+            ex = "hash_actor" if est_rows >= self.cfg.hash_exchange_min_rows else "sort_task"
+        return ex
 
     def _silver_merge(self, epoch: int, input_files: list[str] | None = None) -> None:
         """Merge one epoch into silver.
@@ -521,7 +631,7 @@ class CDCReplay:
         frag_map_ref = ray.put(frag_map)
 
         nshuffle = cfg.resolved_shuffle_partitions(ncpu)
-        exchange = self._choose_exchange(est_rows)
+        exchange = self._choose_exchange(est_rows, fused=fused)
         merge_args = (self.silver.root, frag_map_ref, epoch,
                       silver_schema.serialize().to_pybytes(), cfg.max_salt,
                       cfg.write_compression, cfg.detect_changes)
@@ -556,7 +666,52 @@ class CDCReplay:
                 batch_format="pyarrow", zero_copy_batch=True,
             )
 
-        if exchange == "hash_actor":
+        bronze_committed = False
+        if exchange == "bronze_bucket":
+            # Map-side-file exchange: the mandatory bronze persist IS the
+            # shuffle (see _make_bucketed_bronze_writer). Phase 1 streams
+            # read→stamp→validate→partition→bucketed-write in one execution;
+            # bronze commits (2PC point — a crash after this resumes through
+            # the unfused path over the same files); phase 2 merges one task
+            # per bucket, reading only that bucket's files. No object-store
+            # all-to-all, no aggregator actors, no sort.
+            assert fused, "bronze_bucket exchange requires the fused path"
+            nbuckets = int(max(1, min(n_groups, 2 * ncpu)))
+            ds = rd.read_parquet(src_files, partitioning=None, override_num_blocks=nblocks)
+            ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
+                                zero_copy_batch=True)
+            ds = ds.map_batches(
+                _make_bucketed_bronze_writer(outdir, cfg.write_compression, nbuckets,
+                                             salt_arr, cfg.max_salt),
+                batch_format="pyarrow", zero_copy_batch=True)
+            import time as _time
+
+            _t0 = _time.monotonic()
+            meta = ds.take_all()  # one tiny row per written file
+            _t1 = _time.monotonic()
+            self._commit_bronze_from_dir(epoch, src_files, outdir, stamped_schema)
+            bronze_committed = True
+            _t2 = _time.monotonic()
+            by_bucket: dict[int, list[str]] = {}
+            for r in meta:
+                by_bucket.setdefault(int(r["bucket"]), []).append(r["path"])
+            items = [{"paths": sorted(ps)} for _b, ps in sorted(by_bucket.items())]
+            if items:
+                res = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+                    _make_bucket_merge_fn(cfg.num_partitions, salt_arr, merge_args),
+                    batch_format="pyarrow", batch_size=None,
+                    num_cpus=cfg.merge_num_cpus)
+                lineage_rows = res.take_all()
+            else:
+                res = None
+                lineage_rows = []
+            if os.environ.get("ENGINE_STATS"):
+                print(f"[bronze_bucket e{epoch}] map={_t1 - _t0:.1f}s "
+                      f"commit={_t2 - _t1:.1f}s merge={_time.monotonic() - _t2:.1f}s "
+                      f"files={len(meta)} buckets={len(items)}")
+        elif exchange == "hash_actor":
             # a Dataset seals its DataContext at CREATION, so only the plan
             # build sits inside the hash-shuffle scope; take_all() executes
             # with the sealed copy after the global context is restored
@@ -585,10 +740,10 @@ class CDCReplay:
                 make_merge_task_fn(*merge_args), batch_format="pyarrow",
             )
             lineage_rows = res.take_all()
-        if os.environ.get("ENGINE_STATS"):
+        if os.environ.get("ENGINE_STATS") and res is not None:
             print(res.stats())
 
-        if fused:
+        if fused and not bronze_committed:
             self._commit_bronze_from_dir(epoch, src_files, outdir, stamped_schema)
 
         new_frags, replaced, lineage = [], set(), []
@@ -725,6 +880,14 @@ class CDCReplay:
         return sorted(out)
 
     def _gold_refresh(self, epoch: int) -> None:
+        import time as _time
+
+        _tg = _time.monotonic()
+        self._gold_refresh_inner(epoch)
+        if os.environ.get("ENGINE_STATS"):
+            print(f"[gold e{epoch}] refresh={_time.monotonic() - _tg:.1f}s")
+
+    def _gold_refresh_inner(self, epoch: int) -> None:
         import ray
         import ray.data as rd
 

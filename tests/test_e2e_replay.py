@@ -245,3 +245,42 @@ def test_materialized_views_staleness(ray_session, stream, tmp_path):
     assert reg.refresh_due(force=True)["lang_breakdown"] == "refreshed"
     lb = reg.read("lang_breakdown")
     assert int(lb.n_files.sum()) == int(g.file_count.sum())
+
+
+def test_bronze_bucket_exchange_matches_oracle(ray_session, stream, tmp_path):
+    """The map-side-file exchange (bucketed bronze persist doubles as the
+    shuffle) converges to the same oracle state as the other exchanges, and
+    a crash after the bronze commit resumes through the unfused path."""
+    d, files, oracle = stream
+    cfg = EngineConfig(num_partitions=4, merge_exchange="bronze_bucket")
+    r = CDCReplay(str(tmp_path / "lake"), cfg)
+    r.setup()
+    r.run(d)
+    _assert_matches_oracle(r, oracle)
+    # bronze fragments are bucket-split ordinary fragments
+    bm = r.bronze.latest_manifest()
+    assert any("-b" in f.path for f in bm.fragments)
+    # crash window: bronze of the next "epoch" committed, silver not → the
+    # resume goes through the unfused exchange over the bucketed files
+    lake2 = str(tmp_path / "lake2")
+    r2 = CDCReplay(lake2, cfg)
+    r2.setup()
+    r2.run(d, max_epochs=2)
+    # partially replay epoch 2: run the map phase only by replaying
+    # run_epoch up to the bronze commit via the internal pieces
+    r2._presalt_from_sample([files[2]])
+    r2._maybe_resalt()
+    import ray.data as rd  # noqa: F401  (session provided by fixture)
+
+    # simulate: bronze committed via the bucketed writer, silver crashed
+    r2._silver_merge(2, input_files=[files[2]])  # full path OK; then drop silver
+    # (silver committed too here, so instead verify the unfused fallback on a
+    # fresh lake: commit bronze unfused, then merge resumes with hash/sort)
+    lake3 = str(tmp_path / "lake3")
+    r3 = CDCReplay(lake3, EngineConfig(num_partitions=4, merge_exchange="bronze_bucket"))
+    r3.setup()
+    r3._bronze_ingest(0, [files[0]])  # unbucketed bronze, epoch 0
+    r3._silver_merge(0)  # resume path: bronze_bucket demotes to sort/hash
+    assert r3.silver.latest_manifest().epoch == 0
+    r3.run(d)  # finish remaining epochs through the bucketed path
+    _assert_matches_oracle(r3, oracle)
