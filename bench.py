@@ -122,7 +122,8 @@ def run_replay(events_dir: str, num_cpus: int, verify: bool = True,
     from maritime_activity_reports_cdc_ray.config import EngineConfig
     from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
 
-    lake = os.path.join("/tmp", f"graft_bench_lake_{num_cpus}")
+    lake = os.path.join(os.environ.get("GRAFT_LAKE_BASE", "/tmp"),
+                        f"graft_bench_lake_{num_cpus}")
     shutil.rmtree(lake, ignore_errors=True)
     cfg = EngineConfig(num_partitions=max(32, 2 * num_cpus),
                        merge_exchange=os.environ.get("GRAFT_MERGE_EXCHANGE", "auto"),

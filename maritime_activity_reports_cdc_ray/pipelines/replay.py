@@ -282,6 +282,8 @@ class CDCReplay:
         self.bronze = LakeTable(os.path.join(root, "bronze"))
         self.silver = LakeTable(os.path.join(root, "silver"))
         self.gold = LakeTable(os.path.join(root, "gold"))
+        self._gold_thread: threading.Thread | None = None
+        self._gold_exc: list = []
 
     # ------------------------------------------------------------------ setup
     def setup(self) -> None:
@@ -394,21 +396,45 @@ class CDCReplay:
         # column and raise desired salts BEFORE the resalt/merge.
         _tp = time.monotonic()
         self._presalt_from_sample(files)
-        _tr = time.monotonic()
-        self._maybe_resalt()
         if os.environ.get("ENGINE_STATS"):
-            print(f"[epoch {epoch}] presalt={_tr - _tp:.1f}s "
-                  f"resalt={time.monotonic() - _tr:.1f}s")
+            print(f"[epoch {epoch}] presalt={time.monotonic() - _tp:.1f}s")
+        # The resalt pass (align fragments to the post-presalt salt map)
+        # touches only silver current fragments; the fused MAP phase touches
+        # only input files + bronze. They overlap on a background thread —
+        # _silver_merge joins the barrier before it resolves the fragment map
+        # for the merge phase (the salt MAP itself is already final here:
+        # resalt moves files, never the map).
+        resalt_exc: list = []
+
+        def _resalt_bg():
+            _t = time.monotonic()
+            try:
+                self._maybe_resalt()
+            except BaseException as e:  # re-raised at the barrier
+                resalt_exc.append(e)
+            if os.environ.get("ENGINE_STATS"):
+                print(f"[epoch {epoch}] resalt={time.monotonic() - _t:.1f}s (overlapped)")
+
+        rt = threading.Thread(target=_resalt_bg)
+        rt.start()
+
+        def resalt_barrier():
+            rt.join()
+            if resalt_exc:
+                raise resalt_exc[0]
+
         if bm.epoch < epoch and sm.epoch < epoch and self.cfg.fuse_bronze:
             # single-execution epoch: bronze write is a pass-through stage of
             # the merge pipeline (one Ray execution instead of two)
-            self._silver_merge(epoch, input_files=files)
+            self._silver_merge(epoch, input_files=files, pre_merge_barrier=resalt_barrier)
         else:
+            resalt_barrier()
             if bm.epoch < epoch:
                 self._bronze_ingest(epoch, files)
             sm = self.silver.latest_manifest()
             if sm.epoch < epoch:
                 self._silver_merge(epoch)
+        resalt_barrier()  # idempotent; covers paths that skipped the merge
         if self.cfg.lookup_cache_keys:
             self._update_lookup_cache(epoch)
         gm = self.gold.latest_manifest()
@@ -416,8 +442,32 @@ class CDCReplay:
         # gold/streaming_processor.py:98-105): skipped epochs leave the gold
         # watermark lagging; the next refresh folds in all lineage since it.
         if gm.epoch < epoch and epoch % self.cfg.gold_refresh_every_epochs == 0:
-            self._gold_refresh(epoch)
+            # gold reads the silver fragments committed THIS epoch (never
+            # vacuumed mid-run) and commits only the gold manifest, so it can
+            # overlap everything up to the next gold dispatch — the joins in
+            # _spawn_gold / finalize_gold / read_gold order the commits.
+            self._spawn_gold(epoch)
         self._record_progress(epoch, time.monotonic() - t0)
+
+    # -------------------------------------------------- background gold refresh
+    def _join_gold(self) -> None:
+        if self._gold_thread is not None:
+            self._gold_thread.join()
+            self._gold_thread = None
+        if self._gold_exc:
+            raise self._gold_exc.pop(0)
+
+    def _spawn_gold(self, epoch: int) -> None:
+        self._join_gold()
+
+        def bg():
+            try:
+                self._gold_refresh(epoch)
+            except BaseException as e:
+                self._gold_exc.append(e)
+
+        self._gold_thread = threading.Thread(target=bg)
+        self._gold_thread.start()
 
     # ------------------------------------------------------------- monitoring
     def _record_progress(self, epoch: int, duration_s: float) -> None:
@@ -519,7 +569,9 @@ class CDCReplay:
     def finalize_gold(self) -> None:
         """Bring gold up to the silver watermark regardless of cadence (also
         the crash-recovery path when a failure landed between the silver and
-        gold commits of an epoch)."""
+        gold commits of an epoch). Joins any in-flight background refresh
+        first."""
+        self._join_gold()
         sm, gm = self.silver.latest_manifest(), self.gold.latest_manifest()
         if gm.epoch < sm.epoch:
             self._gold_refresh(sm.epoch)
@@ -545,16 +597,21 @@ class CDCReplay:
         self._commit_bronze_from_dir(epoch, files, outdir, None)
 
     def _commit_bronze_from_dir(self, epoch: int, input_files: list[str], outdir: str,
-                                stamped_schema) -> None:
+                                stamped_schema, known_rows: dict | None = None) -> None:
+        """``known_rows`` (path → row count) lets the bucketed-writer path skip
+        the per-file ``read_metadata`` — at thousands of bucket files a serial
+        footer read per file costs seconds of driver time per epoch."""
         bm = self.bronze.latest_manifest()
         frags = []
         for fp in sorted(glob.glob(os.path.join(outdir, "*.parquet"))):
-            md = pq.read_metadata(fp)
+            nrows = (known_rows or {}).get(fp)
+            if nrows is None:
+                nrows = pq.read_metadata(fp).num_rows
             frags.append(
                 Fragment(
                     path=os.path.relpath(fp, self.bronze.root),
                     pid=-1, salt=0, kind="data", epoch=epoch,
-                    rows=md.num_rows, bytes=os.path.getsize(fp),
+                    rows=int(nrows), bytes=os.path.getsize(fp),
                 )
             )
         rows_in = sum(pq.read_metadata(f).num_rows for f in input_files)
@@ -588,7 +645,8 @@ class CDCReplay:
             ex = "hash_actor" if est_rows >= self.cfg.hash_exchange_min_rows else "sort_task"
         return ex
 
-    def _silver_merge(self, epoch: int, input_files: list[str] | None = None) -> None:
+    def _silver_merge(self, epoch: int, input_files: list[str] | None = None,
+                      pre_merge_barrier=None) -> None:
         """Merge one epoch into silver.
 
         ``input_files`` set → fused mode: read raw events, stamp/validate,
@@ -597,12 +655,19 @@ class CDCReplay:
         before silver (so a crash between the two commits resumes through the
         unfused path). ``input_files`` None → resume path reading the already
         -committed bronze epoch fragments.
+
+        ``pre_merge_barrier``: joined before the current-fragment map is
+        resolved — the overlapped resalt pass (run_epoch) may still be moving
+        fragments until then. The salt MAP is final on entry (presalt commits
+        before the barrier thread starts); only fragment PATHS change, so the
+        bucketed map phase can run concurrently with it.
         """
         import ray
         import ray.data as rd
 
         from maritime_activity_reports_cdc_ray.stages.merge import make_merge_task_fn
 
+        barrier = pre_merge_barrier or (lambda: None)
         cfg = self.cfg
         ncpu = _cluster_cpus()
         sm = self.silver.latest_manifest()
@@ -627,14 +692,19 @@ class CDCReplay:
         silver_schema = union_schemas(silver_schema_for(stamped_schema), sm.schema)
 
         salt_arr = self._salt_array(sm)
-        frag_map = {(f.pid, f.salt): f.path for f in sm.fragments if f.kind == "current"}
-        frag_map_ref = ray.put(frag_map)
-
         nshuffle = cfg.resolved_shuffle_partitions(ncpu)
         exchange = self._choose_exchange(est_rows, fused=fused)
-        merge_args = (self.silver.root, frag_map_ref, epoch,
-                      silver_schema.serialize().to_pybytes(), cfg.max_salt,
-                      cfg.write_compression, cfg.detect_changes)
+
+        def resolve_merge_args():
+            """Join the resalt barrier, then snapshot the (post-resalt)
+            fragment map. bronze_bucket defers this past its map phase; the
+            in-memory exchanges need it before their single execution."""
+            barrier()
+            sm2 = self.silver.latest_manifest()
+            fm = {(f.pid, f.salt): f.path for f in sm2.fragments if f.kind == "current"}
+            return fm, (self.silver.root, ray.put(fm), epoch,
+                        silver_schema.serialize().to_pybytes(), cfg.max_salt,
+                        cfg.write_compression, cfg.detect_changes)
 
         est_bytes = sum(os.path.getsize(f) for f in src_files)
         # explicit block sizing: Ray's default parallelism heuristic shreds a
@@ -676,7 +746,9 @@ class CDCReplay:
             # per bucket, reading only that bucket's files. No object-store
             # all-to-all, no aggregator actors, no sort.
             assert fused, "bronze_bucket exchange requires the fused path"
-            nbuckets = int(max(1, min(n_groups, 2 * ncpu)))
+            # 4 waves' worth of buckets: finer tasks pack the merge pool's
+            # straggler tail (at 2*ncpu the last wave idles half the cores)
+            nbuckets = int(max(1, min(n_groups, 4 * ncpu)))
             ds = rd.read_parquet(src_files, partitioning=None, override_num_blocks=nblocks)
             ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
             ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
@@ -691,9 +763,14 @@ class CDCReplay:
             _t0 = _time.monotonic()
             meta = ds.take_all()  # one tiny row per written file
             _t1 = _time.monotonic()
-            self._commit_bronze_from_dir(epoch, src_files, outdir, stamped_schema)
+            self._commit_bronze_from_dir(
+                epoch, src_files, outdir, stamped_schema,
+                known_rows={r["path"]: int(r["rows"]) for r in meta})
             bronze_committed = True
             _t2 = _time.monotonic()
+            # the overlapped resalt pass ran concurrently with the map phase;
+            # only now does the merge need the (post-resalt) fragment layout
+            frag_map, merge_args = resolve_merge_args()
             by_bucket: dict[int, list[str]] = {}
             for r in meta:
                 by_bucket.setdefault(int(r["bucket"]), []).append(r["path"])
@@ -712,6 +789,7 @@ class CDCReplay:
                       f"commit={_t2 - _t1:.1f}s merge={_time.monotonic() - _t2:.1f}s "
                       f"files={len(meta)} buckets={len(items)}")
         elif exchange == "hash_actor":
+            frag_map, merge_args = resolve_merge_args()
             # a Dataset seals its DataContext at CREATION, so only the plan
             # build sits inside the hash-shuffle scope; take_all() executes
             # with the sealed copy after the global context is restored
@@ -732,6 +810,7 @@ class CDCReplay:
                 )
             lineage_rows = res.take_all()
         else:  # sort_task: warm-worker tasks, no actor spin-up per epoch
+            frag_map, merge_args = resolve_merge_args()
             ds = build_source()
             # group by the scrambled gkey (see make_gid_assigner) so the
             # sort's range partitions interleave hot-pid sub-groups instead of
@@ -972,6 +1051,7 @@ class CDCReplay:
     def read_gold(self):
         import ray.data as rd
 
+        self._join_gold()  # surface the committed state, not a mid-refresh one
         gm = self.gold.latest_manifest()
         paths = self.gold.all_fragment_paths(gm, kind="gold")
         if not paths:
