@@ -176,31 +176,45 @@ def main() -> None:
         events_dir = prepare_scaling_stream()
         p = scaling_stream_params()
         lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
-        out = {}
-        for n in (lo, hi):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
-                       GRAFT_STREAM_DIR=events_dir,
-                       GRAFT_FILES_PER_EPOCH=str(max(1, p["n_epochs"] // 2)),
-                       GRAFT_GOLD_CADENCE="1000000000")
-            cmd = [sys.executable, os.path.join(REPO, "bench.py"),
-                   "--replay-only", "--skip-queries"]
-            # honest cluster-size emulation: ray.init(num_cpus=n) only caps
-            # task slots — pyarrow's machine-wide thread pools (parquet io,
-            # sorts, zstd) would still use every physical core, letting the
-            # small "cluster" cheat (observed: the 8-slot leg outran the
-            # 32-slot leg). Pin the process tree to n cores at the OS level.
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
-            r = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
-            out[n] = json.loads(r.stdout.strip().splitlines()[-1])
-        r_lo, r_hi = out[lo]["events_per_sec"], out[hi]["events_per_sec"]
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+        # ~6M-row epochs regardless of total size (one giant epoch spills the
+        # object store; tiny epochs amortize nothing)
+        rows_per_file = max(1, p["n_events"] // p["n_epochs"])
+        fpe = max(1, min(p["n_epochs"], 6_000_000 // rows_per_file))
+        runs: dict[int, list[dict]] = {lo: [], hi: []}
+        # interleave legs (lo, hi, lo, hi, ...) so slow machine-wide drift
+        # (noisy neighbors) biases both legs equally instead of one
+        for _rep in range(reps):
+            for n in (lo, hi):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                           GRAFT_STREAM_DIR=events_dir,
+                           GRAFT_FILES_PER_EPOCH=str(fpe),
+                           GRAFT_GOLD_CADENCE="1000000000")
+                cmd = [sys.executable, os.path.join(REPO, "bench.py"),
+                       "--replay-only", "--skip-queries"]
+                # honest cluster-size emulation: ray.init(num_cpus=n) only caps
+                # task slots — pyarrow's machine-wide thread pools (parquet io,
+                # sorts, zstd) would still use every physical core, letting the
+                # small "cluster" cheat (observed: the 8-slot leg outran the
+                # 32-slot leg). Pin the process tree to n cores at the OS level.
+                if shutil.which("taskset"):
+                    cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+                r = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+                runs[n].append(json.loads(r.stdout.strip().splitlines()[-1]))
+
+        def med(n, key):
+            v = sorted(x[key] for x in runs[n])
+            return v[len(v) // 2]
+
+        r_lo, r_hi = med(lo, "events_per_sec"), med(hi, "events_per_sec")
         eff = (r_hi / r_lo) / (hi / lo)
         print(json.dumps({
-            "metric": f"replay scaling efficiency (num_cpus {lo} -> {hi})",
+            "metric": f"replay scaling efficiency (num_cpus {lo} -> {hi}, median of {reps})",
             "value": round(eff, 3), "unit": "efficiency", "sf": sf,
-            "events": out[lo]["events"], "epochs": out[lo]["epochs"],
+            "events": runs[lo][0]["events"], "epochs": runs[lo][0]["epochs"],
             "events_per_sec_8": r_lo, "events_per_sec_32": r_hi,
-            "sec_8": out[lo]["value"], "sec_32": out[hi]["value"],
+            "sec_8": med(lo, "replay_sec"), "sec_32": med(hi, "replay_sec"),
+            "all_runs": {str(n): [x["events_per_sec"] for x in runs[n]] for n in (lo, hi)},
             "acceptance_ge_0.8": eff >= 0.8,
         }))
         return
