@@ -84,6 +84,15 @@ class EngineConfig:
     # (measured 103 s vs 55 s on 2x6M rows); on a real multi-node cluster,
     # where scan bandwidth scales with nodes, the overlap is the right shape.
     pipeline_epochs: bool = False
+    # overlap the NEXT epoch's fused map phase (read → stamp → validate →
+    # bucketed bronze write) with the current epoch's merge + gold refresh
+    # (background thread; bronze_bucket exchange only). Unlike
+    # pipeline_epochs, the premapped work is never redone — its bucket files
+    # ARE the merge's shuffle input — so it wins on one node too: the merge
+    # phase's straggler-idle slots absorb the next epoch's scan. While a
+    # premap is in flight the salt layout is pinned (lineage-driven salt
+    # adaptation defers one epoch; per-epoch presalt raises still apply).
+    premap_epochs: bool = True
 
     # --- SCD2 change detection (reference G3, silver/cdf_processor.py:296-300) ---
     # when True, an applicable event whose watched state (alive, content

@@ -284,6 +284,16 @@ class CDCReplay:
         self.gold = LakeTable(os.path.join(root, "gold"))
         self._gold_thread: threading.Thread | None = None
         self._gold_exc: list = []
+        # in-flight map-phase prefetch of the NEXT epoch (premap): see
+        # _spawn_premap. {"epoch", "thread", "result"}.
+        self._premap: dict | None = None
+        self._premap_count = 0  # epochs whose map phase ran overlapped
+        # serializes silver manifest commits: with premap/resalt/presalt on
+        # background threads, two read-version -> write-version+1 -> rename
+        # sequences may interleave and the later rename silently drops the
+        # earlier commit's fragments. Commit fns re-read the manifest inside
+        # the lock, so holding it only around the commit call is sufficient.
+        self._silver_commit_lock = threading.Lock()
 
     # ------------------------------------------------------------------ setup
     def setup(self) -> None:
@@ -358,6 +368,15 @@ class CDCReplay:
                     "bronze prefetch of epoch %d failed; retrying inline", e,
                     exc_info=True)
 
+        # premap mode: overlap epoch e+1's fused MAP phase (read → stamp →
+        # validate → partition → bucketed bronze write) with epoch e's merge +
+        # gold. Unlike the unfused bronze prefetch above, the premapped work is
+        # never redone — the bucket files ARE the merge's shuffle input — so it
+        # wins even on one node (the merge phase's straggler-idle slots absorb
+        # the next epoch's scan). Engages per-epoch only when the next epoch
+        # is big enough for the bronze_bucket exchange (_spawn_premap).
+        premap_mode = (self.cfg.fuse_bronze and self.cfg.premap_epochs
+                       and not pipelined and end - start > 1)
         done = 0
         prefetch: threading.Thread | None = None
         for e in range(start, end):
@@ -369,10 +388,15 @@ class CDCReplay:
                 if e + 1 < end:
                     prefetch = threading.Thread(target=prefetch_bronze, args=(e + 1,))
                     prefetch.start()
-            self.run_epoch(e, epochs[e])
+            cb = None
+            if premap_mode and e + 1 < end:
+                nxt = e + 1
+                cb = (lambda nxt=nxt: self._spawn_premap(nxt, epochs[nxt]))
+            self.run_epoch(e, epochs[e], on_map_done=cb)
             done += 1
         if prefetch is not None:
             prefetch.join()
+        self._drain_premap()
         self.finalize_gold()
         return {
             "epochs_run": done,
@@ -382,10 +406,17 @@ class CDCReplay:
         }
 
     # ------------------------------------------------------------ one epoch
-    def run_epoch(self, epoch: int, files: list[str]) -> None:
+    def run_epoch(self, epoch: int, files: list[str], on_map_done=None) -> None:
         import time
 
         t0 = time.monotonic()
+        # join + claim a premap of this epoch, if one was spawned during the
+        # previous epoch's merge. Its map phase already ran presalt and pinned
+        # the salt array it bucketed with — re-running presalt here could
+        # raise salts past the pinned layout and corrupt the bucket/fragment
+        # correspondence, so presalt is skipped and the resalt below aligns to
+        # the PINNED array, not the (possibly newer) manifest map.
+        premap = self._take_premap(epoch)
         bm = self.bronze.latest_manifest()
         sm = self.silver.latest_manifest()
         # pre-epoch hot-key detection: adaptive (post-epoch) salting reacts one
@@ -394,10 +425,11 @@ class CDCReplay:
         # the exchange (observed: 757k-row sort blocks vs 63k mean, 30 s merge
         # stragglers). Estimate this epoch's per-pid load from a sampled repo
         # column and raise desired salts BEFORE the resalt/merge.
-        _tp = time.monotonic()
-        self._presalt_from_sample(files)
-        if os.environ.get("ENGINE_STATS"):
-            print(f"[epoch {epoch}] presalt={time.monotonic() - _tp:.1f}s")
+        if premap is None:
+            _tp = time.monotonic()
+            self._presalt_from_sample(files)
+            if os.environ.get("ENGINE_STATS"):
+                print(f"[epoch {epoch}] presalt={time.monotonic() - _tp:.1f}s")
         # The resalt pass (align fragments to the post-presalt salt map)
         # touches only silver current fragments; the fused MAP phase touches
         # only input files + bronze. They overlap on a background thread —
@@ -405,11 +437,18 @@ class CDCReplay:
         # for the merge phase (the salt MAP itself is already final here:
         # resalt moves files, never the map).
         resalt_exc: list = []
+        # snapshot the target layout ON THIS thread, before anything else can
+        # commit: once the merge spawns a premap of the NEXT epoch, its presalt
+        # may raise the manifest's salt map mid-flight, and a resalt thread
+        # that read the manifest late would align fragments to the NEWER map
+        # while this epoch's merge still buckets by the older one.
+        desired_salts = (premap["salt_arr"] if premap is not None
+                         else self._salt_array(self.silver.latest_manifest()))
 
         def _resalt_bg():
             _t = time.monotonic()
             try:
-                self._maybe_resalt()
+                self._maybe_resalt(desired=desired_salts)
             except BaseException as e:  # re-raised at the barrier
                 resalt_exc.append(e)
             if os.environ.get("ENGINE_STATS"):
@@ -426,7 +465,8 @@ class CDCReplay:
         if bm.epoch < epoch and sm.epoch < epoch and self.cfg.fuse_bronze:
             # single-execution epoch: bronze write is a pass-through stage of
             # the merge pipeline (one Ray execution instead of two)
-            self._silver_merge(epoch, input_files=files, pre_merge_barrier=resalt_barrier)
+            self._silver_merge(epoch, input_files=files, pre_merge_barrier=resalt_barrier,
+                               premap=premap, on_map_done=on_map_done)
         else:
             resalt_barrier()
             if bm.epoch < epoch:
@@ -441,7 +481,7 @@ class CDCReplay:
         # cadence knob (reference: MV refresh every 10 ticks,
         # gold/streaming_processor.py:98-105): skipped epochs leave the gold
         # watermark lagging; the next refresh folds in all lineage since it.
-        if gm.epoch < epoch and epoch % self.cfg.gold_refresh_every_epochs == 0:
+        if gm.epoch < epoch and (epoch + 1) % self.cfg.gold_refresh_every_epochs == 0:
             # gold reads the silver fragments committed THIS epoch (never
             # vacuumed mid-run) and commits only the gold manifest, so it can
             # overlap everything up to the next gold dispatch — the joins in
@@ -646,7 +686,8 @@ class CDCReplay:
         return ex
 
     def _silver_merge(self, epoch: int, input_files: list[str] | None = None,
-                      pre_merge_barrier=None) -> None:
+                      pre_merge_barrier=None, premap: dict | None = None,
+                      on_map_done=None) -> None:
         """Merge one epoch into silver.
 
         ``input_files`` set → fused mode: read raw events, stamp/validate,
@@ -680,8 +721,9 @@ class CDCReplay:
 
             stamped_schema = union_schemas(event_schema, BRONZE_SCHEMA)
             outdir = self.bronze.abspath(f"fragments/epoch={epoch}")
-            shutil.rmtree(outdir, ignore_errors=True)
-            os.makedirs(outdir, exist_ok=True)
+            if premap is None:  # a premap already populated the epoch dir
+                shutil.rmtree(outdir, ignore_errors=True)
+                os.makedirs(outdir, exist_ok=True)
         else:
             src_files = self._bronze_epoch_paths(epoch)
             if not src_files:
@@ -691,9 +733,12 @@ class CDCReplay:
             stamped_schema = pq.read_schema(src_files[0])
         silver_schema = union_schemas(silver_schema_for(stamped_schema), sm.schema)
 
-        salt_arr = self._salt_array(sm)
+        # with a premap, gid bucketing already happened under the PINNED salt
+        # array — the merge must use the same one, not a fresh manifest read
+        salt_arr = premap["salt_arr"] if premap is not None else self._salt_array(sm)
         nshuffle = cfg.resolved_shuffle_partitions(ncpu)
         exchange = self._choose_exchange(est_rows, fused=fused)
+        assert premap is None or exchange == "bronze_bucket"
 
         def resolve_merge_args():
             """Join the resalt barrier, then snapshot the (post-resalt)
@@ -737,6 +782,7 @@ class CDCReplay:
             )
 
         bronze_committed = False
+        suppress_salt_adaptation = False
         if exchange == "bronze_bucket":
             # Map-side-file exchange: the mandatory bronze persist IS the
             # shuffle (see _make_bucketed_bronze_writer). Phase 1 streams
@@ -746,27 +792,36 @@ class CDCReplay:
             # per bucket, reading only that bucket's files. No object-store
             # all-to-all, no aggregator actors, no sort.
             assert fused, "bronze_bucket exchange requires the fused path"
-            # 4 waves' worth of buckets: finer tasks pack the merge pool's
-            # straggler tail (at 2*ncpu the last wave idles half the cores)
-            nbuckets = int(max(1, min(n_groups, 4 * ncpu)))
-            ds = rd.read_parquet(src_files, partitioning=None, override_num_blocks=nblocks)
-            ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
-            ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
-            ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
-                                zero_copy_batch=True)
-            ds = ds.map_batches(
-                _make_bucketed_bronze_writer(outdir, cfg.write_compression, nbuckets,
-                                             salt_arr, cfg.max_salt),
-                batch_format="pyarrow", zero_copy_batch=True)
             import time as _time
 
             _t0 = _time.monotonic()
-            meta = ds.take_all()  # one tiny row per written file
+            if premap is not None:
+                meta = premap["meta"]
+            else:
+                # 4 waves' worth of buckets: finer tasks pack the merge pool's
+                # straggler tail (at 2*ncpu the last wave idles half the cores)
+                nbuckets = int(max(1, min(n_groups, 4 * ncpu)))
+                ds = rd.read_parquet(src_files, partitioning=None, override_num_blocks=nblocks)
+                ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
+                ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
+                ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                ds = ds.map_batches(
+                    _make_bucketed_bronze_writer(outdir, cfg.write_compression, nbuckets,
+                                                 salt_arr, cfg.max_salt),
+                    batch_format="pyarrow", zero_copy_batch=True)
+                meta = ds.take_all()  # one tiny row per written file
             _t1 = _time.monotonic()
             self._commit_bronze_from_dir(
                 epoch, src_files, outdir, stamped_schema,
                 known_rows={r["path"]: int(r["rows"]) for r in meta})
             bronze_committed = True
+            # this epoch's map phase is over — overlap the NEXT epoch's map
+            # (read→stamp→validate→bucketed write) with the merge below. Once
+            # spawned, the next epoch's salt layout is pinned, so this epoch's
+            # commit must not adapt the salt map (suppressed at the bottom).
+            if on_map_done is not None:
+                suppress_salt_adaptation = bool(on_map_done())
             _t2 = _time.monotonic()
             # the overlapped resalt pass ran concurrently with the map phase;
             # only now does the merge need the (post-resalt) fragment layout
@@ -842,11 +897,16 @@ class CDCReplay:
                       "rows_unchanged", "inserted", "updated", "deleted",
                       "history_rows"):
                 stats_delta[k] = stats_delta.get(k, 0) + int(r[k])
-        salt_map = self._next_salt_map(sm, lineage)
-        self.silver.commit_epoch(
-            epoch, new_frags, replaced=replaced, schema=silver_schema,
-            lineage=lineage, salt_map=salt_map, stats_delta=stats_delta,
-        )
+        # while a premap of the next epoch is in flight its salt layout is
+        # pinned — keep the manifest's (pinned) map and let adaptation resume
+        # at the next non-premapped epoch boundary (presalt still raises
+        # per-epoch; only lineage-driven halving is deferred)
+        salt_map = None if suppress_salt_adaptation else self._next_salt_map(sm, lineage)
+        with self._silver_commit_lock:
+            self.silver.commit_epoch(
+                epoch, new_frags, replaced=replaced, schema=silver_schema,
+                lineage=lineage, salt_map=salt_map, stats_delta=stats_delta,
+            )
 
     def _presalt_from_sample(self, files: list[str], sample_files: int = 2) -> None:
         """Sample the ``repo`` column of up to ``sample_files`` input files,
@@ -882,8 +942,9 @@ class CDCReplay:
                 changed = True
         if changed:
             base = max(1, self.cfg.default_salt)
-            self.silver.commit_maintenance(
-                [], set(), salt_map={k: v for k, v in out.items() if v != base})
+            with self._silver_commit_lock:
+                self.silver.commit_maintenance(
+                    [], set(), salt_map={k: v for k, v in out.items() if v != base})
 
     def _salt_array(self, m) -> np.ndarray:
         s = np.ones(self.cfg.num_partitions, dtype=np.int64)
@@ -901,20 +962,33 @@ class CDCReplay:
             per_pid[r["pid"]] = per_pid.get(r["pid"], 0) + int(r["rows_in"])
         out = dict(m.salt_map)
         cur = self._salt_array(m)
+        hot = self.cfg.hot_partition_rows
         for pid, rows in per_pid.items():
             s = int(cur[pid])
-            if rows > self.cfg.hot_partition_rows and s < self.cfg.max_salt:
+            # compare PER-GROUP load (rows/s), not the pid total: a pid that is
+            # hot every epoch but already salted wide enough must not keep
+            # doubling (observed: salt ratcheting to max_salt over a long
+            # replay, with a full fragment rewrite each epoch and ever-smaller
+            # fragments). Halving at rows/s < hot/4 leaves the halved groups
+            # at < hot/2 — no double/halve oscillation.
+            if rows // s > hot and s < self.cfg.max_salt:
                 out[str(pid)] = min(self.cfg.max_salt, s * 2)
-            elif rows < self.cfg.hot_partition_rows // 4 and s > max(1, self.cfg.default_salt):
+            elif rows // s < hot // 4 and s > max(1, self.cfg.default_salt):
                 out[str(pid)] = max(max(1, self.cfg.default_salt), s // 2)
         return {k: v for k, v in out.items() if v != max(1, self.cfg.default_salt)}
 
-    def _maybe_resalt(self) -> None:
+    def _maybe_resalt(self, desired: np.ndarray | None = None) -> None:
         """Self-healing: re-slice any pid whose current-fragment layout
         disagrees with the desired salt map (runs before each merge; idempotent
-        after crashes). Partition-local rewrites, committed as maintenance."""
+        after crashes). Partition-local rewrites, committed as maintenance.
+
+        ``desired``: explicit per-pid salt targets — a premapped epoch passes
+        its PINNED salt array so the fragment layout matches the gid layout
+        its bucket files were written with, even if a concurrent presalt for a
+        later epoch has already raised the manifest's map further."""
         sm = self.silver.latest_manifest()
-        desired = self._salt_array(sm)
+        if desired is None:
+            desired = self._salt_array(sm)
         actual: dict[int, list] = {}
         for f in sm.fragments:
             if f.kind == "current":
@@ -944,7 +1018,107 @@ class CDCReplay:
         for r in res:
             new_frags.extend(Fragment(**d) for d in json.loads(r["fragments_json"]))
             replaced.update(json.loads(r["replaced_json"]))
-        self.silver.commit_maintenance(new_frags, replaced)
+        with self._silver_commit_lock:
+            self.silver.commit_maintenance(new_frags, replaced)
+
+    # ----------------------------------------------------------------- premap
+    def _bucket_map_phase(self, epoch: int, files: list[str]) -> dict:
+        """The fused MAP phase of one epoch, runnable ahead of its turn:
+        presalt, pin the salt array, then read → stamp → validate → partition
+        → bucketed bronze write (see _make_bucketed_bronze_writer). Returns
+        everything the merge phase needs to pick the epoch up: the per-file
+        bucket metadata and the pinned salt array. Crash-safe: nothing is
+        committed — a rerun clears the epoch dir and remaps."""
+        import ray.data as rd
+
+        cfg = self.cfg
+        self._presalt_from_sample(files)
+        sm = self.silver.latest_manifest()
+        salt_arr = self._salt_array(sm)
+        ncpu = _cluster_cpus()
+        est_rows = sum(pq.read_metadata(f).num_rows for f in files)
+        est_bytes = sum(os.path.getsize(f) for f in files)
+        outdir = self.bronze.abspath(f"fragments/epoch={epoch}")
+        shutil.rmtree(outdir, ignore_errors=True)
+        os.makedirs(outdir, exist_ok=True)
+        n_groups = int(salt_arr.sum())
+        nblocks = int(max(4, min(4 * ncpu,
+                                 max(est_bytes // (32 << 20) + 1,
+                                     min(2 * ncpu, n_groups, est_rows // 2_000)))))
+        nbuckets = int(max(1, min(n_groups, 4 * ncpu)))
+        # dataset CREATION under the context lock (this runs on a background
+        # thread; see hash_shuffle_ctx) — execution happens after release
+        with _CTX_LOCK:
+            ds = rd.read_parquet(files, partitioning=None, override_num_blocks=nblocks)
+            ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
+                                zero_copy_batch=True)
+            ds = ds.map_batches(
+                _make_bucketed_bronze_writer(outdir, cfg.write_compression, nbuckets,
+                                             salt_arr, cfg.max_salt),
+                batch_format="pyarrow", zero_copy_batch=True)
+        meta = ds.take_all()
+        return {"meta": meta, "salt_arr": salt_arr}
+
+    def _spawn_premap(self, epoch: int, files: list[str]) -> bool:
+        """Start epoch ``epoch``'s map phase on a background thread (premap),
+        overlapping it with the CURRENT epoch's merge/gold. Returns True iff
+        spawned — the caller must then pin the salt map (skip adaptation) so
+        the premapped bucket layout stays valid. Best-effort: a premap failure
+        degrades to the inline map phase, never a crash."""
+        if self._premap is not None:
+            return False
+        cfg = self.cfg
+        if not (cfg.fuse_bronze and cfg.premap_epochs):
+            return False
+        if cfg.merge_exchange not in ("auto", "bronze_bucket"):
+            return False
+        try:
+            est = sum(pq.read_metadata(f).num_rows for f in files)
+        except Exception:
+            return False
+        if est < cfg.hash_exchange_min_rows:
+            return False  # small next epoch won't take the bronze_bucket path
+        if (self.bronze.latest_manifest().epoch >= epoch
+                or self.silver.latest_manifest().epoch >= epoch):
+            return False
+        box: dict = {"epoch": epoch, "result": None}
+
+        def bg():
+            import logging
+            import time as _time
+
+            _t = _time.monotonic()
+            try:
+                box["result"] = self._bucket_map_phase(epoch, files)
+            except Exception:
+                logging.getLogger(__name__).warning(
+                    "premap of epoch %d failed; falling back to the inline map",
+                    epoch, exc_info=True)
+            if os.environ.get("ENGINE_STATS"):
+                print(f"[premap e{epoch}] map={_time.monotonic() - _t:.1f}s (overlapped)")
+
+        t = threading.Thread(target=bg)
+        box["thread"] = t
+        self._premap = box
+        self._premap_count += 1
+        t.start()
+        return True
+
+    def _take_premap(self, epoch: int) -> dict | None:
+        box, self._premap = self._premap, None
+        if box is None:
+            return None
+        box["thread"].join()
+        if box["epoch"] != epoch:
+            return None
+        return box["result"]
+
+    def _drain_premap(self) -> None:
+        box, self._premap = self._premap, None
+        if box is not None:
+            box["thread"].join()
 
     # ------------------------------------------------------------------- gold
     def _affected_repos_for_epoch(self, epoch: int) -> list[str]:

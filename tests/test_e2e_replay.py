@@ -284,3 +284,45 @@ def test_bronze_bucket_exchange_matches_oracle(ray_session, stream, tmp_path):
     assert r3.silver.latest_manifest().epoch == 0
     r3.run(d)  # finish remaining epochs through the bucketed path
     _assert_matches_oracle(r3, oracle)
+
+
+def test_premap_overlap_matches_oracle(ray_session, stream, tmp_path):
+    """Premap mode: epoch k+1's map phase (bucketed bronze write) runs on a
+    background thread during epoch k's merge, with the salt layout pinned.
+    Same oracle state as the serial path; premap must actually engage."""
+    d, files, oracle = stream
+    cfg = EngineConfig(num_partitions=4, merge_exchange="bronze_bucket",
+                       hash_exchange_min_rows=1)  # tiny epochs premap too
+    r = CDCReplay(str(tmp_path / "lake"), cfg)
+    r.setup()
+    out = r.run(d)
+    assert out["epochs_run"] == 4
+    assert r._premap_count >= 2  # epochs 1..3 are candidates
+    _assert_matches_oracle(r, oracle)
+    # rerun is still a no-op with premap enabled
+    assert r.run(d)["epochs_run"] == 0
+
+
+def test_premap_salt_pinning_with_hot_stream(ray_session, tmp_path):
+    """A skewed stream that triggers presalt raises while premaps are in
+    flight must converge to the oracle: the pinned layout and the deferred
+    adaptation may disagree transiently, never corruptly."""
+    d = str(tmp_path / "hot")
+    files = generate_events(d, n_events=6000, n_repos=3, n_epochs=4, seed=7)
+    oracle = replay_files(files)
+    cfg = EngineConfig(num_partitions=4, merge_exchange="bronze_bucket",
+                       hash_exchange_min_rows=1, hot_partition_rows=400,
+                       default_salt=1, max_salt=8)
+    r = CDCReplay(str(tmp_path / "lake"), cfg)
+    r.setup()
+    r.run(d)
+    assert r._premap_count >= 1
+    _assert_matches_oracle(r, oracle)
+    # fragments ended aligned: layout per pid is a contiguous 0..s-1 salt run
+    sm = r.silver.latest_manifest()
+    by_pid = {}
+    for f in sm.fragments:
+        if f.kind == "current":
+            by_pid.setdefault(f.pid, set()).add(f.salt)
+    for pid, salts in by_pid.items():
+        assert salts == set(range(len(salts))), (pid, salts)
