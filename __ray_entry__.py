@@ -333,6 +333,98 @@ def events_anomaly_stats(sf_dir: str):
     return pd.DataFrame([out])
 
 
+def events_daily_quality(sf_dir: str):
+    """A3 daily silver-quality stats analogue (reference: the daily-scoped
+    quality report over silver, SURVEY.md §2.5 A3): per-day row counts, exact
+    distinct users, mean value, error counts. Distinct-per-day goes through
+    hash_distinct (partition-local dedup, no per-key dispatch); the rest is
+    one combiner-style hash_agg. Two small shuffles, both keyed by day."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import hash_distinct
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
+    ds = _t(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+            "user_id": t.column("user_id"),
+            "value": t.column("value"),
+            "is_error": pc.cast(pc.equal(t.column("event_type"), "error"), pa.int64()),
+        })
+
+    daily = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hash_agg(daily, "day", {
+        "n_events": ("user_id", "count"),
+        "sum_value": ("value", "sum"),
+        "n_errors": ("is_error", "sum"),
+    }).to_pandas()
+    users = hash_agg(
+        hash_distinct(daily.select_columns(["day", "user_id"]), ["day", "user_id"]),
+        "day", {"n_users": ("user_id", "count")}).to_pandas()
+    out = agg.merge(users, on="day", how="left")
+    out["avg_value"] = _r(out["sum_value"] / out["n_events"], 2)
+    out = out.astype({"n_events": "int64", "n_errors": "int64", "n_users": "int64"})
+    return out[["day", "n_events", "n_users", "avg_value", "n_errors"]]
+
+
+def parts_metadata_quality(sf_dir: str):
+    """M4 metadata-quality variant through the ENGINE stage (MetadataScorer —
+    weighted completeness/validity checks over a reference-data table) +
+    per-tier rollup."""
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+    from maritime_activity_reports_cdc_ray.stages.enrich import Rule
+    from maritime_activity_reports_cdc_ray.stages.validate import MetadataScorer
+
+    scorer = MetadataScorer([
+        (Rule("p_name", "nonempty", None, None), 0.5),
+        (Rule("p_brand", "nonempty", None, None), 0.25),
+        (Rule("p_size", "between", (5, 45), None), 0.125),
+        (Rule("p_retailprice", "ge", 920.0, None), 0.125),
+    ])
+    ds = _t(sf_dir, "part", ["p_name", "p_brand", "p_size", "p_retailprice"])
+    scored = ds.map_batches(scorer, batch_format="pandas")
+    out = hash_agg(scored, "metadata_quality_category", {
+        "n": ("p_name", "count"),
+        "sum_score": ("metadata_quality_score", "sum"),
+    }).to_pandas()
+    out["avg_score"] = _r(out["sum_score"] / out["n"], 3)
+    out = out.astype({"n": "int64"})
+    out = out.rename(columns={"metadata_quality_category": "tier"})
+    return out[["tier", "n", "avg_score"]]
+
+
+def events_risk_profile(sf_dir: str):
+    """M10 wide projection + risk CASE through the ENGINE enrichment stage
+    (declarative CASE ladders, one np.select per ladder) + grouped rollup."""
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+    from maritime_activity_reports_cdc_ray.stages.enrich import (
+        CaseLadder,
+        Rule,
+        make_enricher,
+    )
+
+    enrich = make_enricher([
+        CaseLadder("value_band", [
+            Rule("value", "lt", 10.0, "LOW"),
+            Rule("value", "lt", 100.0, "MID"),
+        ], "HIGH"),
+        CaseLadder("risk_level", [
+            Rule("event_type", "eq", "error", "ALERT"),
+            Rule("value", "ge", 200.0, "ELEVATED"),
+            Rule("event_type", "in", {"purchase", "signup"}, "WATCH"),
+        ], "NORMAL"),
+    ])
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    out = hash_agg(ds.map_batches(enrich, batch_format="pandas"),
+                   ["value_band", "risk_level"], {
+                       "n": ("value", "count"),
+                       "sum_value": ("value", "sum"),
+                   }).to_pandas()
+    out["total_value"] = _r(out["sum_value"], 2)
+    out = out.astype({"n": "int64"})
+    return out[["value_band", "risk_level", "n", "total_value"]]
+
+
 def events_user_360(sf_dir: str):
     """A9 'real-time status MV' analogue: 3-way hash join of independent
     per-user aggregates (activity stats ⋈ session counts ⋈ recent-activity
@@ -897,6 +989,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly_stats": events_anomaly_stats,
         "events_user_360": events_user_360,
         "events_value_percentiles": events_value_percentiles,
+        "events_daily_quality": events_daily_quality,
+        "events_risk_profile": events_risk_profile,
+        "parts_metadata_quality": parts_metadata_quality,
         "cdc_lww_merge": cdc_lww_merge,
         "cdc_scd2_history": cdc_scd2_history,
         "cdc_scd2_nochange": cdc_scd2_nochange,
@@ -1078,6 +1173,50 @@ def oracle_sql() -> dict[str, str]:
                    PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS p50,
                    PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value) AS p90
             FROM events GROUP BY event_type
+        """,
+        "events_daily_quality": """
+            SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   ROUND(AVG(value), 2) AS avg_value,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_errors
+            FROM events GROUP BY 1
+        """,
+        "events_risk_profile": """
+            WITH e AS (
+                SELECT CASE WHEN value < 10.0 THEN 'LOW'
+                            WHEN value < 100.0 THEN 'MID'
+                            ELSE 'HIGH' END AS value_band,
+                       CASE WHEN event_type = 'error' THEN 'ALERT'
+                            WHEN value >= 200.0 THEN 'ELEVATED'
+                            WHEN event_type IN ('purchase', 'signup') THEN 'WATCH'
+                            ELSE 'NORMAL' END AS risk_level,
+                       value
+                FROM events
+            )
+            SELECT value_band, risk_level, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM e GROUP BY value_band, risk_level
+        """,
+        "parts_metadata_quality": """
+            WITH s AS (
+                SELECT (0.5 * CASE WHEN p_name IS NOT NULL AND p_name <> '' THEN 1 ELSE 0 END
+                      + 0.25 * CASE WHEN p_brand IS NOT NULL AND p_brand <> '' THEN 1 ELSE 0 END
+                      + 0.125 * CASE WHEN p_size >= 5 AND p_size < 45 THEN 1 ELSE 0 END
+                      + 0.125 * CASE WHEN p_retailprice >= 920.0 THEN 1 ELSE 0 END) AS score
+                FROM part
+            ), t AS (
+                SELECT CASE WHEN score >= 0.9 THEN 'EXCELLENT'
+                            WHEN score >= 0.7 THEN 'GOOD'
+                            WHEN score >= 0.5 THEN 'FAIR'
+                            ELSE 'POOR' END AS tier,
+                       score
+                FROM s
+            )
+            SELECT tier, COUNT(*) AS n,
+                   ROUND(AVG(CAST(score AS DOUBLE)), 3) AS avg_score
+            FROM t GROUP BY tier
         """,
         "cdc_lww_merge": """
             SELECT user_id, event_type, event_id AS last_event_id FROM events

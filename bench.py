@@ -127,6 +127,7 @@ def run_replay(events_dir: str, num_cpus: int, verify: bool = True,
     shutil.rmtree(lake, ignore_errors=True)
     cfg = EngineConfig(num_partitions=max(32, 2 * num_cpus),
                        merge_exchange=os.environ.get("GRAFT_MERGE_EXCHANGE", "auto"),
+                       write_compression=os.environ.get("GRAFT_COMPRESSION", "zstd"),
                        gold_refresh_every_epochs=gold_cadence,
                        # mild pre-salt: one extra path-hash slice per pid so a
                        # Zipf mega-repo can't fully serialize its merge group

@@ -64,6 +64,8 @@ class CaseLadder:
             return s.str.startswith(r.value, na=False).to_numpy()
         if r.op == "suffix":
             return s.str.endswith(r.value, na=False).to_numpy()
+        if r.op == "nonempty":  # non-null AND != "" (completeness checks)
+            return (s.notna() & (s.astype(object) != "")).to_numpy()
         raise ValueError(f"unknown op {r.op}")
 
     def apply(self, df: pd.DataFrame) -> pd.Series:

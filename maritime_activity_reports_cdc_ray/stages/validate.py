@@ -77,3 +77,44 @@ def make_validator(cfg: EngineConfig):
         return scored.filter(keep)
 
     return validate
+
+
+class MetadataScorer:
+    """M4: the metadata-table quality variant of the scorer (reference
+    ``utils/data_quality.py`` — the same tier ladder applied to reference/dim
+    tables via weighted completeness+validity checks instead of content
+    flags; SURVEY.md §2.2 M4).
+
+    ``checks``: list of ``(Rule, weight)`` — each Rule (the declarative ops
+    from :mod:`..stages.enrich`) marks a row as passing its check;
+    ``score = Σ weight·pass / Σ weight``. Tier ladder: ≥0.9 EXCELLENT,
+    ≥0.7 GOOD, ≥0.5 FAIR, else POOR (the content scorer's tiers with the
+    INVALID branch folded into POOR — metadata rows are never dropped).
+
+    A ``map_batches``-callable (pandas format); masks compile to one
+    vectorized pass per check, no per-row Python.
+    """
+
+    def __init__(self, checks, score_col: str = "metadata_quality_score",
+                 category_col: str = "metadata_quality_category"):
+        from maritime_activity_reports_cdc_ray.stages.enrich import CaseLadder
+
+        self.checks = list(checks)
+        self.score_col = score_col
+        self.category_col = category_col
+        self._ladder = CaseLadder("_", [], None)  # mask evaluator only
+
+    def __call__(self, df):
+        import numpy as np
+
+        total = float(sum(w for _r, w in self.checks)) or 1.0
+        acc = np.zeros(len(df), dtype=np.float64)
+        for rule, w in self.checks:
+            acc += float(w) * self._ladder._mask(df, rule).astype(np.float64)
+        score = acc / total
+        cat = np.select([score >= 0.9, score >= 0.7, score >= 0.5],
+                        ["EXCELLENT", "GOOD", "FAIR"], default="POOR")
+        out = df.copy()
+        out[self.score_col] = score
+        out[self.category_col] = cat
+        return out

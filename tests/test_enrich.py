@@ -59,3 +59,34 @@ def test_code_enrichment_in_pipeline(ray_session):
     out = (rd.from_pandas(df).map_batches(code_enrichment, batch_format="pandas")
            .to_pandas())
     assert (out.file_kind == np.where(np.arange(100) % 2, "source", "docs")).all()
+
+
+def test_metadata_scorer():
+    from maritime_activity_reports_cdc_ray.stages.enrich import Rule
+    from maritime_activity_reports_cdc_ray.stages.validate import MetadataScorer
+
+    scorer = MetadataScorer([
+        (Rule("name", "nonempty", None, None), 0.5),
+        (Rule("size", "between", (5, 45), None), 0.25),
+        (Rule("price", "ge", 10.0, None), 0.25),
+    ])
+    df = pd.DataFrame({
+        "name": ["a", "", None, "d"],
+        "size": [10, 10, 50, 4],
+        "price": [20.0, 20.0, 20.0, 5.0],
+    })
+    out = scorer(df)
+    assert out["metadata_quality_score"].tolist() == [1.0, 0.5, 0.25, 0.5]
+    assert out["metadata_quality_category"].tolist() == [
+        "EXCELLENT", "FAIR", "POOR", "FAIR"]
+    # empty-frame passthrough keeps the columns
+    e = scorer(df.iloc[0:0])
+    assert len(e) == 0 and "metadata_quality_score" in e.columns
+
+
+def test_nonempty_rule_op():
+    from maritime_activity_reports_cdc_ray.stages.enrich import CaseLadder, Rule
+
+    lad = CaseLadder("has_name", [Rule("name", "nonempty", None, True)], False)
+    got = lad.apply(pd.DataFrame({"name": ["x", "", None]}))
+    assert got.tolist() == [True, False, False]
