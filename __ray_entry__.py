@@ -110,16 +110,13 @@ def q5_region_revenue(sf_dir: str):
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey") \
         .merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    cust_map = dict(zip(dim.c_custkey, zip(dim.n_name, dim.r_name)))
-    mref = ray.put(cust_map)
+    mref = ray.put(dim[["c_custkey", "n_name", "r_name"]])
 
     def enrich(df: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(mref)  # zero-copy-ish broadcast read on a warm worker
-        mapped = df["o_custkey"].map(m)
-        df = df.copy()
-        df["n_name"] = mapped.map(lambda x: x[0])
-        df["r_name"] = mapped.map(lambda x: x[1])
-        return df[["o_orderkey", "n_name", "r_name"]]
+        out = df[["o_orderkey", "o_custkey"]].merge(
+            m, left_on="o_custkey", right_on="c_custkey")
+        return out[["o_orderkey", "n_name", "r_name"]]
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
         .map_batches(enrich, batch_format="pandas")
