@@ -431,8 +431,13 @@ class Shingler:
             hs = _hash_shingles(text, self.k)
             n = len(hs)
             if hot:
-                freq = np.fromiter((hot.get(int(h), 0) for h in hs),
-                                   dtype=np.int64, count=n)
+                # the broadcast hot table is keyed by SIGNED int64 (the count
+                # pass stores hashes as int64) — look up the wrapped value or
+                # every hash with the high bit set silently misses and its
+                # demotion is lost (measured: 3859-doc prefix buckets at sf0.1)
+                freq = np.fromiter(
+                    (hot.get(int(h), 0) for h in hs.astype(np.int64)),
+                    dtype=np.int64, count=n)
                 hs = hs[np.lexsort((hs, freq))]
             else:
                 hs = np.sort(hs)
