@@ -282,6 +282,35 @@ def test_jaccard_similarity_join_exact(ray_session, docs_df):
     assert all((a, b) not in pairs for a, b in [(0, 2), (2, 4), (0, 4)])
 
 
+def test_shingler_demotes_hot_shingles_with_high_bit(ray_session):
+    """Regression: the hot-frequency table is keyed by SIGNED int64, so the
+    Shingler must look hashes up via their int64-wrapped value — a uint64
+    lookup silently misses every hash with the high bit set, the demotion is
+    lost, and globally-hot shingles flood the prefixes (3859-doc buckets
+    measured at sf0.1 before the fix)."""
+    rng = np.random.default_rng(7)
+    # one shared k-gram whose hash has the HIGH BIT set (negative as int64)
+    k = 5
+    shared = next(
+        s for i in range(10_000)
+        for s in [f"Q{i:04d}"]
+        if D._hash_shingles(s, k)[0] >= np.uint64(1) << np.uint64(63)
+    )
+    docs = [shared + "".join(rng.choice(list("abcdefgh"), 40)) for _ in range(30)]
+    df = pd.DataFrame({"doc_id": np.arange(30), "text": docs})
+
+    # hot table exactly as jaccard_similarity_join builds it: int64 keys
+    h_shared = int(D._hash_shingles(shared, k).astype(np.int64)[0])
+    assert h_shared < 0  # the regression only bites on negative int64 keys
+    import ray
+
+    hot_ref = ray.put({h_shared: 30})
+    sh = D.Shingler(k=k, threshold=0.8, hot_ref=hot_ref)
+    out = sh(df)
+    # with demotion working the shared hot shingle never enters a ~20% prefix
+    assert not np.any(out["sh"].to_numpy() == h_shared)
+
+
 def test_hash_distinct_and_count(ray_session):
     df = pd.DataFrame({"a": [1, 1, 2, 2, 2, 3], "b": ["x", "x", "y", "y", "z", "x"]})
     d = D.hash_distinct(_ds(df), ["a", "b"], num_partitions=4).to_pandas()
