@@ -302,7 +302,10 @@ def knn_lsh(ds, query_ids: list[int], k: int = 10, dim: int = 64,
     qdf = _fetch_queries(ds, query_ids, id_col)
     qdf = qdf.sort_values(id_col)
     qm = _to_matrix(qdf[vec_col])
-    qcodes = bucketer.bucket(qm)  # (nq, T)
+    # int64-wrap the codes: probe() compares via .astype(np.int64), and an
+    # unsigned key here would silently miss for codes with the high bit set
+    # (n_planes=64) — same signed/unsigned hazard fixed in dedup.Shingler
+    qcodes = bucketer.bucket(qm).astype(np.int64)  # (nq, T)
     qids_arr = qdf[id_col].to_numpy(dtype="int64")
     qm_norm = _normalize_rows(qm)
     # per-table: wanted bucket codes (sorted uniques) + per-bucket query rows
