@@ -73,7 +73,8 @@ def q1_pricing_summary(sf_dir: str):
 
 def q3_top_orders(sf_dir: str):
     """customer ⋈ orders (broadcast key-set semi-join) ⋈ lineitem
-    (Dataset.join hash join) → groupby → top-10 (sort+limit)."""
+    (auto_join: broadcast at this scale, shuffle hash join above the
+    threshold) → groupby → top-10 (sort+limit)."""
     import ray
 
     from ray.data.aggregate import Sum
@@ -90,8 +91,10 @@ def q3_top_orders(sf_dir: str):
         .map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]) \
         .map_batches(_revenue, batch_format="pyarrow", zero_copy_batch=True)
-    joined = li.join(orders, join_type="inner", num_partitions=8,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    from maritime_activity_reports_cdc_ray.functions.join import auto_join
+
+    joined = auto_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
+                       num_partitions=8)
     agg = joined.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
     agg["revenue"] = _r(agg["revenue"], 2)
     agg = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
@@ -100,7 +103,8 @@ def q3_top_orders(sf_dir: str):
 
 def q5_region_revenue(sf_dir: str):
     """Multi-way join: small dims broadcast into map_batches; the one big edge
-    (lineitem ⋈ orders) via Dataset.join."""
+    (lineitem ⋈ orders) via auto_join (broadcast under the size threshold,
+    partitioned hash join above it)."""
     import ray
 
     from ray.data.aggregate import Sum
@@ -122,8 +126,10 @@ def q5_region_revenue(sf_dir: str):
         .map_batches(enrich, batch_format="pandas")
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]) \
         .map_batches(_revenue, batch_format="pyarrow", zero_copy_batch=True)
-    joined = li.join(orders, join_type="inner", num_partitions=8,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    from maritime_activity_reports_cdc_ray.functions.join import auto_join
+
+    joined = auto_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
+                       num_partitions=8)
     out = joined.groupby(["r_name", "n_name"]).aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
     out["revenue"] = _r(out["revenue"], 2)
     return out

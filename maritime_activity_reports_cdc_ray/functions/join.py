@@ -1,0 +1,94 @@
+"""Join strategies: broadcast hash join + size-adaptive strategy selection.
+
+Reference semantics: the reporting queries join a large fact edge to one or
+more much smaller dimension/aggregate sides (`gold/report_generator.py`
+status joins, `silver/cdf_processor.py` dim lookups). Spark picks broadcast
+vs shuffle join automatically from size estimates
+(`spark.sql.autoBroadcastJoinThreshold`); Ray Data's ``Dataset.join`` is
+always a shuffle hash join. This module supplies the missing half and the
+selector:
+
+- :func:`broadcast_join` — ``ray.put`` the small side ONCE, pandas-merge it
+  into every batch of the big side. No shuffle at all: the big side streams
+  through a task-pool `map_batches` and never moves between nodes. The
+  broadcast is resolved once per WORKER (module-level cache keyed by the
+  ObjectRef), not once per batch.
+- :func:`auto_join` — count the right side (cheap for parquet-backed inputs:
+  metadata only) and pick broadcast when it fits comfortably in a worker
+  heap, else fall back to ``Dataset.join``. This is the join a 100 TB
+  pipeline wants: dimensions broadcast, fact-to-fact shuffles.
+
+Scale notes: a broadcast join is O(|small|) memory per WORKER (not per task
+— the object store shares one copy per node), so the limit is rows the
+deserialized frame occupies in a worker heap, default 2M rows. Skewed join
+keys are harmless here (no partitioning on the key at all), which also makes
+broadcast the right fallback for hot-key joins that would straggle a shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from maritime_activity_reports_cdc_ray.functions.dedup import _WORKER_CACHE, _cache_put
+
+_HOW_TO_RAY = {"inner": "inner", "left": "left_outer", "left_outer": "left_outer"}
+
+
+def _resolve(ref):
+    """ray.get a broadcast once per worker process."""
+    key = ref.hex()
+    val = _WORKER_CACHE.get(key)
+    if val is None:
+        import ray
+
+        val = _cache_put(key, ray.get(ref))
+    return val
+
+
+def broadcast_join(big_ds, small: pd.DataFrame, on: list[str],
+                   right_on: list[str] | None = None, how: str = "inner",
+                   select: list[str] | None = None):
+    """Join ``big_ds`` (Dataset) with a driver-resident small frame.
+
+    ``how`` ∈ {"inner", "left"}; both key columns are kept (matching
+    ``Dataset.join``'s output shape, so callers can swap strategies freely).
+    ``select`` optionally projects the merged frame — pushing the projection
+    into the same task avoids materializing unused columns downstream.
+    """
+    import ray
+
+    assert how in ("inner", "left"), how
+    right_on = list(right_on or on)
+    on = list(on)
+    sref = ray.put(small)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        s = _resolve(sref)
+        out = df.merge(s, left_on=on, right_on=right_on, how=how)
+        return out[select] if select else out
+
+    return big_ds.map_batches(merge, batch_format="pandas")
+
+
+def auto_join(left, right, on: list[str], right_on: list[str] | None = None,
+              how: str = "inner", num_partitions: int = 8,
+              broadcast_limit_rows: int = 2_000_000,
+              select: list[str] | None = None):
+    """Spark-style join-strategy selection for Ray Data.
+
+    If ``right`` has at most ``broadcast_limit_rows`` rows it is collected
+    and broadcast (zero-shuffle); otherwise the join runs as Ray's
+    partitioned hash join. ``right.count()`` is metadata-only for
+    parquet-backed datasets; for computed inputs it executes the (small-side)
+    pipeline once, which the subsequent collect would do anyway.
+    """
+    right_on = list(right_on or on)
+    if right.count() <= broadcast_limit_rows:
+        return broadcast_join(left, right.to_pandas(), on, right_on,
+                              how=how, select=select)
+    joined = left.join(right, join_type=_HOW_TO_RAY[how],
+                       num_partitions=num_partitions,
+                       on=tuple(on), right_on=tuple(right_on))
+    if select:
+        joined = joined.select_columns(select)
+    return joined

@@ -360,3 +360,38 @@ def test_knn_ivf_finds_planted_neighbor(ray_session):
     out = S.knn_ivf(_ds(df), query_ids=[0], k=5, n_lists=8, nprobe=3).to_pandas()
     assert out.iloc[0]["neighbor_id"] == 42  # planted neighbor ranks first
     assert out["rank"].tolist() == list(range(1, len(out) + 1))
+
+
+def test_auto_join_broadcast_matches_shuffle(ray_session):
+    from maritime_activity_reports_cdc_ray.functions import join as J
+
+    big = pd.DataFrame({"k": [1, 2, 2, 3, 5], "x": [10, 20, 21, 30, 50]})
+    small = pd.DataFrame({"kk": [1, 2, 3, 4], "y": ["a", "b", "c", "d"]})
+
+    def run(ds):
+        return ds.to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+
+    # broadcast path (small side under the threshold)
+    bc = run(J.auto_join(_ds(big), _ds(small), on=["k"], right_on=["kk"],
+                         broadcast_limit_rows=100))
+    # shuffle path (threshold forces Dataset.join)
+    sh = run(J.auto_join(_ds(big), _ds(small), on=["k"], right_on=["kk"],
+                         broadcast_limit_rows=0, num_partitions=2))
+    exp = big.merge(small, left_on="k", right_on="kk")
+    assert len(bc) == len(exp) == len(sh)
+    pd.testing.assert_frame_equal(
+        bc[["k", "x", "y"]],
+        exp.sort_values(["k", "x"]).reset_index(drop=True)[["k", "x", "y"]])
+    pd.testing.assert_frame_equal(bc[["k", "x", "y"]],
+                                  sh[["k", "x", "y"]].astype(bc[["k", "x", "y"]].dtypes))
+
+
+def test_broadcast_join_left_and_select(ray_session):
+    from maritime_activity_reports_cdc_ray.functions import join as J
+
+    big = pd.DataFrame({"k": [1, 2, 9], "x": [1.0, 2.0, 9.0]})
+    small = pd.DataFrame({"k": [1, 2], "y": ["a", "b"]})
+    out = J.broadcast_join(_ds(big), small, on=["k"], how="left",
+                           select=["k", "y"]).to_pandas().sort_values("k")
+    assert out["y"].tolist()[:2] == ["a", "b"] and pd.isna(out["y"].iloc[2])
+    assert list(out.columns) == ["k", "y"]
