@@ -77,8 +77,6 @@ def q3_top_orders(sf_dir: str):
     threshold) → groupby → top-10 (sort+limit)."""
     import ray
 
-    from ray.data.aggregate import Sum
-
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     keys = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
     kref = ray.put(keys)
@@ -92,10 +90,11 @@ def q3_top_orders(sf_dir: str):
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]) \
         .map_batches(_revenue, batch_format="pyarrow", zero_copy_batch=True)
     from maritime_activity_reports_cdc_ray.functions.join import auto_join
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
 
     joined = auto_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
                        num_partitions=8)
-    agg = joined.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
+    agg = hash_agg(joined, "l_orderkey", {"revenue": ("revenue", "sum")}).to_pandas()
     agg["revenue"] = _r(agg["revenue"], 2)
     agg = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     return agg.rename(columns={"l_orderkey": "o_orderkey"}).reset_index(drop=True)
@@ -106,8 +105,6 @@ def q5_region_revenue(sf_dir: str):
     (lineitem ⋈ orders) via auto_join (broadcast under the size threshold,
     partitioned hash join above it)."""
     import ray
-
-    from ray.data.aggregate import Sum
 
     nation = _t(sf_dir, "nation").to_pandas()
     region = _t(sf_dir, "region").to_pandas()
@@ -127,10 +124,12 @@ def q5_region_revenue(sf_dir: str):
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]) \
         .map_batches(_revenue, batch_format="pyarrow", zero_copy_batch=True)
     from maritime_activity_reports_cdc_ray.functions.join import auto_join
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
 
     joined = auto_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
                        num_partitions=8)
-    out = joined.groupby(["r_name", "n_name"]).aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
+    out = hash_agg(joined, ["r_name", "n_name"],
+                   {"revenue": ("revenue", "sum")}).to_pandas()
     out["revenue"] = _r(out["revenue"], 2)
     return out
 

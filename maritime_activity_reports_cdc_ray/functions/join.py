@@ -78,11 +78,15 @@ def auto_join(left, right, on: list[str], right_on: list[str] | None = None,
 
     If ``right`` has at most ``broadcast_limit_rows`` rows it is collected
     and broadcast (zero-shuffle); otherwise the join runs as Ray's
-    partitioned hash join. ``right.count()`` is metadata-only for
-    parquet-backed datasets; for computed inputs it executes the (small-side)
-    pipeline once, which the subsequent collect would do anyway.
+    partitioned hash join. The right side is pinned with ``materialize()``
+    first so the size probe and the subsequent collect (or shuffle) run its
+    pipeline exactly once — ``count()`` on a lazy pipeline followed by
+    ``to_pandas()`` would execute it twice (measured: q3 6.9 s → 16.5 s).
+    Blocks stay in the object store, never on the driver, so the pin is safe
+    even when the row count forces the shuffle path.
     """
     right_on = list(right_on or on)
+    right = right.materialize()
     if right.count() <= broadcast_limit_rows:
         return broadcast_join(left, right.to_pandas(), on, right_on,
                               how=how, select=select)

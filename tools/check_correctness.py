@@ -101,6 +101,9 @@ def main():
     import __ray_entry__ as entrymod
 
     con = duckdb.connect()
+    # heavy oracles (all-pairs shingle self-joins) spill GBs of temp; keep it
+    # out of the repo cwd (default is ./.tmp) so git never sees it
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
