@@ -64,9 +64,22 @@ class EngineConfig:
     #                  committed, e.g. crash resume),
     #   "sort_task"  — sort-based groupby + task closures on warm workers
     #                  (no actor spin-up; wins when an epoch is small),
+    #   "broadcast_task" — NO exchange at all: the mapped epoch is
+    #                  materialized as object-store blocks and every merge
+    #                  task fetches the whole (small) epoch zero-copy and
+    #                  filters its bucket. Cost = nodes x epoch_bytes of
+    #                  replication, so it is gated on epoch size; kills the
+    #                  per-epoch sort barrier (~1 s wall for a 60k-row epoch,
+    #                  measured) for micro-batch streams.
     #   "auto"       — bronze_bucket for fused epochs >= hash_exchange_min_rows,
-    #                  hash_actor for unfused large epochs, else sort_task.
+    #                  hash_actor for unfused large epochs, broadcast_task
+    #                  below broadcast_exchange_max_bytes, else sort_task.
     merge_exchange: str = "auto"
+    # max (compressed input) epoch size for the broadcast_task exchange. Every
+    # node holding a merge task replicates the whole epoch once into its
+    # object store, so this bounds per-node network+memory cost at cluster
+    # scale; 64 MB compressed ~= a few hundred MB in Arrow.
+    broadcast_exchange_max_bytes: int = 64 << 20
     # measured crossover (32-CPU single node, 6M-row epochs): the hash/actor
     # exchange streams through its aggregators and overlaps the read — 59 s vs
     # 106 s for the sort/task path, whose sample→map→reduce barriers cost ~30 s

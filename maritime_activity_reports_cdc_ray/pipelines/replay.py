@@ -246,6 +246,49 @@ def _make_bucket_merge_fn(num_partitions: int, salt_arr, merge_args):
     return fn
 
 
+def _make_broadcast_merge_fn(nbuckets: int, merge_args, block_refs):
+    """Merge-task fn for the ``broadcast_task`` exchange (small epochs): every
+    task fetches ALL of the epoch's mapped blocks (zero-copy from the local
+    object store on the node that produced them; one replication per remote
+    node — bounded by ``broadcast_exchange_max_bytes``), filters the rows of
+    its bucket, and runs the shared merge kernel. No sort, no shuffle, no
+    aggregator actors — the entire exchange is ``ray.get`` of a few small
+    blocks, which removes the ~1 s/epoch sort barrier a micro-batch stream
+    pays under sort_task (measured: 60k-row epoch, 32 CPUs).
+
+    ``block_refs`` are closure-captured ObjectRefs (ref-counted in the task
+    spec, exactly like a ``ray.put`` broadcast). Bucketing uses the same
+    high-bits multiplicative scramble as the bucketed bronze writer so every
+    gid group lands wholly in one bucket."""
+    from maritime_activity_reports_cdc_ray.stages.merge import make_merge_task_fn
+
+    merge = make_merge_task_fn(*merge_args)
+
+    def fn(items: pa.Table) -> pa.Table:
+        import ray
+
+        from maritime_activity_reports_cdc_ray.stages.merge import MERGE_RESULT_SCHEMA
+
+        tabs = [t for t in ray.get(list(block_refs)) if t.num_rows]
+        if not tabs:
+            return align_empty(MERGE_RESULT_SCHEMA)
+        t = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs, promote_options="permissive")
+        gid = t.column("gid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = (gid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        bucket = (mixed % np.uint64(nbuckets)).astype(np.int64)
+        outs = []
+        for item in items.to_pylist():
+            b = int(item["bucket"])
+            sel = t.filter(pa.array(bucket == b))
+            if sel.num_rows:
+                outs.append(merge(sel))
+        if not outs:
+            return align_empty(MERGE_RESULT_SCHEMA)
+        return pa.concat_tables(outs)
+
+    return fn
+
+
 def _make_resalt_task_fn(root: str, compression: str):
     """Task fn for distributed re-salting: read one pid's current fragments,
     re-slice by path_hash % want, stage the new per-salt fragments. Same
@@ -675,14 +718,21 @@ class CDCReplay:
         bm = self.bronze.latest_manifest()
         return [self.bronze.abspath(f.path) for f in bm.fragments if f.epoch == epoch and f.kind == "data"]
 
-    def _choose_exchange(self, est_rows: int, fused: bool = False) -> str:
+    def _choose_exchange(self, est_rows: int, fused: bool = False,
+                         est_bytes: int | None = None) -> str:
         ex = self.cfg.merge_exchange
+        small_ex = ("broadcast_task"
+                    if est_bytes is not None
+                    and est_bytes <= self.cfg.broadcast_exchange_max_bytes
+                    else "sort_task")
         if ex == "auto":
-            ex = "bronze_bucket" if est_rows >= self.cfg.hash_exchange_min_rows else "sort_task"
+            ex = ("bronze_bucket" if est_rows >= self.cfg.hash_exchange_min_rows
+                  else small_ex)
         if ex == "bronze_bucket" and not fused:
             # resume path over already-committed bronze: no fused write to
             # piggyback the bucket split on — use the in-memory exchange
-            ex = "hash_actor" if est_rows >= self.cfg.hash_exchange_min_rows else "sort_task"
+            ex = ("hash_actor" if est_rows >= self.cfg.hash_exchange_min_rows
+                  else small_ex)
         return ex
 
     def _silver_merge(self, epoch: int, input_files: list[str] | None = None,
@@ -737,8 +787,13 @@ class CDCReplay:
         # array — the merge must use the same one, not a fresh manifest read
         salt_arr = premap["salt_arr"] if premap is not None else self._salt_array(sm)
         nshuffle = cfg.resolved_shuffle_partitions(ncpu)
-        exchange = self._choose_exchange(est_rows, fused=fused)
-        assert premap is None or exchange == "bronze_bucket"
+        est_bytes = sum(os.path.getsize(f) for f in src_files)
+        exchange = self._choose_exchange(est_rows, fused=fused, est_bytes=est_bytes)
+        if premap is not None:
+            # the premap already ran its map phase under a specific exchange's
+            # layout — the merge must follow it, not re-derive from estimates
+            exchange = premap["exchange"]
+        assert premap is None or exchange in ("bronze_bucket", "broadcast_task")
 
         def resolve_merge_args():
             """Join the resalt barrier, then snapshot the (post-resalt)
@@ -751,7 +806,6 @@ class CDCReplay:
                         silver_schema.serialize().to_pybytes(), cfg.max_salt,
                         cfg.write_compression, cfg.detect_changes)
 
-        est_bytes = sum(os.path.getsize(f) for f in src_files)
         # explicit block sizing: Ray's default parallelism heuristic shreds a
         # small epoch into ~100 tiny blocks and per-block scheduling overhead
         # swamps compute; target ~32 MB compressed per block (at 100 TB scale
@@ -843,6 +897,37 @@ class CDCReplay:
                 print(f"[bronze_bucket e{epoch}] map={_t1 - _t0:.1f}s "
                       f"commit={_t2 - _t1:.1f}s merge={_time.monotonic() - _t2:.1f}s "
                       f"files={len(meta)} buckets={len(items)}")
+        elif exchange == "broadcast_task":
+            # Small-epoch path: ONE execution materializes the mapped epoch
+            # into object-store blocks (and, when fused, persists bronze
+            # fragments as a pass-through side effect — same 2PC point as
+            # bronze_bucket: bronze commits before the merge execution, so a
+            # crash in between resumes through the unfused path); the merge
+            # execution then has no exchange at all (_make_broadcast_merge_fn).
+            import time as _time
+
+            _t0 = _time.monotonic()
+            mat = premap["mat"] if premap is not None else build_source().materialize()
+            _t1 = _time.monotonic()
+            if fused:
+                self._commit_bronze_from_dir(epoch, src_files, outdir, stamped_schema)
+                bronze_committed = True
+                if on_map_done is not None:
+                    suppress_salt_adaptation = bool(on_map_done())
+            frag_map, merge_args = resolve_merge_args()
+            refs = mat.to_arrow_refs()
+            # one task per bucket; 2 waves' worth caps scheduling overhead
+            # while still packing the pool on a straggly tail
+            nb = int(max(1, min(n_groups, 2 * ncpu)))
+            items = [{"bucket": b} for b in range(nb)]
+            res = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+                _make_broadcast_merge_fn(nb, merge_args, refs),
+                batch_format="pyarrow", batch_size=None,
+                num_cpus=cfg.merge_num_cpus)
+            lineage_rows = res.take_all()
+            if os.environ.get("ENGINE_STATS"):
+                print(f"[broadcast e{epoch}] map={_t1 - _t0:.1f}s "
+                      f"merge={_time.monotonic() - _t1:.1f}s buckets={nb}")
         elif exchange == "hash_actor":
             frag_map, merge_args = resolve_merge_args()
             # a Dataset seals its DataContext at CREATION, so only the plan
@@ -1059,7 +1144,43 @@ class CDCReplay:
                                              salt_arr, cfg.max_salt),
                 batch_format="pyarrow", zero_copy_batch=True)
         meta = ds.take_all()
-        return {"meta": meta, "salt_arr": salt_arr}
+        return {"meta": meta, "salt_arr": salt_arr, "exchange": "bronze_bucket"}
+
+    def _broadcast_map_phase(self, epoch: int, files: list[str]) -> dict:
+        """Premap variant for broadcast_task-sized (small) epochs: presalt,
+        pin the salt array, then materialize the fused map pipeline (read →
+        stamp → validate → partition → bronze write → gid assign) into
+        object-store blocks the merge phase will broadcast. Crash-safe:
+        nothing is committed — a rerun clears the epoch dir and remaps."""
+        import ray.data as rd
+
+        cfg = self.cfg
+        self._presalt_from_sample(files)
+        sm = self.silver.latest_manifest()
+        salt_arr = self._salt_array(sm)
+        ncpu = _cluster_cpus()
+        est_rows = sum(pq.read_metadata(f).num_rows for f in files)
+        est_bytes = sum(os.path.getsize(f) for f in files)
+        outdir = self.bronze.abspath(f"fragments/epoch={epoch}")
+        shutil.rmtree(outdir, ignore_errors=True)
+        os.makedirs(outdir, exist_ok=True)
+        n_groups = int(salt_arr.sum())
+        nblocks = int(max(4, min(4 * ncpu,
+                                 max(est_bytes // (32 << 20) + 1,
+                                     min(2 * ncpu, n_groups, est_rows // 2_000)))))
+        with _CTX_LOCK:
+            ds = rd.read_parquet(files, partitioning=None, override_num_blocks=nblocks)
+            ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
+                                zero_copy_batch=True)
+            ds = ds.map_batches(_make_bronze_writer(outdir, cfg.write_compression),
+                                batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(
+                make_gid_assigner(cfg.num_partitions, salt_arr, cfg.max_salt),
+                batch_format="pyarrow", zero_copy_batch=True)
+        mat = ds.materialize()
+        return {"mat": mat, "salt_arr": salt_arr, "exchange": "broadcast_task"}
 
     def _spawn_premap(self, epoch: int, files: list[str]) -> bool:
         """Start epoch ``epoch``'s map phase on a background thread (premap),
@@ -1072,14 +1193,22 @@ class CDCReplay:
         cfg = self.cfg
         if not (cfg.fuse_bronze and cfg.premap_epochs):
             return False
-        if cfg.merge_exchange not in ("auto", "bronze_bucket"):
+        if cfg.merge_exchange not in ("auto", "bronze_bucket", "broadcast_task"):
             return False
         try:
             est = sum(pq.read_metadata(f).num_rows for f in files)
+            est_bytes = sum(os.path.getsize(f) for f in files)
         except Exception:
             return False
-        if est < cfg.hash_exchange_min_rows:
-            return False  # small next epoch won't take the bronze_bucket path
+        if est >= cfg.hash_exchange_min_rows:
+            phase = self._bucket_map_phase
+            if cfg.merge_exchange == "broadcast_task":
+                return False
+        elif (est_bytes <= cfg.broadcast_exchange_max_bytes
+              and cfg.merge_exchange in ("auto", "broadcast_task")):
+            phase = self._broadcast_map_phase
+        else:
+            return False  # mid-size next epoch takes the sort_task path inline
         if (self.bronze.latest_manifest().epoch >= epoch
                 or self.silver.latest_manifest().epoch >= epoch):
             return False
@@ -1091,7 +1220,7 @@ class CDCReplay:
 
             _t = _time.monotonic()
             try:
-                box["result"] = self._bucket_map_phase(epoch, files)
+                box["result"] = phase(epoch, files)
             except Exception:
                 logging.getLogger(__name__).warning(
                     "premap of epoch %d failed; falling back to the inline map",

@@ -326,3 +326,52 @@ def test_premap_salt_pinning_with_hot_stream(ray_session, tmp_path):
             by_pid.setdefault(f.pid, set()).add(f.salt)
     for pid, salts in by_pid.items():
         assert salts == set(range(len(salts))), (pid, salts)
+
+
+def test_broadcast_exchange_matches_oracle(ray_session, stream, tmp_path):
+    """The broadcast_task exchange (small epochs: materialized map blocks
+    fetched whole by every merge task — no sort, no shuffle) converges to the
+    same oracle state, premaps its map phase, stays exactly-once, and resumes
+    through the unfused broadcast path when bronze committed but silver
+    crashed."""
+    d, files, oracle = stream
+    cfg = EngineConfig(num_partitions=4, merge_exchange="broadcast_task")
+    r = CDCReplay(str(tmp_path / "lake"), cfg)
+    r.setup()
+    out = r.run(d)
+    assert out["epochs_run"] == 4
+    assert r._premap_count >= 2  # small epochs premap via _broadcast_map_phase
+    _assert_matches_oracle(r, oracle)
+    assert r.run(d)["epochs_run"] == 0  # exactly-once
+
+    # crash window: bronze committed (unfused), silver not → the resume merge
+    # reads committed bronze through the broadcast exchange (fused=False)
+    lake2 = str(tmp_path / "lake2")
+    r2 = CDCReplay(lake2, cfg)
+    r2.setup()
+    r2._bronze_ingest(0, [files[0]])
+    assert r2.silver.latest_manifest().epoch == -1
+    r2._silver_merge(0)
+    assert r2.silver.latest_manifest().epoch == 0
+    r2.run(d)  # finish remaining epochs
+    _assert_matches_oracle(r2, oracle)
+
+
+def test_broadcast_gate_respects_byte_cap(ray_session, stream, tmp_path):
+    """Epochs above broadcast_exchange_max_bytes must NOT take the broadcast
+    path under auto (cluster-scale guard: broadcast replicates the epoch to
+    every node holding a merge task)."""
+    d, files, oracle = stream
+    cfg = EngineConfig(num_partitions=4, broadcast_exchange_max_bytes=0)
+    r = CDCReplay(str(tmp_path / "lake"), cfg)
+    r.setup()
+    assert r._choose_exchange(1000, fused=True, est_bytes=1) == "sort_task"
+    cfg2 = EngineConfig(num_partitions=4)
+    r2 = CDCReplay(str(tmp_path / "lake2"), cfg2)
+    assert r2._choose_exchange(1000, fused=True, est_bytes=1) == "broadcast_task"
+    assert r2._choose_exchange(1000, fused=True, est_bytes=None) == "sort_task"
+    assert r2._choose_exchange(2_000_000, fused=True, est_bytes=1) == "bronze_bucket"
+    # byte-capped stream still converges (sort_task path)
+    out = r.run(d)
+    assert out["epochs_run"] == 4
+    _assert_matches_oracle(r, oracle)
