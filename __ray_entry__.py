@@ -487,7 +487,7 @@ def events_value_percentiles(sf_dir: str):
     return out[["event_type", "n", "p50", "p90"]]
 
 
-_CDC_STREAM_V = "v3"  # bump when the adapted stream or engine config changes
+_CDC_STREAM_V = "v4"  # bump when the adapted stream or engine config changes
 
 
 def _replay_events_as_cdc(sf_dir: str):
@@ -563,7 +563,7 @@ def cdc_scd2_history(sf_dir: str):
     }).sort_values(["user_id", "event_type", "closed_event_id"]).reset_index(drop=True)
 
 
-_CDC_NOCHG_V = "v1"  # bump when the nochange stream or engine config changes
+_CDC_NOCHG_V = "v2"  # bump when the nochange stream or engine config changes
 
 
 def _replay_events_nochange_cdc(sf_dir: str):

@@ -39,7 +39,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from maritime_activity_reports_cdc_ray.config import EngineConfig
-from maritime_activity_reports_cdc_ray.schemas import EVENT_SCHEMA
+from maritime_activity_reports_cdc_ray.schemas import EVENT_SCHEMA, SILVER_CURRENT_SCHEMA
 from maritime_activity_reports_cdc_ray.stages.gold import GOLD_RESULT_SCHEMA
 from maritime_activity_reports_cdc_ray.stages.merge import (
     MergeApplier,
@@ -217,6 +217,10 @@ def align_empty(schema: pa.Schema) -> pa.Table:
     return pa.Table.from_pylist([], schema=schema)
 
 
+def _drop_content(t: pa.Table) -> pa.Table:
+    return t.drop_columns(["content"]) if "content" in t.column_names else t
+
+
 def _make_bucket_merge_fn(num_partitions: int, salt_arr, merge_args):
     """Merge-task fn for the ``bronze_bucket`` exchange: each item is one
     bucket (a list of fragment paths holding complete gid groups). Reads the
@@ -233,9 +237,16 @@ def _make_bucket_merge_fn(num_partitions: int, salt_arr, merge_args):
     def fn(items: pa.Table) -> pa.Table:
         from maritime_activity_reports_cdc_ray.stages.merge import MERGE_RESULT_SCHEMA
 
+        def read_meta(p: str) -> pa.Table:
+            # the merge never needs payload bytes (silver stores a bronze
+            # pointer, not content) — prune the content column at the read
+            # (~80% of bronze bytes, measured on the generated stream)
+            names = [n for n in pq.read_schema(p).names if n != "content"]
+            return pq.read_table(p, columns=names)
+
         outs = []
         for item in items.to_pylist():
-            t = pa.concat_tables([pq.read_table(p) for p in item["paths"]],
+            t = pa.concat_tables([read_meta(p) for p in item["paths"]],
                                  promote_options="permissive")
             if t.num_rows:
                 outs.append(merge(assign(t)))
@@ -822,14 +833,25 @@ class CDCReplay:
                                      min(2 * ncpu, n_groups, est_rows // 2_000)))))
 
         def build_source():
-            ds = rd.read_parquet(src_files, partitioning=None, override_num_blocks=nblocks)
             if fused:
+                ds = rd.read_parquet(src_files, partitioning=None, override_num_blocks=nblocks)
                 ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
                 ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
                 ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
                                     zero_copy_batch=True)
                 ds = ds.map_batches(_make_bronze_writer(outdir, cfg.write_compression),
                                     batch_format="pyarrow", zero_copy_batch=True)
+                # payload is persisted: only metadata flows through the
+                # exchange from here (content is ~80% of row bytes; the merge
+                # stores a bronze pointer, never the bytes)
+                ds = ds.map_batches(_drop_content, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            else:
+                # resume path over committed bronze: prune content at the read
+                # (columns= prunes hive partition fields too, so no
+                # partitioning=None — Ray 2.49 rejects the combination)
+                cols = [n for n in stamped_schema.names if n != "content"]
+                ds = rd.read_parquet(src_files, columns=cols, override_num_blocks=nblocks)
             return ds.map_batches(
                 make_gid_assigner(cfg.num_partitions, salt_arr, cfg.max_salt),
                 batch_format="pyarrow", zero_copy_batch=True,
@@ -1176,6 +1198,8 @@ class CDCReplay:
                                 zero_copy_batch=True)
             ds = ds.map_batches(_make_bronze_writer(outdir, cfg.write_compression),
                                 batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(_drop_content, batch_format="pyarrow",
+                                zero_copy_batch=True)
             ds = ds.map_batches(
                 make_gid_assigner(cfg.num_partitions, salt_arr, cfg.max_salt),
                 batch_format="pyarrow", zero_copy_batch=True)
@@ -1321,35 +1345,117 @@ class CDCReplay:
 
     # ---------------------------------------------------------------- readers
     def read_silver(self, live_only: bool = True, columns: list[str] | None = None):
-        """Silver current state as a ray Dataset (streams fragment files)."""
+        """Silver current state as a ray Dataset (streams fragment files).
+
+        ``content`` is a VIRTUAL column: silver fragments store a bronze
+        pointer (``content_epoch``, see SILVER_CURRENT_SCHEMA) instead of the
+        payload, so merges never move content bytes. When (and only when) the
+        caller selects ``content``, this reader reconstructs it by joining
+        (repo, path, commit, content_epoch) against the pointed-to bronze
+        epochs — epoch-pruned via fragment footer statistics. Metadata-only
+        reads (counts, gold refresh, stats) never touch payload bytes."""
+        import pyarrow.compute as pc
         import ray.data as rd
 
         sm = self.silver.latest_manifest()
         paths = self.silver.all_fragment_paths(sm, kind="current")
+        stored_names = [f.name for f in sm.schema] if sm.schema is not None else \
+            [f.name for f in SILVER_CURRENT_SCHEMA]
+        user_names = ["content" if n == "content_epoch" else n for n in stored_names]
+        out_cols = list(columns) if columns is not None else user_names
+        wants_content = "content" in out_cols
         if not paths:
-            return rd.from_arrow(pa.Table.from_pylist([], schema=sm.schema))
-        read_cols = columns
-        if live_only and columns is not None and "is_deleted" not in columns:
-            read_cols = list(columns) + ["is_deleted"]
-        # Ray 2.49 bug: columns= together with partitioning=None raises
-        # UnboundLocalError; with explicit columns the hive-inferred partition
-        # fields are pruned anyway, so partitioning=None is only needed for
-        # full-schema reads.
-        if read_cols is None:
-            ds = rd.read_parquet(paths, partitioning=None)
-        else:
-            ds = rd.read_parquet(paths, columns=read_cols)
+            base = sm.schema if sm.schema is not None else SILVER_CURRENT_SCHEMA
+            fields = [pa.field("content", pa.large_string()) if n == "content"
+                      else base.field(n) for n in out_cols]
+            return rd.from_arrow(pa.Table.from_pylist([], schema=pa.schema(fields)))
+
+        read_cols = [c for c in out_cols if c != "content"]
+        if wants_content:
+            read_cols += [c for c in ("repo", "path", "commit", "content_epoch",
+                                      "is_deleted") if c not in read_cols]
+        if live_only and "is_deleted" not in read_cols:
+            read_cols.append("is_deleted")
+        # explicit columns also prune hive-inferred partition fields (Ray 2.49
+        # rejects columns= together with partitioning=None)
+        ds = rd.read_parquet(paths, columns=read_cols)
         if live_only:
-            import pyarrow.compute as pc
-
-            drop = columns is not None and "is_deleted" not in columns
-
-            def live(t: pa.Table) -> pa.Table:
-                t = t.filter(pc.invert(t.column("is_deleted")))
-                return t.drop_columns(["is_deleted"]) if drop else t
-
-            ds = ds.map_batches(live, batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(
+                lambda t: t.filter(pc.invert(t.column("is_deleted"))),
+                batch_format="pyarrow", zero_copy_batch=True)
+        if wants_content:
+            ds = self._attach_content(ds, paths)
+        if out_cols != read_cols:  # drop join keys / flags the caller didn't ask for
+            ds = ds.map_batches(lambda t: t.select(out_cols),
+                                batch_format="pyarrow", zero_copy_batch=True)
         return ds
+
+    def _attach_content(self, meta_ds, frag_paths: list[str]):
+        """Join the virtual ``content`` column onto a silver meta Dataset.
+
+        Bronze side = only the epochs any live row points to (bounded by
+        per-fragment ``content_epoch`` footer min/max — a metadata-only driver
+        pass), deduped to the same winner the merge kernel applied (lowest
+        ``cdc_sequence_number`` per (repo, path, commit, epoch)); tombstones
+        come back null (their bronze row holds the TOMBSTONE sentinel). At
+        scale this is a fact-to-fact hash join paid only by content-selecting
+        readers — the replay loop itself never runs it."""
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from maritime_activity_reports_cdc_ray.functions.dedup import exact_dedup
+        from maritime_activity_reports_cdc_ray.functions.join import auto_join
+
+        lo, hi = None, None
+        for p in frag_paths:
+            md = pq.read_metadata(p)
+            try:
+                ci = pq.read_schema(p).names.index("content_epoch")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            except (ValueError, AttributeError):
+                lo, hi = None, None
+                break
+        bm = self.bronze.latest_manifest()
+        files = [self.bronze.abspath(f.path) for f in bm.fragments
+                 if f.kind == "data" and (lo is None or lo <= f.epoch <= hi)]
+
+        def null_content(t: pa.Table) -> pa.Table:
+            return t.append_column("content", pa.nulls(t.num_rows, pa.large_string()))
+
+        if not files:
+            return meta_ds.map_batches(null_content, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+        cds = rd.read_parquet(files, columns=["repo", "path", "commit", "epoch",
+                                              "cdc_sequence_number", "content"])
+        # same winner the kernel applied: equal (key, commit) events within an
+        # epoch dedup to the lowest content-derived sequence number
+        cds = exact_dedup(cds, cols=["repo", "path", "commit", "epoch"],
+                          order=["cdc_sequence_number"], id_col="epoch")
+        cds = cds.map_batches(
+            lambda t: t.select(["repo", "path", "commit", "epoch", "content"])
+                       .rename_columns(["_c_repo", "_c_path", "_c_commit",
+                                        "_c_epoch", "content"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        joined = auto_join(meta_ds, cds,
+                           on=["repo", "path", "commit", "content_epoch"],
+                           right_on=["_c_repo", "_c_path", "_c_commit", "_c_epoch"],
+                           how="left")
+
+        def finish(t: pa.Table) -> pa.Table:
+            c = t.column("content")
+            if c.type != pa.large_string():
+                c = c.cast(pa.large_string())
+            if "is_deleted" in t.column_names:  # sentinel rows join too — null them
+                c = pc.if_else(t.column("is_deleted"),
+                               pa.scalar(None, pa.large_string()), c)
+            drop = [n for n in ("_c_repo", "_c_path", "_c_commit", "_c_epoch",
+                                "content") if n in t.column_names]
+            return t.drop_columns(drop).append_column("content", c)
+
+        return joined.map_batches(finish, batch_format="pyarrow")
 
     def read_gold(self):
         import ray.data as rd

@@ -43,7 +43,7 @@ _EVENT_META_COLS = {
     "repo", "path", "commit", "lang", "content",
     "cdc_operation", "cdc_sequence_number", "source_system", "epoch",
     "content_sha256", "content_bytes", "data_quality_score", "quality_category",
-    "pid", "path_hash", "gid", "gkey",
+    "pid", "path_hash", "gid", "gkey", "content_epoch",
 }
 
 MERGE_RESULT_SCHEMA = pa.schema(list(LINEAGE_SCHEMA) + [pa.field("fragments_json", pa.string())])
@@ -290,7 +290,9 @@ def apply_events_to_partition(
         "path": wt.column("path").cast(pa.string()),
         "commit": wt.column("commit").cast(pa.string()),
         "lang": null_if_tomb(wt.column("lang"), pa.string()),
-        "content": null_if_tomb(wt.column("content"), pa.large_string()),
+        # winners are, by construction, events of THIS epoch — their payload
+        # lives in this epoch's bronze fragments (see SILVER_CURRENT_SCHEMA)
+        "content_epoch": pa.array(np.full(len(w), epoch, dtype=np.int64)),
         "content_sha256": null_if_tomb(wt.column("content_sha256"), pa.string()),
         "content_bytes": pc.if_else(tomb_arr, pa.scalar(0, pa.int64()), wt.column("content_bytes")),
         "is_deleted": tomb_arr,

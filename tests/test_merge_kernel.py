@@ -5,6 +5,8 @@ invariants at tests/test_bronze_layer.py:78-160; idempotent upsert at
 silver/cdf_processor.py:259-268) plus the oracle equivalence keystone.
 """
 
+import hashlib
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -57,7 +59,10 @@ def test_insert_update_lww():
         ("r", "a", "c000000000002", "py", "v2"),  # out of order in batch
     ])
     r = _row(cur, "r", "a")
-    assert r["commit"] == "c000000000003" and r["content"] == "v3"
+    assert r["commit"] == "c000000000003"
+    # the kernel stores a bronze pointer + content identity, never the bytes
+    assert r["content_sha256"] == hashlib.sha256(b"v3").hexdigest()
+    assert r["content_epoch"] == 0
     assert r["version_count"] == 3 and not r["is_deleted"]
     assert hist.num_rows == 2  # v1 closed by c2, v2 closed by c3
     assert st["inserted"] == 1 and st["rows_applied"] == 3
@@ -77,7 +82,7 @@ def test_tombstone_delete_and_reinsert():
     cur, _, _ = _apply(None, [("r", "a", "c000000000001", "py", "v1")])
     cur, hist, st = _apply(cur, [("r", "a", "c000000000002", "", TOMBSTONE)], epoch=1)
     r = _row(cur, "r", "a")
-    assert r["is_deleted"] and r["ever_deleted"] and r["content"] is None
+    assert r["is_deleted"] and r["ever_deleted"] and r["content_sha256"] is None
     assert r["version_count"] == 1  # delete closes, creates nothing
     assert hist.num_rows == 1 and hist.column("closed_by_op").to_pylist() == ["delete"]
     assert st["deleted"] == 1
