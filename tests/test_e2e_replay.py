@@ -375,3 +375,33 @@ def test_broadcast_gate_respects_byte_cap(ray_session, stream, tmp_path):
     out = r.run(d)
     assert out["epochs_run"] == 4
     _assert_matches_oracle(r, oracle)
+
+
+def test_silver_stores_pointer_not_content(ray_session, stream, tmp_path):
+    """Scale invariant: silver fragments persist a bronze pointer, never the
+    payload (content is ~83% of stream bytes) — yet ``read_silver`` serves a
+    correct virtual ``content`` column, exact per-row sha roundtrip."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    src, files, oracle = stream
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(src)
+    sm = r.silver.latest_manifest()
+    paths = r.silver.all_fragment_paths(sm, kind="current")
+    assert paths
+    for p in paths:
+        names = pq.read_schema(p).names
+        assert "content" not in names and "content_epoch" in names, p
+    sil = r.read_silver(columns=["repo", "path", "content", "content_sha256"]).to_pandas()
+    assert list(sil.columns) == ["repo", "path", "content", "content_sha256"]
+    assert sil.content.notna().all()
+    for c, s in zip(sil.content, sil.content_sha256):
+        assert hashlib.sha256(c.encode("utf-8", "surrogatepass")).hexdigest() == s
+    # tombstones come back null, not the bronze sentinel
+    full = r.read_silver(live_only=False).to_pandas()
+    dead = full[full.is_deleted]
+    if len(dead):
+        assert dead.content.isna().all()
