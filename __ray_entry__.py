@@ -853,6 +853,36 @@ def docs_rolling_fingerprint(sf_dir: str):
     return out.to_pandas()[["doc_id", "doc_fingerprint"]]
 
 
+_STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "that", "for")
+
+
+def docs_hash_sample(sf_dir: str):
+    """Deterministic ~12.5% curation sample keyed on md5(doc_id) — pure
+    per-batch filter, reproducible in any SQL engine (no RNG, no shuffle)."""
+    from maritime_activity_reports_cdc_ray.functions.sample import md5_hash_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return md5_hash_sample(ds, "doc_id", keep_hex=("0", "1"))
+
+
+def docs_topk_per_lang(sf_dir: str):
+    """Group-balanced top-k selection (3 largest docs per language,
+    doc_id tie-break) — the per-source cap primitive of corpus curation."""
+    from maritime_activity_reports_cdc_ray.functions.window import topk_per_group
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return topk_per_group(ds, "lang", "n_chars", "doc_id", k=3)
+
+
+def docs_top_terms(sf_dir: str):
+    """Corpus vocabulary head: top-20 terms by global count (stopwords
+    dropped) — partial counts before the shuffle, term totals co-located."""
+    from maritime_activity_reports_cdc_ray.functions.text import top_terms
+
+    ds = _t(sf_dir, "documents", ["text"])
+    return top_terms(ds, "text", stopwords=_STOPWORDS, limit=20)
+
+
 # ---------------------------------------------------------------------------
 # multimodal: binary payload decode plumbing
 # ---------------------------------------------------------------------------
@@ -1011,6 +1041,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_groups": docs_dup_groups,
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
+        "docs_hash_sample": docs_hash_sample,
+        "docs_topk_per_lang": docs_topk_per_lang,
+        "docs_top_terms": docs_top_terms,
         "media_decode_features": media_decode_features,
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_lsh": emb_knn_lsh,
@@ -1020,7 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-_STOP_LIST = "'the','and','of','a','to','in','is','it','that','for'"
+_STOP_LIST = ",".join(f"'{w}'" for w in _STOPWORDS)
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1442,6 +1475,25 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src)
             SELECT component, COUNT(*) AS n_docs, MIN(id) AS keep_doc_id
             FROM comp GROUP BY component
+        """,
+        "docs_hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        """,
+        "docs_topk_per_lang": """
+            SELECT doc_id, lang, n_chars, rn FROM (
+                SELECT doc_id, lang, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 3
+        """,
+        "docs_top_terms": f"""
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                SELECT UNNEST(string_split(lower(text), ' ')) AS term
+                FROM documents)
+            WHERE term <> '' AND term NOT IN ({_STOP_LIST})
+            GROUP BY term ORDER BY cnt DESC, term LIMIT 20
         """,
         "emb_cosine_dupes": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

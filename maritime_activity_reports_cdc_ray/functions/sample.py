@@ -1,0 +1,34 @@
+"""Deterministic sampling operators for dataset curation.
+
+A training-data pipeline samples constantly (eval splits, ablation subsets,
+per-source caps). At 100 TB a sample must be (a) a pure per-batch filter —
+no shuffle, no driver state — and (b) reproducible across reruns and engines,
+so it is keyed on a content/id hash rather than an RNG. ``md5_hash_sample``
+keeps a row iff the first hex digits of ``md5(str(id))`` fall in a keep-set:
+rate = len(keep)/16 per digit, exactly reproducible in any SQL engine
+(``substr(md5(CAST(id AS VARCHAR)), 1, 1)``), and stable under repartitioning
+because it depends on the row alone.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+
+def md5_hash_sample(ds, id_col: str, keep_hex: tuple[str, ...] = ("0", "1")):
+    """Deterministic ~len(keep_hex)/16 sample keyed on ``md5(str(id))[0]``.
+
+    Pure per-batch filter (streams, never shuffles); the md5-per-row loop is
+    a C hash call like the stamper's sha256 — the reproducibility contract,
+    not an accident of implementation.
+    """
+    keep = frozenset(keep_hex)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[id_col].astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()[0])
+        return df[h.isin(keep)]
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -156,3 +156,34 @@ class RollingFingerprint:
         df = df.copy()
         df["doc_fingerprint"] = df["text"].fillna("").map(self._fingerprint)
         return df
+
+
+def top_terms(ds, text_col: str = "text", stopwords=(), limit: int = 20,
+              num_partitions: int = 16):
+    """Corpus vocabulary head: global term counts → top ``limit`` by
+    (count DESC, term ASC). Tokenization = ``lower().split(' ')`` — chosen to
+    be bit-reproducible in SQL (``string_split(lower(text), ' ')``).
+
+    Shape: per-batch explode + partial counts → hash partition on term → one
+    vectorized reduce per partition (each term's TOTAL lands in one
+    partition) → per-batch top-``limit`` (a correct combiner over disjoint
+    full counts) → tiny driver-side final top-``limit``. The shuffle moves
+    (term, partial_count) rows, never text."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import hash_count
+
+    sw = frozenset(stopwords)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("").str.lower().str.split(" ").explode()
+        s = s[(s != "") & ~s.isin(sw)]
+        return pd.DataFrame({"term": s.astype(str)})
+
+    counts = hash_count(ds.map_batches(explode, batch_format="pandas"),
+                        ["term"], num_partitions)
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "term"], ascending=[False, True]).head(limit)
+
+    tops = counts.map_batches(local_top, batch_format="pandas").to_pandas()
+    return (tops.sort_values(["cnt", "term"], ascending=[False, True])
+            .head(limit).reset_index(drop=True))

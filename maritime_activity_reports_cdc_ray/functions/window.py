@@ -169,3 +169,21 @@ def global_rank(ds, order_col: str, descending: bool = True, rank_col: str = "rn
     df[rank_col] = rnk.to_numpy()
     return df
 
+
+
+def topk_per_group(ds, partition: str, order_col: str, id_col: str, k: int,
+                   descending: bool = True, num_partitions: int = 32,
+                   rn_col: str = "rn"):
+    """SQL ``ROW_NUMBER() OVER (PARTITION BY p ORDER BY o [DESC], id) <= k``
+    — group-balanced top-k selection (curation: best docs per language /
+    source cap). Same partition-local kernel shape as rank_within: ONE
+    vectorized call per hash partition, never a dispatch per key."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([partition, order_col, id_col],
+                          ascending=[True, not descending, True],
+                          kind="mergesort")
+        g[rn_col] = (g.groupby(partition, sort=False).cumcount() + 1).astype("int64")
+        return g[g[rn_col] <= k]
+
+    return _per_key_apply(ds, [partition], kernel, num_partitions)

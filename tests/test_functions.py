@@ -395,3 +395,57 @@ def test_broadcast_join_left_and_select(ray_session):
                            select=["k", "y"]).to_pandas().sort_values("k")
     assert out["y"].tolist()[:2] == ["a", "b"] and pd.isna(out["y"].iloc[2])
     assert list(out.columns) == ["k", "y"]
+
+
+def test_md5_hash_sample_deterministic(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.sample import md5_hash_sample
+
+    ds = rd.range(2000).map_batches(
+        lambda df: df.rename(columns={"id": "doc_id"}), batch_format="pandas")
+    got = sorted(md5_hash_sample(ds, "doc_id", keep_hex=("0", "1"))
+                 .to_pandas().doc_id)
+    exp = [i for i in range(2000)
+           if hashlib.md5(str(i).encode()).hexdigest()[0] in ("0", "1")]
+    assert got == exp and 0 < len(got) < 2000
+    # rerun → identical sample (no RNG)
+    again = sorted(md5_hash_sample(ds, "doc_id", keep_hex=("0", "1"))
+                   .to_pandas().doc_id)
+    assert again == got
+
+
+def test_topk_per_group_row_number_semantics(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.window import topk_per_group
+
+    df = pd.DataFrame({
+        "g": ["x"] * 4 + ["y"] * 2,
+        "v": [5, 5, 3, 9, 1, 1],          # ties broken by id
+        "id": [2, 1, 3, 4, 10, 11],
+    })
+    out = topk_per_group(rd.from_pandas(df), "g", "v", "id", k=2).to_pandas()
+    out = out.sort_values(["g", "rn"]).reset_index(drop=True)
+    assert list(zip(out.g, out.id, out.rn)) == [
+        ("x", 4, 1), ("x", 1, 2),          # 9 first, then tie 5/5 → id 1
+        ("y", 10, 1), ("y", 11, 2),
+    ]
+
+
+def test_top_terms_counts_and_tiebreak(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.text import top_terms
+
+    docs = pd.DataFrame({"text": [
+        "b b a  a", "c B a", None, "the the the zz",
+    ]})
+    out = top_terms(rd.from_pandas(docs), "text",
+                    stopwords=("the",), limit=3)
+    # a:3 (case-folded, double-space empty dropped), b:3, c:1/zz:1 → term asc
+    assert list(zip(out.term, out.cnt)) == [("a", 3), ("b", 3), ("c", 1)]
