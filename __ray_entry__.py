@@ -747,7 +747,10 @@ def docs_quality(sf_dir: str):
 
 
 def docs_lang_id(sf_dir: str):
-    """Heuristic language-ID (rows-only check — not SQL-expressible)."""
+    """Heuristic language-ID: stopword-hit argmax per doc (first language in
+    table order wins ties), rolled up to a (true lang, predicted lang)
+    confusion count. The heuristic is small enough to mirror exactly in SQL
+    (regexp word split + list_filter hit counts + ordered CASE argmax)."""
     from ray.data.aggregate import Count
 
     from maritime_activity_reports_cdc_ray.functions.text import LangId
@@ -1054,6 +1057,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _STOP_LIST = ",".join(f"'{w}'" for w in _STOPWORDS)
+
+
+def _lang_id_oracle_sql() -> str:
+    """Mirror functions/text.LangId exactly: word split on [a-zà-ÿ']+ over
+    lower(text), per-language stopword hit counts, argmax with
+    first-in-table-order tie-break, 'unknown' when no hits. Built from the
+    same _STOPWORDS tables the engine uses, so they cannot drift."""
+    from maritime_activity_reports_cdc_ray.functions.text import _STOPWORDS as TABLES
+
+    langs = list(TABLES)  # dict order == the engine's scan order
+    hit_cols = ",\n               ".join(
+        "len(list_filter(ws, x -> x IN ({lst}))) AS h_{lang}".format(
+            lst=",".join(f"'{w}'" for w in sorted(TABLES[lang])), lang=lang)
+        for lang in langs)
+    # earliest language holding the max wins (the engine's strict-> scan)
+    branches = []
+    for i, lang in enumerate(langs):
+        later = [f"h_{lang} >= h_{other}" for other in langs[i + 1:]]
+        cond = " AND ".join(later) if later else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    case = "\n                 ".join(branches)
+    greatest = ", ".join(f"h_{lang}" for lang in langs)
+    return f"""
+        WITH t AS (
+            SELECT lang,
+                   regexp_extract_all(lower(COALESCE(text, '')), '[a-zà-ÿ'']+') AS ws
+            FROM documents),
+        h AS (
+            SELECT lang,
+               {hit_cols}
+            FROM t),
+        pred AS (
+            SELECT lang,
+                   CASE WHEN GREATEST({greatest}) = 0 THEN 'unknown'
+                 {case}
+                 END AS lang_pred
+            FROM h)
+        SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang, lang_pred
+    """
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1476,6 +1519,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT component, COUNT(*) AS n_docs, MIN(id) AS keep_doc_id
             FROM comp GROUP BY component
         """,
+        "docs_lang_id": _lang_id_oracle_sql(),
         "docs_hash_sample": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
