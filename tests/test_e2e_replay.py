@@ -405,3 +405,29 @@ def test_silver_stores_pointer_not_content(ray_session, stream, tmp_path):
     dead = full[full.is_deleted]
     if len(dead):
         assert dead.content.isna().all()
+
+
+def test_compact_vacuum_keep_content_pointers(ray_session, stream, tmp_path):
+    """Maintenance must not break the virtual-content contract: history
+    compaction + vacuum on every table (bronze included — its committed
+    epochs stay manifest-referenced) leaves oracle state and the content
+    join intact."""
+    import hashlib
+
+    from maritime_activity_reports_cdc_ray.pipelines.maintenance import compact_table
+
+    src, files, oracle = stream
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(src)
+    h_before = r.read_history().count()
+    stats = compact_table(r.silver, kinds=("history",))
+    assert stats["compacted_groups"] > 0 and stats["fragments_removed"] > 0
+    removed = sum(t.vacuum() for t in (r.bronze, r.silver, r.gold))
+    assert removed >= 0
+    assert r.read_history().count() == h_before
+    _assert_matches_oracle(r, oracle)
+    sil = r.read_silver(columns=["content", "content_sha256"]).to_pandas()
+    assert sil.content.notna().all()
+    for c, s in zip(sil.content, sil.content_sha256):
+        assert hashlib.sha256(c.encode("utf-8", "surrogatepass")).hexdigest() == s
