@@ -104,3 +104,190 @@ def health_check(replay) -> dict:
     sm, gm = replay.silver.latest_manifest(), replay.gold.latest_manifest()
     out["gold_lag_epochs"] = sm.epoch - gm.epoch if sm and gm else None
     return out
+
+
+# ---------------------------------------------------------------------------
+# bronze retention: content rematerialization
+# ---------------------------------------------------------------------------
+# Silver stores content POINTERS (content_epoch → bronze epoch; see
+# SILVER_CURRENT_SCHEMA), so bronze data epochs can only be dropped after the
+# payloads still referenced by live rows are consolidated elsewhere. A
+# maintenance epoch id space far above any stream epoch keeps the pointer
+# semantics unchanged ("the bronze epoch holding this row's payload").
+REMAT_BASE = 1 << 48
+
+
+def rematerialize_content(replay, retain_epochs: int = 8,
+                          compression: str = "zstd") -> dict:
+    """Bound bronze growth under the content-pointer design (offline
+    maintenance, like compaction): consolidate every payload still referenced
+    by a live silver row out of bronze data epochs older than the newest
+    ``retain_epochs`` (and out of prior rematerialization epochs) into ONE new
+    maintenance epoch, retarget the silver pointers, then drop the old epochs
+    from the bronze manifest (``vacuum`` reclaims the files).
+
+    Crash-safe ordering — the lake is consistent after every commit:
+      1. write + commit the new maintenance epoch (unreferenced → harmless),
+      2. rewrite + commit silver pointers (old epochs still present),
+      3. drop old bronze fragments from the manifest.
+
+    Scale shape: the referenced-payload collection is a column-pruned silver
+    meta scan inner-joined against the old bronze epochs (the same join a
+    content-selecting reader pays, run once per retention cycle); pointer
+    rewrites are a task pool over affected silver fragments (metadata-only
+    files — content never lived in them)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.dedup import exact_dedup
+    from maritime_activity_reports_cdc_ray.functions.join import auto_join
+    from maritime_activity_reports_cdc_ray.state.table import Fragment
+
+    bm = replay.bronze.latest_manifest()
+    sm = replay.silver.latest_manifest()
+    raw = sorted({f.epoch for f in bm.fragments if f.kind == "data" and f.epoch < REMAT_BASE})
+    remats = sorted({f.epoch for f in bm.fragments if f.kind == "data" and f.epoch >= REMAT_BASE})
+    if len(raw) <= retain_epochs and not remats:
+        return {"pruned_epochs": 0, "rematerialized_rows": 0}
+    cutoff = raw[-retain_epochs] if len(raw) > retain_epochs else (raw[0] if raw else 0)
+    new_epoch = REMAT_BASE + (remats[-1] - REMAT_BASE + 1 if remats else 0)
+    old_epochs = {e for e in raw if e < cutoff} | set(remats)
+    if not old_epochs:
+        return {"pruned_epochs": 0, "rematerialized_rows": 0}
+
+    def is_old(ce):  # works on scalars and numpy arrays
+        return (ce < cutoff) | ((ce >= REMAT_BASE) & (ce < new_epoch))
+
+    # ---- 1. collect still-referenced payloads into the maintenance epoch ----
+    cur_paths = replay.silver.all_fragment_paths(sm, kind="current")
+    meta = rd.read_parquet(cur_paths, columns=["repo", "path", "commit",
+                                               "content_epoch", "is_deleted"])
+
+    def old_live(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ce = t.column("content_epoch").to_numpy(zero_copy_only=False)
+        dead = t.column("is_deleted").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(is_old(ce) & ~dead)).drop_columns(["is_deleted"])
+
+    meta_old = meta.map_batches(old_live, batch_format="pyarrow", zero_copy_batch=True)
+    old_files = [replay.bronze.abspath(f.path) for f in bm.fragments
+                 if f.kind == "data" and f.epoch in old_epochs]
+    outdir = replay.bronze.abspath(f"fragments/epoch={new_epoch}")
+    new_frags: list = []
+    n_remat = 0
+    if old_files:
+        cds = rd.read_parquet(old_files, columns=["repo", "path", "commit", "epoch",
+                                                  "cdc_sequence_number", "content"])
+        cds = exact_dedup(cds, cols=["repo", "path", "commit", "epoch"],
+                          order=["cdc_sequence_number"], id_col="epoch")
+        cds = cds.map_batches(
+            lambda t: t.select(["repo", "path", "commit", "epoch",
+                                "cdc_sequence_number", "content"])
+                       .rename_columns(["_c_repo", "_c_path", "_c_commit",
+                                        "_c_epoch", "cdc_sequence_number", "content"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        joined = auto_join(meta_old, cds,
+                           on=["repo", "path", "commit", "content_epoch"],
+                           right_on=["_c_repo", "_c_path", "_c_commit", "_c_epoch"],
+                           how="inner")
+        import os as _os
+        import shutil as _shutil
+        _shutil.rmtree(outdir, ignore_errors=True)
+        _os.makedirs(outdir, exist_ok=True)
+
+        def write_remat(t: pa.Table) -> pa.Table:
+            import os
+            import tempfile
+
+            import pyarrow.compute as _pc
+
+            if t.num_rows == 0:
+                return pa.table({"path": pa.array([], pa.string()),
+                                 "rows": pa.array([], pa.int64())})
+            t = pa.table({
+                "repo": t.column("repo").cast(pa.string()),
+                "path": t.column("path").cast(pa.string()),
+                "commit": t.column("commit").cast(pa.string()),
+                "epoch": pa.array(np.full(t.num_rows, new_epoch, dtype=np.int64)),
+                "cdc_sequence_number": t.column("cdc_sequence_number").cast(pa.uint64()),
+                "content": t.column("content").cast(pa.large_string()),
+            })
+            seqmin = int(_pc.min(t.column("cdc_sequence_number")).as_py())
+            dst = os.path.join(outdir, f"data-{seqmin:020d}-{t.num_rows}.parquet")
+            fd, tmp = tempfile.mkstemp(dir=outdir, suffix=".tmp")
+            os.close(fd)
+            try:
+                pq.write_table(t, tmp, compression=compression)
+                os.replace(tmp, dst)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            return pa.table({"path": pa.array([dst], pa.string()),
+                             "rows": pa.array([t.num_rows], pa.int64())})
+
+        import os as _os2
+        for r in joined.map_batches(write_remat, batch_format="pyarrow").take_all():
+            new_frags.append(Fragment(
+                path=_os2.path.relpath(r["path"], replay.bronze.root),
+                pid=-1, salt=0, kind="data", epoch=new_epoch,
+                rows=int(r["rows"]), bytes=_os2.path.getsize(r["path"])))
+            n_remat += int(r["rows"])
+        if new_frags:
+            replay.bronze.commit_maintenance(new_frags, replaced=set())
+
+    # ---- 2. retarget silver pointers at the maintenance epoch --------------
+    affected = []
+    for f in sm.fragments:
+        if f.kind != "current":
+            continue
+        md = pq.read_metadata(replay.silver.abspath(f.path))
+        names = pq.read_schema(replay.silver.abspath(f.path)).names
+        ci = names.index("content_epoch")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            # old pointers live at BOTH ends of the epoch space: raw epochs
+            # below cutoff (visible in min) and prior maintenance epochs at
+            # REMAT_BASE+ (visible only in max) — test both
+            if st is None or st.min < cutoff or st.max >= REMAT_BASE:
+                affected.append(f)
+                break
+    if affected:
+        suffix = f"rm{new_epoch - REMAT_BASE}"
+        items = [{"path": f.path, "pid": f.pid, "salt": f.salt, "epoch": f.epoch}
+                 for f in affected]
+        silver_root = replay.silver.root  # closure-capture primitives only
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            from maritime_activity_reports_cdc_ray.state.table import LakeTable
+
+            lake = LakeTable(silver_root)
+            rows = []
+            for item in batch.to_pylist():
+                t = pq.read_table(lake.abspath(item["path"]))
+                ce = t.column("content_epoch").to_numpy(zero_copy_only=False)
+                ce2 = np.where(is_old(ce), np.int64(new_epoch), ce)
+                t = t.set_column(t.column_names.index("content_epoch"),
+                                 "content_epoch", pa.array(ce2, pa.int64()))
+                frag = lake.stage_fragment(t, int(item["epoch"]), int(item["pid"]),
+                                           int(item["salt"]), "current", compression,
+                                           suffix=suffix)
+                rows.append({"fragments_json": json.dumps([frag.__dict__]),
+                             "replaced_json": json.dumps([item["path"]])})
+            return pa.Table.from_pylist(rows)
+
+        res = rd.from_items(items).map_batches(rewrite, batch_format="pyarrow",
+                                               batch_size=1).take_all()
+        s_new, s_repl = [], set()
+        for r in res:
+            for d in json.loads(r["fragments_json"]):
+                s_new.append(Fragment(**d))
+            s_repl.update(json.loads(r["replaced_json"]))
+        replay.silver.commit_maintenance(s_new, s_repl)
+
+    # ---- 3. drop the old bronze epochs from the manifest --------------------
+    prune = {f.path for f in bm.fragments if f.kind == "data" and f.epoch in old_epochs}
+    replay.bronze.commit_maintenance([], replaced=prune)
+    return {"pruned_epochs": len(old_epochs), "rematerialized_rows": n_remat,
+            "remat_epoch": new_epoch, "silver_fragments_rewritten": len(affected)}

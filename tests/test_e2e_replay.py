@@ -431,3 +431,44 @@ def test_compact_vacuum_keep_content_pointers(ray_session, stream, tmp_path):
     assert sil.content.notna().all()
     for c, s in zip(sil.content, sil.content_sha256):
         assert hashlib.sha256(c.encode("utf-8", "surrogatepass")).hexdigest() == s
+
+
+def test_rematerialize_content_bounds_bronze(ray_session, stream, tmp_path):
+    """Bronze retention under the content-pointer design: old bronze epochs
+    are droppable after still-referenced payloads consolidate into a
+    maintenance epoch — oracle state and the content join survive, files are
+    physically reclaimed, and a second cycle consolidates the first."""
+    import hashlib
+
+    from maritime_activity_reports_cdc_ray.pipelines.maintenance import (
+        REMAT_BASE,
+        rematerialize_content,
+    )
+
+    def assert_content_ok(r):
+        sil = r.read_silver(columns=["content", "content_sha256"]).to_pandas()
+        assert sil.content.notna().all()
+        for c, s in zip(sil.content, sil.content_sha256):
+            assert hashlib.sha256(c.encode("utf-8", "surrogatepass")).hexdigest() == s
+
+    src, files, oracle = stream
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(src)
+    stats = rematerialize_content(r, retain_epochs=1)
+    assert stats["pruned_epochs"] == 3 and stats["rematerialized_rows"] > 0
+    assert stats["remat_epoch"] == REMAT_BASE
+    bm = r.bronze.latest_manifest()
+    assert {f.epoch for f in bm.fragments if f.kind == "data"} == {3, REMAT_BASE}
+    removed = r.bronze.vacuum() + r.silver.vacuum()
+    assert removed > 0
+    _assert_matches_oracle(r, oracle)
+    assert_content_ok(r)
+    # second cycle: consolidates the first maintenance epoch, raw epoch stays
+    stats2 = rematerialize_content(r, retain_epochs=1)
+    assert stats2["pruned_epochs"] == 1 and stats2["remat_epoch"] == REMAT_BASE + 1
+    r.bronze.vacuum(), r.silver.vacuum()
+    bm2 = r.bronze.latest_manifest()
+    assert {f.epoch for f in bm2.fragments if f.kind == "data"} == {3, REMAT_BASE + 1}
+    _assert_matches_oracle(r, oracle)
+    assert_content_ok(r)
