@@ -65,6 +65,11 @@ def main(argv=None):
     sp = sub.add_parser("vacuum", help="delete unreferenced fragment files")
     common(sp)
 
+    sp = sub.add_parser("remat", help="bronze retention: consolidate referenced "
+                                      "payloads, drop old bronze epochs")
+    common(sp)
+    sp.add_argument("--retain-epochs", type=int, default=8)
+
     sp = sub.add_parser("metrics", help="per-epoch stream progress (lastProgress analogue)")
     common(sp)
     sp.add_argument("--history", action="store_true", help="all epochs, not just the last")
@@ -128,6 +133,14 @@ def main(argv=None):
         elif args.cmd == "ingest":
             out = r.run(args.input, files_per_epoch=args.files_per_epoch, max_epochs=1)
             print(json.dumps(out))
+        elif args.cmd == "remat":
+            from maritime_activity_reports_cdc_ray.pipelines.maintenance import (
+                rematerialize_content,
+            )
+
+            print(json.dumps(rematerialize_content(
+                r, retain_epochs=args.retain_epochs,
+                compression=r.cfg.write_compression)))
         elif args.cmd == "compact":
             from maritime_activity_reports_cdc_ray.pipelines.maintenance import compact_table
 
