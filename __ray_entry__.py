@@ -859,6 +859,30 @@ def docs_rolling_fingerprint(sf_dir: str):
 _STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "that", "for")
 
 
+def events_asof_last_click(sf_dir: str):
+    """ASOF join (custom operator — Ray Data has none): each purchase picks
+    the user's most recent at-or-before click. Right-side (user, ts) ties
+    resolve to the max click event_id — deterministic and mirrored by the
+    oracle's MAX() dedup + native DuckDB ASOF JOIN."""
+    from maritime_activity_reports_cdc_ray.functions.join import asof_join
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.filter(lambda r: r["event_type"] == "purchase") \
+        .map_batches(lambda df: df[["event_id", "user_id", "ts"]], batch_format="pandas")
+    clicks = ev.filter(lambda r: r["event_type"] == "click").map_batches(
+        lambda df: df.rename(columns={"event_id": "click_id", "value": "click_value"})
+                     [["user_id", "ts", "click_id", "click_value"]],
+        batch_format="pandas")
+    out = asof_join(purchases, clicks, by="user_id", on="ts",
+                    tie_cols=["click_id"]).to_pandas()
+    return pd.DataFrame({
+        "event_id": out.event_id.astype("int64"),
+        "user_id": out.user_id.astype("int64"),
+        "click_id": out.click_id.astype("float64"),
+        "click_value": out.click_value.astype("float64"),
+    }).sort_values("event_id").reset_index(drop=True)
+
+
 def docs_hash_sample(sf_dir: str):
     """Deterministic ~12.5% curation sample keyed on md5(doc_id) — pure
     per-batch filter, reproducible in any SQL engine (no RNG, no shuffle)."""
@@ -1044,6 +1068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_groups": docs_dup_groups,
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
+        "events_asof_last_click": events_asof_last_click,
         "docs_hash_sample": docs_hash_sample,
         "docs_topk_per_lang": docs_topk_per_lang,
         "docs_top_terms": docs_top_terms,
@@ -1518,6 +1543,19 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src)
             SELECT component, COUNT(*) AS n_docs, MIN(id) AS keep_doc_id
             FROM comp GROUP BY component
+        """,
+        "events_asof_last_click": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            r0 AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+                   WHERE event_type = 'click' GROUP BY user_id, ts),
+            r AS (SELECT r0.user_id, r0.ts, r0.click_id, e.value AS click_value
+                  FROM r0 JOIN events e ON e.event_id = r0.click_id)
+            SELECT l.event_id, l.user_id,
+                   CAST(r.click_id AS DOUBLE) AS click_id,
+                   r.click_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "docs_lang_id": _lang_id_oracle_sql(),
         "docs_hash_sample": """

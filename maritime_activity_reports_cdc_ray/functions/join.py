@@ -96,3 +96,57 @@ def auto_join(left, right, on: list[str], right_on: list[str] | None = None,
     if select:
         joined = joined.select_columns(select)
     return joined
+
+
+def asof_join(left, right, by: str, on: str, tie_cols: list[str] | None = None,
+              direction: str = "backward", num_partitions: int = 32):
+    """ASOF join — each left row picks the nearest right row at-or-before
+    (``backward``) / at-or-after (``forward``) its ``on`` value within the
+    same ``by`` key. Ray Data has no native asof; this is the composition the
+    engine uses for one: tag sides → union → hash-partition on ``by`` → ONE
+    vectorized ``pandas.merge_asof`` per partition (never a dispatch per key).
+    The shuffle moves each side once; at 100 TB both sides stream through the
+    same exchange a groupby pays.
+
+    Ties on (``by``, ``on``) in the right side resolve to the LAST row after
+    a stable sort by (``on``, *tie_cols) — i.e. the max of ``tie_cols`` —
+    making the result deterministic and SQL-reproducible (dedup the right
+    side to ``MAX(tie)`` per (by, on) in the oracle)."""
+    import numpy as np
+
+    lnames = list(left.schema().names)
+    rnames = list(right.schema().names)
+    all_cols = list(dict.fromkeys(lnames + rnames))
+    tie = list(tie_cols or [])
+
+    def tag(side, names):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = None
+            df["_side"] = np.int8(side)
+            return df[all_cols + ["_side"]]
+
+        return f
+
+    both = (left.map_batches(tag(0, lnames), batch_format="pandas")
+            .union(right.map_batches(tag(1, rnames), batch_format="pandas")))
+
+    from maritime_activity_reports_cdc_ray.functions.window import _per_key_apply
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == 0][lnames].infer_objects()
+        rf = g[g["_side"] == 1][rnames].infer_objects()
+        lf = lf.sort_values([on], kind="mergesort")
+        rf = rf.sort_values([on] + tie, kind="mergesort")
+        if len(rf) == 0:
+            out = lf.copy()
+            for c in rnames:
+                if c not in (by, on):
+                    out[c] = None
+            return out
+        return pd.merge_asof(lf, rf, on=on, by=by, direction=direction,
+                             allow_exact_matches=True)
+
+    return _per_key_apply(both, [by], kernel, num_partitions)

@@ -449,3 +449,32 @@ def test_top_terms_counts_and_tiebreak(ray_session):
                     stopwords=("the",), limit=3)
     # a:3 (case-folded, double-space empty dropped), b:3, c:1/zz:1 → term asc
     assert list(zip(out.term, out.cnt)) == [("a", 3), ("b", 3), ("c", 1)]
+
+
+def test_asof_join_backward_ties_and_missing(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.join import asof_join
+
+    left = pd.DataFrame({
+        "user": [1, 1, 2, 3],
+        "t": [5, 2, 4, 7],
+        "lid": [100, 101, 102, 103],
+    })
+    right = pd.DataFrame({
+        "user": [1, 1, 1, 2],
+        "t": [2, 2, 4, 9],          # (1,2) duplicated: tie → max rid
+        "rid": [7, 9, 8, 5],
+        "rv": [0.7, 0.9, 0.8, 0.5],
+    })
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    by="user", on="t", tie_cols=["rid"]).to_pandas()
+    got = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid)) for r in out.itertuples()}
+    assert got == {
+        100: 8,    # t=5 → right t=4
+        101: 9,    # t=2 → tie at t=2 resolves to max rid
+        102: None, # user 2: only right t=9 > 4
+        103: None, # user 3: no right rows at all
+    }
+    assert len(out) == len(left)
