@@ -883,6 +883,28 @@ def events_asof_last_click(sf_dir: str):
     }).sort_values("event_id").reset_index(drop=True)
 
 
+_VALUE_BANDS = [("micro", 0.0, 1.0), ("small", 1.0, 25.0), ("mid", 25.0, 100.0),
+                ("large", 100.0, 250.0), ("huge", 250.0, 1e18)]
+
+
+def events_value_bands(sf_dir: str):
+    """Range/interval join (custom operator — Ray Data has none): events
+    banded against a small broadcast interval table, then rolled up. The
+    broadcast + per-band vectorized mask shape is the skew-immune 100 TB
+    path for small band sides."""
+    from ray.data.aggregate import Count, Sum
+
+    from maritime_activity_reports_cdc_ray.functions.join import range_join_broadcast
+
+    ev = _t(sf_dir, "events", ["event_id", "value"])
+    bands = pd.DataFrame(_VALUE_BANDS, columns=["band", "lo", "hi"])
+    joined = range_join_broadcast(ev, bands, "value", "lo", "hi")
+    out = joined.groupby("band").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("band").reset_index(drop=True)
+
+
 def docs_hash_sample(sf_dir: str):
     """Deterministic ~12.5% curation sample keyed on md5(doc_id) — pure
     per-batch filter, reproducible in any SQL engine (no RNG, no shuffle)."""
@@ -1069,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
         "events_asof_last_click": events_asof_last_click,
+        "events_value_bands": events_value_bands,
         "docs_hash_sample": docs_hash_sample,
         "docs_topk_per_lang": docs_topk_per_lang,
         "docs_top_terms": docs_top_terms,
@@ -1556,6 +1579,15 @@ def oracle_sql() -> dict[str, str]:
                    r.click_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_value_bands": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('micro', 0.0, 1.0), ('small', 1.0, 25.0), ('mid', 25.0, 100.0),
+                ('large', 100.0, 250.0), ('huge', 250.0, 1e18))
+            SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(e.value), 2) AS sum_value
+            FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.band ORDER BY b.band
         """,
         "docs_lang_id": _lang_id_oracle_sql(),
         "docs_hash_sample": """

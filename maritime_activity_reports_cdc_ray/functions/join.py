@@ -150,3 +150,48 @@ def asof_join(left, right, by: str, on: str, tie_cols: list[str] | None = None,
                              allow_exact_matches=True)
 
     return _per_key_apply(both, [by], kernel, num_partitions)
+
+
+def range_join_broadcast(big_ds, bands: pd.DataFrame, value_col: str,
+                         lo_col: str, hi_col: str, how: str = "inner"):
+    """Range/interval join — each big-side row matches every band row whose
+    ``[lo, hi)`` interval contains its ``value``. Ray Data has no range join;
+    the 100 TB shape for a small band side is a broadcast (``ray.put`` once,
+    resolved once per worker) + one vectorized mask per band inside
+    ``map_batches`` — no shuffle, skew-immune, O(rows × bands) with tiny
+    constant. Overlapping bands fan out (row duplicated per match);
+    ``how="left"`` keeps unmatched rows with null band columns."""
+    import numpy as np
+    import ray
+
+    assert how in ("inner", "left"), how
+    band_cols = [c for c in bands.columns if c not in (lo_col, hi_col)]
+    sref = ray.put(bands.reset_index(drop=True))
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        b = _resolve(sref)
+        v = df[value_col].to_numpy()
+        outs = []
+        matched = np.zeros(len(df), dtype=bool)
+        for _i, row in b.iterrows():
+            m = (v >= row[lo_col]) & (v < row[hi_col])
+            if not m.any():
+                continue
+            matched |= m
+            part = df[m].copy()
+            for c in band_cols:
+                part[c] = row[c]
+            outs.append(part)
+        if how == "left" and not matched.all():
+            part = df[~matched].copy()
+            for c in band_cols:
+                part[c] = None
+            outs.append(part)
+        if not outs:
+            out = df.head(0).copy()
+            for c in band_cols:
+                out[c] = None
+            return out
+        return pd.concat(outs, ignore_index=True)
+
+    return big_ds.map_batches(match, batch_format="pandas")

@@ -478,3 +478,22 @@ def test_asof_join_backward_ties_and_missing(ray_session):
         103: None, # user 3: no right rows at all
     }
     assert len(out) == len(left)
+
+
+def test_range_join_broadcast_overlap_and_left(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.join import range_join_broadcast
+
+    big = pd.DataFrame({"id": [1, 2, 3, 4], "v": [5.0, 15.0, 15.0, 99.0]})
+    bands = pd.DataFrame({"band": ["a", "b", "overlap"],
+                          "lo": [0.0, 10.0, 12.0], "hi": [10.0, 20.0, 18.0]})
+    inner = range_join_broadcast(rd.from_pandas(big), bands, "v", "lo", "hi").to_pandas()
+    got = sorted(zip(inner.id, inner.band))
+    # v=15 matches BOTH b and overlap (fan-out); v=99 matches nothing
+    assert got == [(1, "a"), (2, "b"), (2, "overlap"), (3, "b"), (3, "overlap")]
+    left = range_join_broadcast(rd.from_pandas(big), bands, "v", "lo", "hi",
+                                how="left").to_pandas()
+    assert len(left) == 6
+    assert left[left.id == 4].band.isna().all()
