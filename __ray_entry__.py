@@ -883,6 +883,23 @@ def events_asof_last_click(sf_dir: str):
     }).sort_values("event_id").reset_index(drop=True)
 
 
+def events_hopping_window(sf_dir: str):
+    """Hopping-window aggregate (2 h windows, 1 h hop): every event counts in
+    two windows. Vectorized window expansion → groupby; the SQL oracle builds
+    the same windows with integer epoch-µs arithmetic + UNNEST."""
+    from ray.data.aggregate import Count, Sum
+
+    from maritime_activity_reports_cdc_ray.functions.window import window_expand_hopping
+
+    HOUR = 3_600_000_000
+    ev = _t(sf_dir, "events", ["ts", "value"])
+    exp = window_expand_hopping(ev, "ts", size_us=2 * HOUR, hop_us=HOUR)
+    out = exp.groupby("window_start_us").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("window_start_us").reset_index(drop=True)
+
+
 _VALUE_BANDS = [("micro", 0.0, 1.0), ("small", 1.0, 25.0), ("mid", 25.0, 100.0),
                 ("large", 100.0, 250.0), ("huge", 250.0, 1e18)]
 
@@ -1092,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rolling_fingerprint": docs_rolling_fingerprint,
         "events_asof_last_click": events_asof_last_click,
         "events_value_bands": events_value_bands,
+        "events_hopping_window": events_hopping_window,
         "docs_hash_sample": docs_hash_sample,
         "docs_topk_per_lang": docs_topk_per_lang,
         "docs_top_terms": docs_top_terms,
@@ -1579,6 +1597,13 @@ def oracle_sql() -> dict[str, str]:
                    r.click_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_hopping_window": """
+            SELECT (epoch_us(ts) // 3600000000 - i) * 3600000000 AS window_start_us,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events, UNNEST([0, 1]) AS t(i)
+            GROUP BY window_start_us ORDER BY window_start_us
         """,
         "events_value_bands": """
             WITH bands(band, lo, hi) AS (VALUES

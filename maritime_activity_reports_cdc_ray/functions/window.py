@@ -187,3 +187,28 @@ def topk_per_group(ds, partition: str, order_col: str, id_col: str, k: int,
         return g[g[rn_col] <= k]
 
     return _per_key_apply(ds, [partition], kernel, num_partitions)
+
+
+def window_expand_hopping(ds, ts_col: str, size_us: int, hop_us: int,
+                          out_col: str = "window_start_us"):
+    """Hopping/sliding-window expansion (streaming windowed-aggregate
+    primitive): each row is replicated into every window that contains it —
+    ``size_us / hop_us`` copies, stamped with the window's start (epoch µs,
+    int64). ``hop == size`` degenerates to a tumbling window. A downstream
+    ``groupby(out_col).aggregate(...)`` then computes the windowed aggregate;
+    the expansion is a pure vectorized per-batch map (no state, no shuffle —
+    the only exchange is the aggregate's own)."""
+    assert size_us % hop_us == 0, "hop must divide size"
+    k = size_us // hop_us
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].astype("int64")
+        base = (ts // hop_us) * hop_us
+        outs = []
+        for i in range(k):
+            w = df.copy()
+            w[out_col] = base - i * hop_us
+            outs.append(w)
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(expand, batch_format="pandas")

@@ -497,3 +497,21 @@ def test_range_join_broadcast_overlap_and_left(ray_session):
                                 how="left").to_pandas()
     assert len(left) == 6
     assert left[left.id == 4].band.isna().all()
+
+
+def test_window_expand_hopping_tumbling_degenerate(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.window import window_expand_hopping
+
+    df = pd.DataFrame({"ts": [0, 5, 10, 15], "v": [1, 2, 3, 4]})
+    # size == hop → tumbling: one copy per row
+    tumb = window_expand_hopping(rd.from_pandas(df), "ts", 10, 10).to_pandas()
+    assert len(tumb) == 4
+    assert sorted(tumb.window_start_us) == [0, 0, 10, 10]
+    # size = 2*hop → each row in exactly two windows
+    hop = window_expand_hopping(rd.from_pandas(df), "ts", 20, 10).to_pandas()
+    assert len(hop) == 8
+    r5 = sorted(hop[hop.v == 2].window_start_us)
+    assert r5 == [-10, 0]  # ts=5 covered by windows starting at -10 and 0
