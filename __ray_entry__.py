@@ -867,10 +867,12 @@ def events_asof_last_click(sf_dir: str):
     from maritime_activity_reports_cdc_ray.functions.join import asof_join
 
     ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
-    purchases = ev.filter(lambda r: r["event_type"] == "purchase") \
-        .map_batches(lambda df: df[["event_id", "user_id", "ts"]], batch_format="pandas")
-    clicks = ev.filter(lambda r: r["event_type"] == "click").map_batches(
-        lambda df: df.rename(columns={"event_id": "click_id", "value": "click_value"})
+    purchases = ev.map_batches(
+        lambda df: df[df.event_type == "purchase"][["event_id", "user_id", "ts"]],
+        batch_format="pandas")
+    clicks = ev.map_batches(
+        lambda df: df[df.event_type == "click"]
+                     .rename(columns={"event_id": "click_id", "value": "click_value"})
                      [["user_id", "ts", "click_id", "click_value"]],
         batch_format="pandas")
     out = asof_join(purchases, clicks, by="user_id", on="ts",
