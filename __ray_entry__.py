@@ -948,6 +948,19 @@ def docs_hash_sample(sf_dir: str):
     return md5_hash_sample(ds, "doc_id", keep_hex=("0", "1"))
 
 
+def docs_stratified_sample(sf_dir: str):
+    """Language-balanced deterministic sampling: down-sample the dominant
+    'en' stratum to ~25% while keeping ~50% of every other language — the
+    per-source-cap primitive, one md5-prefix keep-set per stratum."""
+    from maritime_activity_reports_cdc_ray.functions.sample import stratified_hash_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return stratified_hash_sample(
+        ds, "doc_id", "lang",
+        keep_by_group={"en": ("0", "1", "2", "3")},
+        default_keep=("0", "1", "2", "3", "4", "5", "6", "7"))
+
+
 def docs_topk_per_lang(sf_dir: str):
     """Group-balanced top-k selection (3 largest docs per language,
     doc_id tie-break) — the per-source cap primitive of corpus curation."""
@@ -1129,6 +1142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": events_hopping_window,
         "events_approx_distinct_users": events_approx_distinct_users,
         "docs_hash_sample": docs_hash_sample,
+        "docs_stratified_sample": docs_stratified_sample,
         "docs_topk_per_lang": docs_topk_per_lang,
         "docs_top_terms": docs_top_terms,
         "media_decode_features": media_decode_features,
@@ -1636,6 +1650,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_hash_sample": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        """,
+        "docs_stratified_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE CASE WHEN lang = 'en'
+                  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+                  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') END
         """,
         "docs_topk_per_lang": """
             SELECT doc_id, lang, n_chars, rn FROM (

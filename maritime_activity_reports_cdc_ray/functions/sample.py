@@ -32,3 +32,25 @@ def md5_hash_sample(ds, id_col: str, keep_hex: tuple[str, ...] = ("0", "1")):
         return df[h.isin(keep)]
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def stratified_hash_sample(ds, id_col: str, group_col: str,
+                           keep_by_group: dict, default_keep: tuple[str, ...] = ()):
+    """Per-group deterministic sampling (source caps / language balancing):
+    each group gets its own md5-prefix keep-set, so rates differ per stratum
+    while staying a pure per-batch filter with the same SQL-reproducible
+    hash rule as :func:`md5_hash_sample`. Groups absent from
+    ``keep_by_group`` fall back to ``default_keep`` (empty = dropped)."""
+    tables = {g: frozenset(k) for g, k in keep_by_group.items()}
+    default = frozenset(default_keep)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[id_col].astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()[0])
+        g = df[group_col]
+        keep = h.isin(default) & ~g.isin(list(tables))  # fallback stratum
+        for grp, ks in tables.items():  # one vectorized mask per stratum
+            keep |= (g == grp) & h.isin(ks)
+        return df[keep]
+
+    return ds.map_batches(f, batch_format="pandas")

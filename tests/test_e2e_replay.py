@@ -472,3 +472,59 @@ def test_rematerialize_content_bounds_bronze(ray_session, stream, tmp_path):
     assert {f.epoch for f in bm2.fragments if f.kind == "data"} == {3, REMAT_BASE + 1}
     _assert_matches_oracle(r, oracle)
     assert_content_ok(r)
+
+
+def test_remat_crash_between_commits_stays_consistent(ray_session, stream, tmp_path):
+    """Crash-safety of rematerialize_content's commit ordering: dying right
+    after the maintenance epoch commits (before silver pointers retarget)
+    leaves a fully consistent lake — old epochs still referenced, content
+    join exact — and a rerun converges."""
+    import hashlib
+
+    from maritime_activity_reports_cdc_ray.pipelines.maintenance import (
+        REMAT_BASE,
+        rematerialize_content,
+    )
+
+    src, files, oracle = stream
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(src)
+
+    # simulate the crash: let step 1 (bronze maintenance-epoch commit) land,
+    # then die before the silver pointer rewrite commits
+    real_commit = type(r.silver).commit_maintenance
+    boom = RuntimeError("simulated crash before silver pointer commit")
+
+    def dying(self, *a, **k):
+        if self is r.silver:
+            raise boom
+        return real_commit(self, *a, **k)
+
+    import pytest as _pytest
+
+    type(r.silver).commit_maintenance = dying
+    try:
+        with _pytest.raises(RuntimeError):
+            rematerialize_content(r, retain_epochs=1)
+    finally:
+        type(r.silver).commit_maintenance = real_commit
+
+    # lake must still be fully consistent: old epochs referenced, join exact
+    bm = r.bronze.latest_manifest()
+    eps = {f.epoch for f in bm.fragments if f.kind == "data"}
+    assert {0, 1, 2, 3} <= eps and REMAT_BASE in eps  # step 1 landed, nothing pruned
+    _assert_matches_oracle(r, oracle)
+    sil = r.read_silver(columns=["content", "content_sha256"]).to_pandas()
+    assert sil.content.notna().all()
+
+    # rerun converges (consolidates into a NEW maintenance epoch)
+    stats = rematerialize_content(r, retain_epochs=1)
+    assert stats["rematerialized_rows"] > 0
+    r.bronze.vacuum(), r.silver.vacuum()
+    bm2 = r.bronze.latest_manifest()
+    assert {f.epoch for f in bm2.fragments if f.kind == "data"} == {3, stats["remat_epoch"]}
+    _assert_matches_oracle(r, oracle)
+    sil = r.read_silver(columns=["content", "content_sha256"]).to_pandas()
+    for c, s in zip(sil.content, sil.content_sha256):
+        assert hashlib.sha256(c.encode("utf-8", "surrogatepass")).hexdigest() == s
