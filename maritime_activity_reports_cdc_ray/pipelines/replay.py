@@ -875,8 +875,10 @@ class CDCReplay:
                 meta = premap["meta"]
             else:
                 # 4 waves' worth of buckets: finer tasks pack the merge pool's
-                # straggler tail (at 2*ncpu the last wave idles half the cores)
-                nbuckets = int(max(1, min(n_groups, 4 * ncpu)))
+                # straggler tail (at 2*ncpu the last wave idles half the cores).
+                # GRAFT_BUCKET_WAVES overrides for tuning experiments.
+                waves = int(os.environ.get("GRAFT_BUCKET_WAVES", "4"))
+                nbuckets = int(max(1, min(n_groups, waves * ncpu)))
                 ds = rd.read_parquet(src_files, partitioning=None, override_num_blocks=nblocks)
                 ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
                 ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
@@ -1152,7 +1154,8 @@ class CDCReplay:
         nblocks = int(max(4, min(4 * ncpu,
                                  max(est_bytes // (32 << 20) + 1,
                                      min(2 * ncpu, n_groups, est_rows // 2_000)))))
-        nbuckets = int(max(1, min(n_groups, 4 * ncpu)))
+        waves = int(os.environ.get("GRAFT_BUCKET_WAVES", "4"))
+        nbuckets = int(max(1, min(n_groups, waves * ncpu)))
         # dataset CREATION under the context lock (this runs on a background
         # thread; see hash_shuffle_ctx) — execution happens after release
         with _CTX_LOCK:
