@@ -124,3 +124,55 @@ class FrameSampler:
             ts.extend(range(0, n * self.every_ms, self.every_ms))
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "frame_ts_ms": pa.array(ts, pa.int64())})
+
+
+class ImageResizer:
+    """Actor-pool resize stage (STUB backend, real plumbing): payload →
+    resized payload + updated (width, height) metadata, the in-pipeline
+    transform between decode and feature extraction.
+
+    ``backend="fake"``: the payload is treated as a row-major ``height x
+    (len/height)`` byte grid and resized by deterministic nearest-neighbor
+    index sampling — pure numpy, reproducible, exercising the real concerns
+    (payload rewrite, metadata update, small batches for wide binary rows).
+    ``backend="pil"`` (Pillow ``Image.resize``) is STUBBED:
+    ``NotImplementedError`` until the library exists in the container."""
+
+    def __init__(self, target_w: int = 64, target_h: int = 64,
+                 backend: str = DecodeBackend.FAKE):
+        if backend != DecodeBackend.FAKE:
+            raise NotImplementedError(
+                f"resize backend {backend!r} requires Pillow, which is not "
+                "available in this container; use backend='fake'")
+        self.tw, self.th = int(target_w), int(target_h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for buf, h in zip(batch.column("payload"),
+                          batch.column("height").to_pylist()):
+            b = np.frombuffer(buf.as_py(), dtype=np.uint8)
+            rows = max(1, min(int(h or 1), len(b)))
+            cols = max(1, len(b) // rows)
+            grid = b[: rows * cols].reshape(rows, cols)
+            ri = (np.arange(self.th) * rows) // self.th
+            ci = (np.arange(self.tw) * cols) // self.tw
+            outs.append(grid[np.ix_(ri, ci)].tobytes())
+        t = batch.set_column(batch.column_names.index("payload"), "payload",
+                             pa.array(outs, pa.large_binary()))
+        t = t.set_column(t.column_names.index("width"), "width",
+                         pa.array(np.full(t.num_rows, self.tw, dtype=np.int32)))
+        return t.set_column(t.column_names.index("height"), "height",
+                            pa.array(np.full(t.num_rows, self.th, dtype=np.int32)))
+
+
+def resize_images(ds, target_w: int = 64, target_h: int = 64,
+                  backend: str = DecodeBackend.FAKE, concurrency=(1, 4),
+                  batch_size: int = 64):
+    """media table → media table with resized payloads (same schema), ready
+    to feed ``decode_features``. Small batches: wide binary rows."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h,
+                               "backend": backend},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )

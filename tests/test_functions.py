@@ -533,3 +533,31 @@ def test_hll_count_distinct_error_bounds(ray_session):
     a = hll_count_distinct(rd.from_pandas(df), ["k"])
     b = hll_count_distinct(rd.from_pandas(df), ["k"])
     assert a == b
+
+
+def test_resize_images_plumbing(ray_session):
+    import numpy as np
+    import pytest as _pytest
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.multimodal import (
+        ImageResizer,
+        decode_features,
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(12, seed=7)
+    out = resize_images(rd.from_arrow(media), target_w=16, target_h=8).to_pandas()
+    assert len(out) == 12
+    assert (out.width == 16).all() and (out.height == 8).all()
+    assert out.payload.map(len).eq(16 * 8).all()
+    # deterministic: same input → same resized bytes
+    again = resize_images(rd.from_arrow(media), target_w=16, target_h=8).to_pandas()
+    assert list(out.payload) == list(again.payload)
+    # resized media feeds the decode stage (schema-compatible)
+    feats = decode_features(resize_images(rd.from_arrow(media), 16, 8)).to_pandas()
+    assert len(feats) == 12 and feats.feature.map(len).eq(256).all()
+    # real backends are honestly stubbed
+    with _pytest.raises(NotImplementedError):
+        ImageResizer(backend="pil")
