@@ -528,3 +528,38 @@ def test_remat_crash_between_commits_stays_consistent(ray_session, stream, tmp_p
     sil = r.read_silver(columns=["content", "content_sha256"]).to_pandas()
     for c, s in zip(sil.content, sil.content_sha256):
         assert hashlib.sha256(c.encode("utf-8", "surrogatepass")).hexdigest() == s
+
+
+def test_curation_pipeline_composes_end_to_end(ray_session, stream, tmp_path):
+    """The full curation story on top of the lake: replay → live silver →
+    exact content dedup (one keeper per sha) → deterministic stratified
+    sample → resumable partitioned output — every stage streaming, the
+    output readable back as hive-partitioned parquet."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import exact_dedup
+    from maritime_activity_reports_cdc_ray.functions.sample import md5_hash_sample
+    from maritime_activity_reports_cdc_ray.sources.writers import write_partitioned
+
+    import ray.data as rd
+
+    src, files, oracle = stream
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(src)
+    live = r.read_silver(columns=["repo", "path", "commit", "lang",
+                                  "content_sha256", "content_bytes"])
+    n_live = live.count()
+    deduped = exact_dedup(live, cols=["content_sha256"],
+                          order=["repo", "path"], id_col="commit")
+    n_dedup = deduped.count()
+    assert 0 < n_dedup <= n_live
+    sampled = md5_hash_sample(deduped, "content_sha256",
+                              keep_hex=tuple("01234567"))  # ~50%
+    out_root = str(tmp_path / "curated")
+    res = write_partitioned(sampled, out_root, by="lang")
+    assert res["rows"] > 0 and res["partitions_written"] >= 1
+    back = rd.read_parquet(out_root)
+    assert back.count() == res["rows"]
+    # deterministic end to end: rerunning the sample yields the same rows
+    again = md5_hash_sample(deduped, "content_sha256",
+                            keep_hex=tuple("01234567")).count()
+    assert again == res["rows"]

@@ -134,3 +134,41 @@ def test_overwrite_empty_keeps_schema(tmp_path):
     m = lake.overwrite(pa.table({"k": pa.array([], pa.string()),
                                  "v": pa.array([], pa.int64())}, schema=SCHEMA))
     assert m.schema.equals(SCHEMA) and sum(fr.rows for fr in m.fragments) == 0
+
+
+def test_write_partitioned_resumable(ray_session, tmp_path):
+    """Resumable partitioned output: finished partitions (sentinel present)
+    are skipped at the batch level on rerun; missing partitions backfill."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.sources.writers import write_partitioned
+
+    df = pd.DataFrame({"lang": ["en"] * 30 + ["de"] * 20 + ["fr"] * 10,
+                       "x": range(60)})
+    root = str(tmp_path / "out")
+    r1 = write_partitioned(rd.from_pandas(df), root, by="lang")
+    assert r1 == {"partitions_written": 3, "partitions_skipped": 0, "rows": 60}
+    for lang, n in (("en", 30), ("de", 20), ("fr", 10)):
+        d = os.path.join(root, f"lang={lang}")
+        assert os.path.exists(os.path.join(d, "_SUCCESS"))
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert sum(pq.read_metadata(os.path.join(d, f)).num_rows for f in files) == n
+
+    # simulate a crash that lost one partition: no sentinel, no files
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "lang=de"))
+    before = {f: os.path.getmtime(os.path.join(root, "lang=en", f))
+              for f in os.listdir(os.path.join(root, "lang=en"))}
+    r2 = write_partitioned(rd.from_pandas(df), root, by="lang")
+    assert r2["partitions_written"] == 1 and r2["partitions_skipped"] == 2
+    assert r2["rows"] == 20  # only the missing partition's rows were written
+    after = {f: os.path.getmtime(os.path.join(root, "lang=en", f))
+             for f in os.listdir(os.path.join(root, "lang=en"))}
+    assert before == after  # finished partitions untouched
+    total = rd.read_parquet(root).count()
+    assert total == 60
