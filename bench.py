@@ -221,8 +221,8 @@ def main() -> None:
             "metric": f"replay scaling efficiency (num_cpus {lo} -> {hi}, median of {reps})",
             "value": round(eff, 3), "unit": "efficiency", "sf": sf,
             "events": runs[lo][0]["events"], "epochs": runs[lo][0]["epochs"],
-            "events_per_sec_8": r_lo, "events_per_sec_32": r_hi,
-            "sec_8": med(lo, "replay_sec"), "sec_32": med(hi, "replay_sec"),
+            f"events_per_sec_{lo}": r_lo, f"events_per_sec_{hi}": r_hi,
+            f"sec_{lo}": med(lo, "replay_sec"), f"sec_{hi}": med(hi, "replay_sec"),
             "all_runs": {str(n): [x["events_per_sec"] for x in runs[n]] for n in (lo, hi)},
             "acceptance_ge_0.8": eff >= 0.8,
         }))

@@ -73,6 +73,7 @@ def broadcast_join(big_ds, small: pd.DataFrame, on: list[str],
 def auto_join(left, right, on: list[str], right_on: list[str] | None = None,
               how: str = "inner", num_partitions: int = 8,
               broadcast_limit_rows: int = 2_000_000,
+              broadcast_limit_bytes: int = 256 << 20,
               select: list[str] | None = None):
     """Spark-style join-strategy selection for Ray Data.
 
@@ -87,9 +88,14 @@ def auto_join(left, right, on: list[str], right_on: list[str] | None = None,
     """
     right_on = list(right_on or on)
     right = right.materialize()
-    if right.count() <= broadcast_limit_rows:
+    # gate on BYTES as well as rows: a payload-carrying right side (e.g. the
+    # bronze-content side of read_silver's virtual-content join) can be few
+    # rows but many GB — broadcasting it would land whole on the driver heap
+    if (right.count() <= broadcast_limit_rows
+            and (right.size_bytes() or 0) <= broadcast_limit_bytes):
         return broadcast_join(left, right.to_pandas(), on, right_on,
-                              how=how, select=select)
+                              how="left" if how == "left_outer" else how,
+                              select=select)
     joined = left.join(right, join_type=_HOW_TO_RAY[how],
                        num_partitions=num_partitions,
                        on=tuple(on), right_on=tuple(right_on))

@@ -150,7 +150,11 @@ class ImageResizer:
         outs = []
         for buf, h in zip(batch.column("payload"),
                           batch.column("height").to_pylist()):
-            b = np.frombuffer(buf.as_py(), dtype=np.uint8)
+            raw = buf.as_py()
+            b = np.frombuffer(raw, dtype=np.uint8) if raw else np.empty(0, np.uint8)
+            if len(b) == 0:  # null/empty payload → all-zero target grid
+                outs.append(np.zeros(self.th * self.tw, dtype=np.uint8).tobytes())
+                continue
             rows = max(1, min(int(h or 1), len(b)))
             cols = max(1, len(b) // rows)
             grid = b[: rows * cols].reshape(rows, cols)

@@ -221,6 +221,15 @@ def _drop_content(t: pa.Table) -> pa.Table:
     return t.drop_columns(["content"]) if "content" in t.column_names else t
 
 
+def _map_nblocks(ncpu: int, est_bytes: int, est_rows: int, n_groups: int) -> int:
+    """Block sizing for the fused map phase — the ONE source of truth (see the
+    rationale comment in _silver_merge): ~32 MB compressed per block, floored
+    so the pool doesn't idle, capped at 4 blocks per CPU."""
+    return int(max(4, min(4 * ncpu,
+                          max(est_bytes // (32 << 20) + 1,
+                              min(2 * ncpu, n_groups, est_rows // 2_000)))))
+
+
 def _make_bucket_merge_fn(num_partitions: int, salt_arr, merge_args):
     """Merge-task fn for the ``bronze_bucket`` exchange: each item is one
     bucket (a list of fragment paths holding complete gid groups). Reads the
@@ -744,6 +753,12 @@ class CDCReplay:
             # piggyback the bucket split on — use the in-memory exchange
             ex = ("hash_actor" if est_rows >= self.cfg.hash_exchange_min_rows
                   else small_ex)
+        if (ex == "broadcast_task" and est_bytes is not None
+                and est_bytes > self.cfg.broadcast_exchange_max_bytes):
+            # the byte gate holds even when broadcast_task is configured
+            # explicitly: every merge task replicates the whole epoch, so a
+            # large backfill epoch must demote to a real exchange
+            ex = "sort_task"
         return ex
 
     def _silver_merge(self, epoch: int, input_files: list[str] | None = None,
@@ -817,28 +832,23 @@ class CDCReplay:
                         silver_schema.serialize().to_pybytes(), cfg.max_salt,
                         cfg.write_compression, cfg.detect_changes)
 
-        # explicit block sizing: Ray's default parallelism heuristic shreds a
-        # small epoch into ~100 tiny blocks and per-block scheduling overhead
-        # swamps compute; target ~32 MB compressed per block (at 100 TB scale
-        # this yields thousands of blocks — plenty of parallelism; at sandbox
-        # scale it keeps per-block overhead subordinate to compute).
+        # explicit block sizing (_map_nblocks): Ray's default parallelism
+        # heuristic shreds a small epoch into ~100 tiny blocks and per-block
+        # scheduling overhead swamps compute; target ~32 MB compressed per
+        # block (at 100 TB scale this yields thousands of blocks — plenty of
+        # parallelism; at sandbox scale it keeps per-block overhead
+        # subordinate to compute).
         # For the sort/task exchange the post-sort block count == the input
         # block count and one merge task handles one block, so the block count
         # IS the merge parallelism — floor it at ~2 blocks per CPU (bounded by
         # the merge-group count) or the pool idles (observed: a 60k-row epoch
         # read as 6 blocks ran the whole merge on 6 of 32 cores).
         n_groups = int(salt_arr.sum())
-        nblocks = int(max(4, min(4 * ncpu,
-                                 max(est_bytes // (32 << 20) + 1,
-                                     min(2 * ncpu, n_groups, est_rows // 2_000)))))
+        nblocks = _map_nblocks(ncpu, est_bytes, est_rows, n_groups)
 
         def build_source():
             if fused:
-                ds = rd.read_parquet(src_files, partitioning=None, override_num_blocks=nblocks)
-                ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
-                ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
-                ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
-                                    zero_copy_batch=True)
+                ds = self._fused_map_prefix(src_files, epoch, nblocks)
                 ds = ds.map_batches(_make_bronze_writer(outdir, cfg.write_compression),
                                     batch_format="pyarrow", zero_copy_batch=True)
                 # payload is persisted: only metadata flows through the
@@ -879,11 +889,7 @@ class CDCReplay:
                 # GRAFT_BUCKET_WAVES overrides for tuning experiments.
                 waves = int(os.environ.get("GRAFT_BUCKET_WAVES", "4"))
                 nbuckets = int(max(1, min(n_groups, waves * ncpu)))
-                ds = rd.read_parquet(src_files, partitioning=None, override_num_blocks=nblocks)
-                ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
-                ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
-                ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
-                                    zero_copy_batch=True)
+                ds = self._fused_map_prefix(src_files, epoch, nblocks)
                 ds = ds.map_batches(
                     _make_bucketed_bronze_writer(outdir, cfg.write_compression, nbuckets,
                                                  salt_arr, cfg.max_salt),
@@ -1131,16 +1137,24 @@ class CDCReplay:
             self.silver.commit_maintenance(new_frags, replaced)
 
     # ----------------------------------------------------------------- premap
-    def _bucket_map_phase(self, epoch: int, files: list[str]) -> dict:
-        """The fused MAP phase of one epoch, runnable ahead of its turn:
-        presalt, pin the salt array, then read → stamp → validate → partition
-        → bucketed bronze write (see _make_bucketed_bronze_writer). Returns
-        everything the merge phase needs to pick the epoch up: the per-file
-        bucket metadata and the pinned salt array. Crash-safe: nothing is
-        committed — a rerun clears the epoch dir and remaps."""
+    def _fused_map_prefix(self, files: list[str], epoch: int, nblocks: int):
+        """The shared fused-map prefix every map path uses: read → stamp →
+        validate → partition. ONE definition so premapped and inline epochs
+        can never run with diverging stage order."""
         import ray.data as rd
 
         cfg = self.cfg
+        ds = rd.read_parquet(files, partitioning=None, override_num_blocks=nblocks)
+        ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow",
+                            zero_copy_batch=True)
+        ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow",
+                            zero_copy_batch=True)
+        return ds.map_batches(make_partitioner(cfg.num_partitions),
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+    def _premap_prologue(self, epoch: int, files: list[str]):
+        """Shared premap setup: presalt, pin the salt array, size blocks,
+        clear the epoch dir. Crash-safe: nothing is committed."""
         self._presalt_from_sample(files)
         sm = self.silver.latest_manifest()
         salt_arr = self._salt_array(sm)
@@ -1151,19 +1165,24 @@ class CDCReplay:
         shutil.rmtree(outdir, ignore_errors=True)
         os.makedirs(outdir, exist_ok=True)
         n_groups = int(salt_arr.sum())
-        nblocks = int(max(4, min(4 * ncpu,
-                                 max(est_bytes // (32 << 20) + 1,
-                                     min(2 * ncpu, n_groups, est_rows // 2_000)))))
+        nblocks = _map_nblocks(ncpu, est_bytes, est_rows, n_groups)
+        return salt_arr, ncpu, n_groups, nblocks, outdir
+
+    def _bucket_map_phase(self, epoch: int, files: list[str]) -> dict:
+        """The fused MAP phase of one epoch, runnable ahead of its turn:
+        presalt, pin the salt array, then read → stamp → validate → partition
+        → bucketed bronze write (see _make_bucketed_bronze_writer). Returns
+        everything the merge phase needs to pick the epoch up: the per-file
+        bucket metadata and the pinned salt array. Crash-safe: nothing is
+        committed — a rerun clears the epoch dir and remaps."""
+        cfg = self.cfg
+        salt_arr, ncpu, n_groups, nblocks, outdir = self._premap_prologue(epoch, files)
         waves = int(os.environ.get("GRAFT_BUCKET_WAVES", "4"))
         nbuckets = int(max(1, min(n_groups, waves * ncpu)))
         # dataset CREATION under the context lock (this runs on a background
         # thread; see hash_shuffle_ctx) — execution happens after release
         with _CTX_LOCK:
-            ds = rd.read_parquet(files, partitioning=None, override_num_blocks=nblocks)
-            ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
-            ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
-            ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
-                                zero_copy_batch=True)
+            ds = self._fused_map_prefix(files, epoch, nblocks)
             ds = ds.map_batches(
                 _make_bucketed_bronze_writer(outdir, cfg.write_compression, nbuckets,
                                              salt_arr, cfg.max_salt),
@@ -1177,28 +1196,10 @@ class CDCReplay:
         stamp → validate → partition → bronze write → gid assign) into
         object-store blocks the merge phase will broadcast. Crash-safe:
         nothing is committed — a rerun clears the epoch dir and remaps."""
-        import ray.data as rd
-
         cfg = self.cfg
-        self._presalt_from_sample(files)
-        sm = self.silver.latest_manifest()
-        salt_arr = self._salt_array(sm)
-        ncpu = _cluster_cpus()
-        est_rows = sum(pq.read_metadata(f).num_rows for f in files)
-        est_bytes = sum(os.path.getsize(f) for f in files)
-        outdir = self.bronze.abspath(f"fragments/epoch={epoch}")
-        shutil.rmtree(outdir, ignore_errors=True)
-        os.makedirs(outdir, exist_ok=True)
-        n_groups = int(salt_arr.sum())
-        nblocks = int(max(4, min(4 * ncpu,
-                                 max(est_bytes // (32 << 20) + 1,
-                                     min(2 * ncpu, n_groups, est_rows // 2_000)))))
+        salt_arr, _ncpu, _n_groups, nblocks, outdir = self._premap_prologue(epoch, files)
         with _CTX_LOCK:
-            ds = rd.read_parquet(files, partitioning=None, override_num_blocks=nblocks)
-            ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
-            ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
-            ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow",
-                                zero_copy_batch=True)
+            ds = self._fused_map_prefix(files, epoch, nblocks)
             ds = ds.map_batches(_make_bronze_writer(outdir, cfg.write_compression),
                                 batch_format="pyarrow", zero_copy_batch=True)
             ds = ds.map_batches(_drop_content, batch_format="pyarrow",

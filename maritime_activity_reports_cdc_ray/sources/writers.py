@@ -41,9 +41,20 @@ def write_partitioned(ds, root: str, by: str, compression: str = "zstd") -> dict
     ``{"partitions_written": n, "partitions_skipped": k, "rows": r}``."""
     import pyarrow.compute as pc
 
+    import shutil
+
     os.makedirs(root, exist_ok=True)
-    done = {d.split("=", 1)[1] for d in os.listdir(root)
-            if "=" in d and os.path.exists(os.path.join(root, d, "_SUCCESS"))}
+    done = set()
+    for d in os.listdir(root):
+        if "=" not in d:
+            continue
+        if os.path.exists(os.path.join(root, d, "_SUCCESS")):
+            done.add(d.split("=", 1)[1])
+        else:
+            # partition from a crashed run (no sentinel): clear it BEFORE the
+            # execution, or its rewrite would coexist with the old files
+            # (batch-content file names only collide on identical splits)
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     def write(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

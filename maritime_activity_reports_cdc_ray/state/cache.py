@@ -44,14 +44,9 @@ _META = "_cache_meta.json"
 _COUNTER_COLS = ("first_seen_epoch", "last_accessed_epoch", "access_count")
 
 
-def _hash_pid(df: pd.DataFrame, cols: list[str], num_partitions: int) -> np.ndarray:
-    acc = np.zeros(len(df), dtype=np.uint64)
-    for c in cols:
-        v = df[c].to_numpy()
-        if v.dtype.kind not in "iu":
-            v = pd.util.hash_array(np.asarray(v))
-        acc = acc * np.uint64(1099511628211) + v.astype(np.uint64)
-    return (acc % np.uint64(num_partitions)).astype("int64")
+# the cache's key→pid routing MUST stay identical release to release (a
+# divergent copy would silently re-home keys) — share the one implementation
+from maritime_activity_reports_cdc_ray.functions.dedup import _hash_part as _hash_pid
 
 
 class LookupCache:

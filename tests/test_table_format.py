@@ -172,3 +172,31 @@ def test_write_partitioned_resumable(ray_session, tmp_path):
     assert before == after  # finished partitions untouched
     total = rd.read_parquet(root).count()
     assert total == 60
+
+
+def test_write_partitioned_clears_crashed_partition(ray_session, tmp_path):
+    """A partition dir left WITH files but WITHOUT _SUCCESS (mid-write crash)
+    must be cleared before the rewrite — otherwise differently-split batches
+    produce differently-named files and old+new rows coexist."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.sources.writers import write_partitioned
+
+    df = pd.DataFrame({"lang": ["en"] * 10 + ["de"] * 10, "x": range(20)})
+    root = str(tmp_path / "out")
+    write_partitioned(rd.from_pandas(df), root, by="lang")
+    # forge the crash state: sentinel gone, stale extra file present
+    d = os.path.join(root, "lang=de")
+    os.unlink(os.path.join(d, "_SUCCESS"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"lang": ["de"], "x": [999]}),
+                   os.path.join(d, "part-deadbeef-1.parquet"))
+    r = write_partitioned(rd.from_pandas(df), root, by="lang")
+    assert r["partitions_written"] == 1 and r["partitions_skipped"] == 1
+    back = rd.read_parquet(root).to_pandas()
+    assert len(back) == 20 and 999 not in set(back.x)
