@@ -131,7 +131,13 @@ def exact_dedup(ds, cols: list[str], order: list[str], id_col: str,
 # ---------------------------------------------------------------------------
 class MinHasher:
     """Actor-pool stage: text → minhash signature (num_perm x uint64) using
-    tabulated universal hashing; permutation tables built once per actor."""
+    tabulated universal hashing; permutation tables built once per actor.
+
+    Every arithmetic step is SQL-reproducible so a DuckDB oracle can recompute
+    signatures exactly: base shingle hash = ``md5_u64`` (md5 first-8-bytes
+    big-endian), then ``((a*x) mod 2^64 + b) mod 2^64 mod (2^61-1)`` per
+    permutation (the explicit mod-2^64 steps mirror numpy's uint64 wraparound;
+    DuckDB does them in HUGEINT)."""
 
     def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 7,
                  text_col: str = "text", id_col: str = "doc_id"):
@@ -141,17 +147,29 @@ class MinHasher:
         self.num_perm, self.k = num_perm, k
         self.text_col, self.id_col = text_col, id_col
         self.prime = np.uint64((1 << 61) - 1)
+        self._hash_cache: dict = {}
+
+    def _base_hashes(self, sh) -> np.ndarray:
+        """md5_u64 per shingle, cached per actor (shingles repeat across docs)."""
+        cache = self._hash_cache
+        md5 = hashlib.md5
+        out = np.empty(len(sh), dtype=np.uint64)
+        for i, s in enumerate(sh):
+            v = cache.get(s)
+            if v is None:
+                if len(cache) > 2_000_000:  # bound actor-resident state
+                    cache.clear()
+                v = cache[s] = int.from_bytes(md5(s.encode("utf-8", "surrogatepass")).digest()[:8], "big")
+            out[i] = v
+        return out
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingles(text, self.k)
         if not sh:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        base = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-             for s in sh),
-            dtype=np.uint64, count=len(sh),
-        )
-        # (a*x + b) mod p for all perms x shingles, then min over shingles
+        base = self._base_hashes(list(sh))
+        # (a*x + b) mod p for all perms x shingles (uint64 products wrap mod
+        # 2^64 — deliberate, mirrored by the SQL oracle), then min over shingles
         prod = (self.a[:, None] * base[None, :] + self.b[:, None]) % self.prime
         return prod.min(axis=1)
 
@@ -161,11 +179,17 @@ class MinHasher:
                              "minhash": [s.tolist() for s in sigs]})
 
 
+BAND_FOLD_INIT = 1469598103934665603
+BAND_FOLD_MUL = 1099511628211
+
+
 def lsh_bands(df: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
     """Explode signatures into (id, band_id, band_hash int64) rows — the LSH
     bucket key. Fully vectorized: each band's r signature lanes are folded
-    into one 64-bit FNV-style hash across ALL docs at once (no per-doc loop,
-    no hex strings through the shuffle)."""
+    into one 64-bit multiply-add hash across ALL docs at once (no per-doc
+    loop, no hex strings through the shuffle). The fold is pure mod-2^64
+    multiply-add (``acc = acc*M + lane``) so a SQL oracle reproduces it in
+    HUGEINT arithmetic."""
     id_col = df.columns[0]
     if not len(df):
         return pd.DataFrame({id_col: pd.Series(dtype="int64"),
@@ -175,12 +199,12 @@ def lsh_bands(df: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
                       dtype=np.uint64)  # (n, num_perm)
     n, num_perm = sigs.shape
     r = num_perm // bands
-    prime = np.uint64(1099511628211)
+    mul = np.uint64(BAND_FOLD_MUL)
     out = np.empty((n, bands), dtype=np.uint64)
     for b in range(bands):
-        acc = np.full(n, 1469598103934665603, dtype=np.uint64)
+        acc = np.full(n, BAND_FOLD_INIT, dtype=np.uint64)
         for j in range(r):
-            acc = (acc * prime) ^ sigs[:, b * r + j]
+            acc = acc * mul + sigs[:, b * r + j]  # wraps mod 2^64 — by design
         out[:, b] = acc
     return pd.DataFrame({
         id_col: np.repeat(df[id_col].to_numpy(), bands),
@@ -552,21 +576,32 @@ def jaccard_similarity_join(ds, threshold: float = 0.5, k: int = 8,
 # SimHash
 # ---------------------------------------------------------------------------
 class SimHasher:
-    """64-bit SimHash over word tokens (actor-pool stage)."""
+    """64-bit SimHash over word tokens (actor-pool stage).
+
+    Word hash = ``md5_u64`` (SQL-reproducible; cached per actor — natural-
+    language vocabularies are tiny relative to token streams), bit votes
+    weighted +1/-1 over ALL word occurrences (duplicates count), sign → bit.
+    A DuckDB oracle recomputes the exact value with ``regexp_extract_all``
+    token split + the same md5-derived hash + per-bit-position sums."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
+        self._cache: dict = {}
 
-    @staticmethod
-    def simhash64(text: str) -> int:
+    def simhash64(self, text: str) -> int:
         words = text.lower().split()
         if not words:
             return 0
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-             for w in words),
-            dtype=np.uint64, count=len(words),
-        )
+        cache = self._cache
+        md5 = hashlib.md5
+        hs = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            v = cache.get(w)
+            if v is None:
+                if len(cache) > 2_000_000:
+                    cache.clear()
+                v = cache[w] = int.from_bytes(md5(w.encode("utf-8", "surrogatepass")).digest()[:8], "big")
+            hs[i] = v
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         v = (2 * bits - 1).sum(axis=0)
         return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
@@ -585,7 +620,11 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4,
     """Near-dup candidates with Hamming distance <= max_hamming, using the
     banded pigeonhole trick: split 64 bits into ``bands`` chunks; any pair
     within distance < bands shares at least one exact chunk → bucket groupby.
-    Task-pool signature stage (see minhash_lsh_candidates)."""
+    With ``bands > max_hamming`` the candidate set is therefore EXACT (every
+    qualifying pair is found — pigeonhole, not probability), which is how the
+    driver query runs it (bands=9, max_hamming=8) so a plain all-pairs
+    Hamming filter in SQL is a sound oracle. Task-pool signature stage (see
+    minhash_lsh_candidates)."""
     kw = {} if concurrency is None else {"concurrency": int(np.max(concurrency))}
     sigs = ds.map_batches(SimHasher(text_col=text_col, id_col=id_col),
                           batch_format="pandas", **kw)

@@ -104,6 +104,46 @@ def auto_join(left, right, on: list[str], right_on: list[str] | None = None,
     return joined
 
 
+def semi_join(big_ds, keys_ds, on: str, keys_on: str | None = None,
+              broadcast_limit_rows: int = 2_000_000,
+              broadcast_limit_bytes: int = 256 << 20,
+              num_partitions: int = 8):
+    """Semi-join: keep big-side rows whose ``on`` value appears in the key
+    Dataset. Strategy-gated like :func:`auto_join`: a small key side is
+    distinct-ed, collected ONCE into a sorted numpy array, broadcast via
+    ``ray.put`` (resolved once per worker, never rebuilt per batch), and
+    applied as a streaming searchsorted filter; a key side past the row/byte
+    gates falls back to a distinct + partitioned hash join — never an
+    unbounded driver collect."""
+    import numpy as np
+    import ray
+
+    keys_on = keys_on or on
+    keys_ds = keys_ds.materialize()
+    if (keys_ds.count() <= broadcast_limit_rows
+            and (keys_ds.size_bytes() or 0) <= broadcast_limit_bytes):
+        kdf = keys_ds.to_pandas()
+        arr = np.unique(kdf[keys_on].to_numpy())
+        kref = ray.put(arr)
+
+        def filt(df: pd.DataFrame) -> pd.DataFrame:
+            a = _resolve(kref)
+            if len(a) == 0:
+                return df.iloc[0:0]
+            v = df[on].to_numpy()
+            pos = np.minimum(np.searchsorted(a, v), len(a) - 1)
+            return df[a[pos] == v]
+
+        return big_ds.map_batches(filt, batch_format="pandas")
+    from maritime_activity_reports_cdc_ray.functions.dedup import hash_distinct
+
+    keys = hash_distinct(keys_ds.map_batches(
+        lambda df: df[[keys_on]].rename(columns={keys_on: on}),
+        batch_format="pandas"), [on], num_partitions)
+    return big_ds.join(keys, join_type="inner", num_partitions=num_partitions,
+                       on=(on,))
+
+
 def asof_join(left, right, by: str, on: str, tie_cols: list[str] | None = None,
               direction: str = "backward", num_partitions: int = 32):
     """ASOF join — each left row picks the nearest right row at-or-before
@@ -121,9 +161,24 @@ def asof_join(left, right, by: str, on: str, tie_cols: list[str] | None = None,
     import numpy as np
 
     lnames = list(left.schema().names)
-    rnames = list(right.schema().names)
+    rschema = right.schema()
+    rnames = list(rschema.names)
     all_cols = list(dict.fromkeys(lnames + rnames))
     tie = list(tie_cols or [])
+    # typed fallbacks for partitions whose right side is empty: mirror what
+    # merge_asof emits for unmatched rows (NaN / NaT / None) so every
+    # partition produces the same Arrow block schema — object-dtype None
+    # columns would make cross-partition schema unification unstable
+    import pyarrow as _pa
+
+    def _null_for(pa_type):
+        if _pa.types.is_integer(pa_type) or _pa.types.is_floating(pa_type):
+            return float("nan")
+        if _pa.types.is_timestamp(pa_type) or _pa.types.is_date(pa_type):
+            return pd.NaT
+        return None
+
+    rnulls = {n: _null_for(t) for n, t in zip(rschema.names, rschema.types)}
 
     def tag(side, names):
         def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -150,7 +205,7 @@ def asof_join(left, right, by: str, on: str, tie_cols: list[str] | None = None,
             out = lf.copy()
             for c in rnames:
                 if c not in (by, on):
-                    out[c] = None
+                    out[c] = rnulls[c]
             return out
         return pd.merge_asof(lf, rf, on=on, by=by, direction=direction,
                              allow_exact_matches=True)

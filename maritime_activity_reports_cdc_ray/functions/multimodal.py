@@ -34,9 +34,20 @@ MEDIA_SCHEMA = pa.schema(
 
 def synthesize_media(n: int, seed: int = 42, kind: str = "image",
                      payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media table (for tests and bench plumbing)."""
+    """Deterministic fake media table (for tests and bench plumbing).
+
+    Payload bytes are an md5 chain — ``concat_j md5("media:{seed}:{i}:{j}")``
+    — rather than an RNG stream, so a SQL oracle can rebuild the exact bytes
+    (DuckDB ``md5(...)`` per 16-byte chunk) and attest the decode pipeline's
+    output end-to-end. Statistically the bytes are still uniform noise."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
+    payloads = [
+        b"".join(
+            hashlib.md5(f"media:{seed}:{i}:{j}".encode()).digest()
+            for j in range((payload_bytes + 15) // 16)
+        )[:payload_bytes]
+        for i in range(n)
+    ]
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),

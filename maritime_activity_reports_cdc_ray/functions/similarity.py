@@ -184,18 +184,34 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.n
 
 def knn_ivf(ds, query_ids: list[int], k: int = 10, n_lists: int = 16,
             nprobe: int = 4, sample_rows: int = 2048, seed: int = 11,
-            id_col: str = "vec_id", vec_col: str = "embedding"):
-    """IVF-style approximate top-k: a k-means coarse quantizer (trained on a
-    driver-side sample, broadcast once) buckets vectors into ``n_lists``
-    inverted lists; each query scores only its ``nprobe`` nearest lists.
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            centroid_id_stride: int | None = None,
+            round_decimals: int | None = 6):
+    """IVF-style approximate top-k: a coarse quantizer buckets vectors into
+    ``n_lists`` inverted lists; each query scores only its ``nprobe`` nearest
+    lists (squared-L2 assignment, smallest-index tie-break).
+
+    Quantizer: k-means on a driver-side sample by default, or — when
+    ``centroid_id_stride`` is set — the vectors whose id ≡ 0 (mod stride),
+    ordered by id, first ``n_lists`` (a deterministic data-derived quantizer
+    a SQL oracle can select with ``WHERE vec_id % stride = 0 ORDER BY vec_id
+    LIMIT n_lists``; quantization quality ≈ random-sample centroids).
 
     Scale shape: one pass assigns list ids (task fn, broadcast centroids);
     per-batch scoring emits local top-k only for (query, list) matches; a
     per-query reduce finishes. Compute ∝ nprobe/n_lists of brute force."""
     import ray
 
-    sample = ds.limit(sample_rows).to_pandas()
-    cent = _kmeans(_to_matrix(sample[vec_col]), n_lists, seed=seed)
+    if centroid_id_stride is not None:
+        stride = int(centroid_id_stride)
+        cdf = ds.map_batches(
+            lambda df: df[df[id_col].to_numpy() % stride == 0],
+            batch_format="pandas",
+        ).to_pandas().sort_values(id_col).head(n_lists)
+        cent = _to_matrix(cdf[vec_col])
+    else:
+        sample = ds.limit(sample_rows).to_pandas()
+        cent = _kmeans(_to_matrix(sample[vec_col]), n_lists, seed=seed)
     qdf = _fetch_queries(ds, query_ids, id_col).sort_values(id_col)
     qm = _to_matrix(qdf[vec_col])
     # nprobe nearest centroids per query
@@ -244,14 +260,30 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10, n_lists: int = 16,
                              "sim": np.concatenate(out_s).astype("float64")})
 
     cand = ds.map_batches(score, batch_format="pandas")
+    return cand.groupby("query_id").map_groups(
+        _make_final(k, round_decimals), batch_format="pandas")
+
+
+def _make_final(k: int, round_decimals: int | None, dedupe: bool = False):
+    """Per-query reduce: optional half-away-from-zero rounding (matches SQL
+    ROUND, making ranking robust to float summation-order diffs vs an
+    oracle), stable (sim DESC, neighbor_id ASC) sort, top-k, 1-based rank."""
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        if round_decimals is not None:
+            m = 10.0 ** round_decimals
+            y = g["sim"].to_numpy(dtype=np.float64) * m
+            g["sim"] = np.copysign(np.floor(np.abs(y) + 0.5), y) / m
+        if dedupe:
+            g = g.drop_duplicates("neighbor_id")
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True],
-                          kind="mergesort").head(k).copy()
+                          kind="mergesort").head(k)
+        g = g.copy()
         g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
         return g
 
-    return cand.groupby("query_id").map_groups(final, batch_format="pandas")
+    return final
 
 
 class LshBucketer:
@@ -287,7 +319,8 @@ class LshBucketer:
 
 def knn_lsh(ds, query_ids: list[int], k: int = 10, dim: int = 64,
             n_planes: int = 8, n_tables: int = 4, seed: int = 13,
-            id_col: str = "vec_id", vec_col: str = "embedding"):
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            round_decimals: int | None = 6):
     """Approximate top-k: only vectors sharing an LSH bucket with the query are
     scored. Same output shape as knn_brute_force (plus possible misses).
 
@@ -357,12 +390,5 @@ def knn_lsh(ds, query_ids: list[int], k: int = 10, dim: int = 64,
                              "sim": np.concatenate(out_s).astype("float64")})
 
     cand = ds.map_batches(probe, batch_format="pandas")
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("neighbor_id")
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g
-
-    return cand.groupby("query_id").map_groups(final, batch_format="pandas")
+    return cand.groupby("query_id").map_groups(
+        _make_final(k, round_decimals, dedupe=True), batch_format="pandas")

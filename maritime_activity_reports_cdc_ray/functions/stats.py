@@ -155,42 +155,55 @@ def hll_count_distinct(ds, cols: list[str], p: int = 12) -> float:
     expensive (per-key state never materializes; ~1.04/√m relative error,
     m = 2^p registers).
 
-    Shape: each batch emits its non-zero (register, rho) partials (vectorized
-    numpy over a stable uint64 row hash) → ONE tiny groupby-max merge (≤ m
-    rows per batch move, not rows) → driver-side estimate with the standard
-    bias/small-range corrections. Deterministic for a given input."""
-    from maritime_activity_reports_cdc_ray.hashing import combine_hashes, hash_strings
+    Shape: each batch emits its non-zero (register, rho) partials → ONE tiny
+    groupby-max merge (≤ m rows per batch move, not rows) → driver-side
+    estimate with the standard bias/small-range corrections. Deterministic
+    AND bit-reproducible by a SQL oracle: the row hash is ``md5_u64`` of the
+    '\\x1f'-joined column strings (cached per batch on distinct tuples —
+    cardinality work is dominated by repeats), register = top p bits,
+    rho = leading zeros of the remaining 64-p bits + 1, and the register
+    harmonic sum is computed as an EXACT integer (sum of 2^(K-rho)) so the
+    final float division is a single identical IEEE op on both sides."""
+    import hashlib
 
     m = 1 << p
+    width = 64 - p  # rho ∈ [1, width+1]
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({"reg": pd.Series(dtype="int64"),
                                  "rho": pd.Series(dtype="int64")})
-        h = combine_hashes(*(hash_strings(df[c].astype(str).to_numpy())
-                             for c in cols))
-        reg = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel stop bits
-        # rho = clz(rest) + 1, exactly: floor(log2) on 32-bit halves is safe
-        # (values < 2^32 are exact in float64; log2 never rounds up to the
-        # next integer), never on full 64-bit values (it can)
-        hi = (rest >> np.uint64(32)).astype(np.float64)
-        lo = (rest & np.uint64(0xFFFFFFFF)).astype(np.float64)
-        msb = np.where(hi > 0,
-                       32 + np.floor(np.log2(np.maximum(hi, 1))),
-                       np.floor(np.log2(np.maximum(lo, 1))))
-        rho = (64 - 1 - msb).astype(np.int64) + 1
-        d = pd.DataFrame({"reg": reg, "rho": rho})
-        return d.groupby("reg", as_index=False)["rho"].max()
+        key = df[cols[0]].astype(str) if len(cols) == 1 else \
+            df[list(cols)].astype(str).agg("\x1f".join, axis=1)
+        md5 = hashlib.md5
+        best: dict[int, int] = {}
+        seen: set = set()
+        for s in key:
+            if s in seen:
+                continue
+            seen.add(s)
+            h = int.from_bytes(md5(s.encode("utf-8", "surrogatepass")).digest()[:8], "big")
+            reg = h >> width
+            rest = h & ((1 << width) - 1)
+            rho = width - rest.bit_length() + 1
+            if best.get(reg, 0) < rho:
+                best[reg] = rho
+        return pd.DataFrame({"reg": np.fromiter(best, dtype=np.int64, count=len(best)),
+                             "rho": np.fromiter(best.values(), dtype=np.int64, count=len(best))})
 
     regs = (ds.map_batches(partials, batch_format="pandas")
             .groupby("reg").max("rho").to_pandas())
-    M = np.zeros(m, dtype=np.float64)
+    K = width + 1  # max rho → exact-integer scale for the harmonic sum
+    S = 0
+    nonzero = 0
     if len(regs):
-        M[regs["reg"].to_numpy()] = regs["max(rho)"].to_numpy()
+        nonzero = len(regs)
+        for r in regs["max(rho)"].to_numpy():
+            S += 1 << (K - int(r))
+    zeros = m - nonzero
+    S += zeros * (1 << K)  # empty registers contribute 2^-0 = 1 (scaled)
     alpha = 0.7213 / (1 + 1.079 / m)
-    E = alpha * m * m / np.sum(np.exp2(-M))
-    zeros = int((M == 0).sum())
+    E = alpha * m * m * float(1 << K) / float(S)
     if E <= 2.5 * m and zeros:
         E = m * np.log(m / zeros)  # linear counting for the small range
     return float(E)

@@ -106,56 +106,92 @@ class LangId:
         self.word_re = re.compile(r"[a-zà-ÿ']+")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        words = df["text"].fillna("").str.lower().str.findall(self.word_re)
-
-        def guess(ws):
-            if not ws:
-                return "unknown", 0.0
-            best, hits = "unknown", 0
-            for lang, tbl in self.tables.items():
-                h = sum(1 for w in ws if w in tbl)
-                if h > hits:
-                    best, hits = lang, h
-            return (best, hits / len(ws)) if hits else ("unknown", 0.0)
-
-        out = words.map(guess)
+        # fully vectorized: explode tokens once, one C-level isin + bincount
+        # per language table, numpy argmax (first max wins = the table-order
+        # strict-> scan this stage originally ran row-by-row)
+        words = (df["text"].fillna("").str.lower()
+                 .str.findall(self.word_re).reset_index(drop=True))
+        n = len(df)
+        langs = list(self.tables)
+        counts = np.zeros((n, len(langs)), dtype=np.int64)
+        ex = words.explode().dropna()
+        if len(ex):
+            rows = ex.index.to_numpy(dtype=np.int64)
+            for li, lang in enumerate(langs):
+                m = ex.isin(self.tables[lang]).to_numpy()
+                if m.any():
+                    counts[:, li] = np.bincount(rows[m], minlength=n)
+        hits = counts.max(axis=1)
+        best = counts.argmax(axis=1)
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        pred = np.where(hits > 0, np.asarray(langs, dtype=object)[best], "unknown")
+        conf = np.where(hits > 0, hits / np.maximum(lens, 1), 0.0)
         df = df.copy()
-        df["lang_pred"] = out.map(lambda x: x[0])
-        df["lang_conf"] = out.map(lambda x: x[1])
+        df["lang_pred"] = pred
+        df["lang_conf"] = conf
         return df
 
 
+ROLLING_BASE = 257  # polynomial base; powers wrap mod 2^64 (mirrored in SQL)
+
+
 class RollingFingerprint:
-    """Winnowing-style rolling-hash fingerprint: k-gram Rabin hashes, keep the
-    minimum hash per window of w, return the sorted distinct fingerprint set's
-    sha1 — a robust near-dup document signature (actor-pool stage)."""
+    """Winnowing-style rolling-hash fingerprint (actor-pool stage): k-gram
+    polynomial hashes over UNICODE CODEPOINTS, keep the minimum hash per
+    window of w, fingerprint set = distinct window minima.
+
+    Codepoints (not UTF-8 bytes) so a SQL oracle reproduces every hash with
+    character-indexed ``substr``/``unicode``: hash(gram at i) =
+    ``sum_j cp[i+j] * 257^(k-1-j) mod 2^64``. Documents shorter than ``k``
+    contribute ONE gram over the whole string (empty → hash 0).
+
+    ``__call__`` emits the set's sha1 as a per-doc signature;
+    ``fingerprints`` explodes the raw (doc_id, fp int64) set — the
+    SQL-checkable form."""
 
     def __init__(self, k: int = 8, w: int = 16):
         self.k, self.w = k, w
+        base = np.uint64(ROLLING_BASE)
+        self.pw = base ** np.arange(self.k, dtype=np.uint64)  # wraps mod 2^64 — fine
 
-    def _fingerprint(self, s: str) -> str:
+    def _windows(self, s: str) -> np.ndarray:
+        """Distinct window-min hashes (uint64) of one document."""
         k, w = self.k, self.w
-        if len(s) < k:
-            return hashlib.sha1(s.encode()).hexdigest()
-        b = s.encode("utf-8", "ignore")
-        arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-        # polynomial rolling hash of every k-gram, fully vectorized
-        base = np.uint64(257)
-        pw = base ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64 — fine
-        n = len(arr) - k + 1
+        arr = np.fromiter((ord(c) for c in s), dtype=np.uint64, count=len(s))
+        if len(arr) < k:
+            if not len(arr):
+                return np.zeros(1, dtype=np.uint64)
+            h = (arr * self.pw[: len(arr)][::-1]).sum()
+            return np.asarray([h], dtype=np.uint64)
         strided = np.lib.stride_tricks.sliding_window_view(arr, k)
-        hashes = (strided * pw[::-1]).sum(axis=1)
-        if n > w:
+        hashes = (strided * self.pw[::-1]).sum(axis=1)
+        if len(hashes) > w:
             wins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
         else:
             wins = hashes.min(keepdims=True)
-        sel = np.unique(wins)
-        return hashlib.sha1(sel.tobytes()).hexdigest()
+        return np.unique(wins)
+
+    def _fingerprint(self, s: str) -> str:
+        return hashlib.sha1(self._windows(s).tobytes()).hexdigest()
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["doc_fingerprint"] = df["text"].fillna("").map(self._fingerprint)
         return df
+
+    def fingerprints(self, df: pd.DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> pd.DataFrame:
+        """Exploded (id, fp) rows, fp = window-min hash as int64 (wrapped)."""
+        ids, fps = [], []
+        for i, t in zip(df[id_col].to_numpy(), df[text_col].fillna("")):
+            sel = self._windows(t)
+            ids.append(np.full(len(sel), i, dtype=np.int64))
+            fps.append(sel.astype(np.int64))
+        if not ids:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "fp": pd.Series(dtype="int64")})
+        return pd.DataFrame({id_col: np.concatenate(ids),
+                             "fp": np.concatenate(fps)})
 
 
 def top_terms(ds, text_col: str = "text", stopwords=(), limit: int = 20,

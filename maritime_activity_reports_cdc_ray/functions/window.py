@@ -157,17 +157,62 @@ def adjacent_pairs(ds, key: str, order: list[str], cols: list[str],
 
 
 def global_rank(ds, order_col: str, descending: bool = True, rank_col: str = "rnk"):
-    """Global competition rank via a full sort + zip-with-index (small results
-    only — the reference uses it for a ranking view, W5)."""
-    # ranks depend on global order → compute on the driver for small results
-    df = ds.sort(order_col, descending=descending).to_pandas()
-    vals = df[order_col].to_numpy()
-    if descending:
-        rnk = pd.Series(vals).rank(method="min", ascending=False).astype("int64")
-    else:
-        rnk = pd.Series(vals).rank(method="min", ascending=True).astype("int64")
-    df[rank_col] = rnk.to_numpy()
-    return df
+    """Global competition rank (W5) — DISTRIBUTED: global sort → per-block
+    rank with sorted-block offsets. The driver sees only per-block metadata
+    (count, first/last value, tail-run length) to thread tie runs across
+    block boundaries; row data never leaves the object store, so this is
+    safe to point at a fact table (unlike a sort + driver collect)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    sorted_ds = ds.sort(order_col, descending=descending).materialize()
+    refs = sorted_ds.to_pandas_refs()
+
+    @ray.remote
+    def block_meta(df: pd.DataFrame):
+        if not len(df):
+            return (0, None, None, 0)
+        v = df[order_col].to_numpy()
+        tail_run = int((v == v[-1])[::-1].cumprod().sum())
+        return (len(df), v[0], v[-1], tail_run)
+
+    metas = ray.get([block_meta.remote(r) for r in refs])
+    # walk blocks: track the value-run in progress at each block boundary so
+    # a tie spanning blocks keeps the run's first rank (competition ranking)
+    ctx = []  # per block: (offset, prev_val, prev_run_start_rank)
+    total, run_val, run_start = 0, None, None
+    for cnt, first, last, tail_run in metas:
+        ctx.append((total, run_val, run_start))
+        if not cnt:
+            continue
+        if run_val is not None and first == run_val and tail_run == cnt:
+            pass  # the whole block continues the boundary run (sorted ⇒
+            # first == last == run_val), keeping its original start rank
+        else:
+            run_start = total + (cnt - tail_run) + 1
+            run_val = last
+        total += cnt
+
+    asc = not descending
+
+    @ray.remote
+    def rank_block(df: pd.DataFrame, offset: int, prev_val, prev_start):
+        df = df.copy()
+        if not len(df):
+            df[rank_col] = pd.Series(dtype="int64")
+            return df
+        r = (df[order_col].rank(method="min", ascending=asc)
+             .astype("int64").to_numpy() + offset)
+        if prev_val is not None:
+            head = df[order_col].to_numpy() == prev_val  # sorted → head run
+            r = np.where(head, prev_start, r)
+        df[rank_col] = r.astype("int64")
+        return df
+
+    out = [rank_block.remote(r, off, pv, ps)
+           for r, (off, pv, ps) in zip(refs, ctx)]
+    return rd.from_pandas_refs(out)
 
 
 

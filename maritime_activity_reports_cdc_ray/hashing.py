@@ -32,6 +32,33 @@ def combine_hashes(*cols: np.ndarray) -> np.ndarray:
     return out
 
 
+def md5_u64(s: str) -> int:
+    """First 8 bytes of md5(s), big-endian, as a Python int in [0, 2^64).
+
+    This is the SQL-reproducible 64-bit string hash used wherever a DuckDB
+    oracle must recompute the exact same value:
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` in DuckDB equals this."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8", "surrogatepass")).digest()[:8], "big")
+
+
+# the DuckDB expression template matching md5_u64 (format with the column/expr)
+MD5_U64_SQL = "('0x' || substr(md5({expr}), 1, 16))::UBIGINT"
+
+
+def md5_u64_array(strings) -> np.ndarray:
+    """Vectorized-ish md5_u64 over an iterable of strings → uint64 array.
+    Caches per-call on distinct values (token/shingle streams repeat heavily)."""
+    cache: dict = {}
+    out = np.empty(len(strings), dtype=np.uint64)
+    md5 = hashlib.md5
+    for i, s in enumerate(strings):
+        v = cache.get(s)
+        if v is None:
+            v = cache[s] = int.from_bytes(md5(s.encode("utf-8", "surrogatepass")).digest()[:8], "big")
+        out[i] = v
+    return out
+
+
 def sha256_hex(s: str | bytes) -> str:
     if isinstance(s, str):
         s = s.encode("utf-8", "surrogatepass")

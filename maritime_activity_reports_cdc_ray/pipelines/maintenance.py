@@ -155,6 +155,11 @@ def rematerialize_content(replay, retain_epochs: int = 8,
     old_epochs = {e for e in raw if e < cutoff} | set(remats)
     if not old_epochs:
         return {"pruned_epochs": 0, "rematerialized_rows": 0}
+    if not (old_epochs - set(remats[-1:])):
+        # steady state: nothing but the single newest consolidation epoch —
+        # re-copying it would churn O(all referenced content) per run for
+        # zero pruning benefit
+        return {"pruned_epochs": 0, "rematerialized_rows": 0}
 
     def is_old(ce):  # works on scalars and numpy arrays
         return (ce < cutoff) | ((ce >= REMAT_BASE) & (ce < new_epoch))
@@ -214,8 +219,17 @@ def rematerialize_content(replay, retain_epochs: int = 8,
                 "cdc_sequence_number": t.column("cdc_sequence_number").cast(pa.uint64()),
                 "content": t.column("content").cast(pa.large_string()),
             })
+            # uuid component: seq mins are content-derived and can collide
+            # across batches (duplicate content under different keys) — a
+            # collision here would silently overwrite another batch's
+            # consolidated payloads. The outdir is cleared before the run, so
+            # non-deterministic names stay crash-safe.
+            import uuid
+
             seqmin = int(_pc.min(t.column("cdc_sequence_number")).as_py())
-            dst = os.path.join(outdir, f"data-{seqmin:020d}-{t.num_rows}.parquet")
+            dst = os.path.join(
+                outdir,
+                f"data-{seqmin:020d}-{t.num_rows}-{uuid.uuid4().hex[:8]}.parquet")
             fd, tmp = tempfile.mkstemp(dir=outdir, suffix=".tmp")
             os.close(fd)
             try:

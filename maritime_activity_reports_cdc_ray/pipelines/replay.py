@@ -1348,8 +1348,14 @@ class CDCReplay:
         )
 
     # ---------------------------------------------------------------- readers
-    def read_silver(self, live_only: bool = True, columns: list[str] | None = None):
+    def read_silver(self, live_only: bool = True, columns: list[str] | None = None,
+                    as_of_epoch: int | None = None):
         """Silver current state as a ray Dataset (streams fragment files).
+
+        ``as_of_epoch`` pins the read to the table state right after that
+        epoch committed (time travel — reference: Delta ``VERSION AS OF`` /
+        CDF ``startingVersion``, silver/cdf_processor.py:41); default =
+        latest. Pinned reads stay valid until ``vacuum()`` prunes history.
 
         ``content`` is a VIRTUAL column: silver fragments store a bronze
         pointer (``content_epoch``, see SILVER_CURRENT_SCHEMA) instead of the
@@ -1361,7 +1367,15 @@ class CDCReplay:
         import pyarrow.compute as pc
         import ray.data as rd
 
-        sm = self.silver.latest_manifest()
+        sm = (self.silver.latest_manifest() if as_of_epoch is None
+              else self.silver.manifest_as_of(as_of_epoch))
+        if sm.format_version < 2:
+            raise RuntimeError(
+                f"silver table at {self.silver.root} was written with on-disk "
+                f"format v{sm.format_version} (materialized content column); "
+                "this engine reads format v2 (content-pointer silver). "
+                "Re-run the replay to rebuild the lake, or read the old lake "
+                "with the matching engine version.")
         paths = self.silver.all_fragment_paths(sm, kind="current")
         stored_names = [f.name for f in sm.schema] if sm.schema is not None else \
             [f.name for f in SILVER_CURRENT_SCHEMA]
@@ -1388,13 +1402,14 @@ class CDCReplay:
                 lambda t: t.filter(pc.invert(t.column("is_deleted"))),
                 batch_format="pyarrow", zero_copy_batch=True)
         if wants_content:
-            ds = self._attach_content(ds, paths)
+            ds = self._attach_content(ds, paths, as_of_epoch=as_of_epoch)
         if out_cols != read_cols:  # drop join keys / flags the caller didn't ask for
             ds = ds.map_batches(lambda t: t.select(out_cols),
                                 batch_format="pyarrow", zero_copy_batch=True)
         return ds
 
-    def _attach_content(self, meta_ds, frag_paths: list[str]):
+    def _attach_content(self, meta_ds, frag_paths: list[str],
+                        as_of_epoch: int | None = None):
         """Join the virtual ``content`` column onto a silver meta Dataset.
 
         Bronze side = only the epochs any live row points to (bounded by
@@ -1422,7 +1437,8 @@ class CDCReplay:
             except (ValueError, AttributeError):
                 lo, hi = None, None
                 break
-        bm = self.bronze.latest_manifest()
+        bm = (self.bronze.latest_manifest() if as_of_epoch is None
+              else self.bronze.manifest_as_of(as_of_epoch))
         files = [self.bronze.abspath(f.path) for f in bm.fragments
                  if f.kind == "data" and (lo is None or lo <= f.epoch <= hi)]
 
@@ -1461,22 +1477,24 @@ class CDCReplay:
 
         return joined.map_batches(finish, batch_format="pyarrow")
 
-    def read_gold(self):
+    def read_gold(self, as_of_epoch: int | None = None):
         import ray.data as rd
 
         self._join_gold()  # surface the committed state, not a mid-refresh one
-        gm = self.gold.latest_manifest()
+        gm = (self.gold.latest_manifest() if as_of_epoch is None
+              else self.gold.manifest_as_of(as_of_epoch))
         paths = self.gold.all_fragment_paths(gm, kind="gold")
         if not paths:
             return rd.from_arrow(pa.Table.from_pylist([], schema=GOLD_SCHEMA))
         return rd.read_parquet(paths, partitioning=None)
 
-    def read_history(self):
+    def read_history(self, as_of_epoch: int | None = None):
         import ray.data as rd
 
         from maritime_activity_reports_cdc_ray.schemas import SILVER_HISTORY_SCHEMA
 
-        sm = self.silver.latest_manifest()
+        sm = (self.silver.latest_manifest() if as_of_epoch is None
+              else self.silver.manifest_as_of(as_of_epoch))
         paths = self.silver.all_fragment_paths(sm, kind="history")
         if not paths:
             return rd.from_arrow(pa.Table.from_pylist([], schema=SILVER_HISTORY_SCHEMA))

@@ -31,6 +31,10 @@ import pyarrow.parquet as pq
 _META = pa.schema([("partition", pa.string()), ("path", pa.string()),
                    ("rows", pa.int64())])
 
+# per-worker (task id, content-hash) → ordinal, for collision-free yet
+# retry-stable fragment names (see the naming note in ``write``)
+_TASK_SEQ: dict = {}
+
 
 def _partdir(root: str, by: str, value) -> str:
     return os.path.join(root, f"{by}={value}")
@@ -67,14 +71,30 @@ def write_partitioned(ds, root: str, by: str, compression: str = "zstd") -> dict
             part = batch.filter(pc.equal(keys, v))
             d = _partdir(root, by, v)
             os.makedirs(d, exist_ok=True)
-            # content-derived name (md5 of the Arrow IPC bytes): a retried
-            # task rewrites the SAME path instead of duplicating rows
+            # name = content hash + a task-scoped ordinal per hash: the hash
+            # keeps a RETRIED task rewriting the same paths (no duplicates),
+            # while the ordinal keeps two byte-identical batches within one
+            # run from silently overwriting each other (same-hash batches in
+            # different tasks are disambiguated by the task id; within one
+            # task by the per-(task, hash) counter)
             import hashlib
+
+            import ray
 
             sink = pa.BufferOutputStream()
             with pa.ipc.new_stream(sink, part.schema) as w:
                 w.write_table(part)
-            tag = hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()[:16]
+            content = hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()[:12]
+            try:
+                task = ray.get_runtime_context().get_task_id() or "driver"
+            except Exception:
+                task = "driver"
+            if _TASK_SEQ.get("task") != task:  # new task in this worker → reset
+                _TASK_SEQ.clear()
+                _TASK_SEQ["task"] = task
+            seq = _TASK_SEQ.get(content, 0)
+            _TASK_SEQ[content] = seq + 1
+            tag = f"{content}-{task[:8]}-{seq:03d}"
             dst = os.path.join(d, f"part-{tag}-{part.num_rows}.parquet")
             fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
             os.close(fd)
@@ -89,9 +109,12 @@ def write_partitioned(ds, root: str, by: str, compression: str = "zstd") -> dict
 
     meta = ds.map_batches(write, batch_format="pyarrow",
                           zero_copy_batch=True).take_all()
-    written = sorted({r["partition"] for r in meta})
+    # a retried task re-reports its (identical) files: dedupe by path so the
+    # row count reflects what is on disk, not how many attempts ran
+    by_path = {r["path"]: r for r in meta}
+    written = sorted({r["partition"] for r in by_path.values()})
     for v in written:  # sentinel only after the whole execution drained
         open(os.path.join(_partdir(root, by, v), "_SUCCESS"), "w").write("ok")
     return {"partitions_written": len(written),
             "partitions_skipped": len(done),
-            "rows": int(sum(r["rows"] for r in meta))}
+            "rows": int(sum(r["rows"] for r in by_path.values()))}

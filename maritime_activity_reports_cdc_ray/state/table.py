@@ -44,6 +44,8 @@ import pyarrow as pa
 
 _MANIFEST_RE = re.compile(r"^manifest-(\d{10})\.json$")
 
+FORMAT_VERSION = 2  # current on-disk format (content-pointer silver)
+
 
 @dataclass
 class Fragment:
@@ -67,6 +69,12 @@ class Manifest:
     salt_map: dict = field(default_factory=dict)  # {str(pid): salt} (non-default only)
     stats: dict = field(default_factory=dict)  # cumulative counters
     gold_epoch: int = -1  # unused except on gold tables sharing a root
+    # on-disk format version. 1 = silver stored a materialized `content`
+    # column; 2 = content-pointer silver (`content_epoch`). Manifests written
+    # before the field existed deserialize as 1 (the dataclass default), so
+    # new code fails fast with a clear message instead of a missing-column
+    # error deep in a read (see CDCReplay.read_silver).
+    format_version: int = 1
 
     @property
     def schema(self) -> pa.Schema:
@@ -128,6 +136,7 @@ class LakeTable:
                 name=name,
                 num_partitions=num_partitions,
                 schema_b64=schema_to_b64(schema),
+                format_version=FORMAT_VERSION,
             )
             t._write_manifest(m)
         return t
@@ -147,6 +156,28 @@ class LakeTable:
             return None
         with open(os.path.join(mdir, best[1])) as f:
             return Manifest.from_json(f.read())
+
+    def manifest_as_of(self, epoch: int) -> Manifest:
+        """Epoch-pinned time travel (reference analogue: Delta ``VERSION AS
+        OF`` / CDF ``startingVersion``, silver/cdf_processor.py:41): the
+        highest-version manifest whose committed epoch watermark is <=
+        ``epoch`` — i.e. the table state right after ``epoch`` committed
+        (later maintenance rewrites of the same watermark are preferred, as
+        their fragment set is the one that survives compaction). Available
+        until ``vacuum()`` prunes superseded manifests/fragments — the same
+        retention contract as Delta time travel."""
+        mdir = os.path.join(self.root, "_manifests")
+        versions = sorted(
+            (int(m.group(1)) for m in map(_MANIFEST_RE.match, os.listdir(mdir)) if m),
+            reverse=True)
+        for v in versions:
+            with open(os.path.join(mdir, f"manifest-{v:010d}.json")) as f:
+                m = Manifest.from_json(f.read())
+            if m.epoch <= epoch:
+                return m
+        raise LookupError(
+            f"no manifest with epoch <= {epoch} in {self.root} "
+            "(epoch predates table creation, or vacuum() pruned history)")
 
     # ----------------------------------------------------------------- staging
     def fragment_relpath(self, epoch: int, pid: int, salt: int, kind: str, suffix: str = "") -> str:
@@ -209,6 +240,7 @@ class LakeTable:
             fragments=keep + list(new_fragments),
             salt_map=dict(salt_map) if salt_map is not None else m.salt_map,
             stats=_merge_stats(m.stats, stats_delta),
+            format_version=m.format_version,
         )
         if lineage is not None:
             lp = os.path.join(self.root, "_lineage", f"epoch-{epoch}.json")
@@ -239,6 +271,7 @@ class LakeTable:
             fragments=keep + list(new_fragments),
             salt_map=dict(salt_map) if salt_map is not None else m.salt_map,
             stats=m.stats,
+            format_version=m.format_version,
         )
         self._write_manifest(m2)
         return m2
@@ -290,6 +323,7 @@ class LakeTable:
             fragments=frags,
             salt_map={},
             stats=_merge_stats(m.stats, {"overwrites": 1}),
+            format_version=m.format_version,
         )
         self._write_manifest(m2)
         return m2
