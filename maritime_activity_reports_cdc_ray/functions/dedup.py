@@ -216,7 +216,8 @@ def lsh_bands(df: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
 def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
                            text_col: str = "text", id_col: str = "doc_id",
                            concurrency=None, num_partitions: int = 16,
-                           bucket_cap: int = 4096):
+                           bucket_cap: int = 4096,
+                           small_gate_rows: int = 2_000_000):
     """documents → candidate near-dup pairs (id_a < id_b) via MinHash-LSH.
 
     Pipeline: map_batches(MinHasher) → map_batches(band explode) →
@@ -271,6 +272,33 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
         return pd.DataFrame({"id_a": np.concatenate(out_a).astype("int64"),
                              "id_b": np.concatenate(out_b).astype("int64")})
 
+    # strategy gate (Spark-AQE style): when the banded signature table is
+    # small (rows = n_docs x bands, known from parquet metadata — no extra
+    # execution), the two all-to-all exchanges below cost more in barriers
+    # than the whole pair generation costs in compute. Collapse to ONE
+    # single-task stage (pairing + distinct in numpy); above the gate, the
+    # hash-partitioned exchange path is the 100 TB shape.
+    try:
+        n_docs = ds.count()
+    except Exception:
+        n_docs = None
+    if n_docs is not None and n_docs * bands <= small_gate_rows:
+        def pairs_distinct(g: pd.DataFrame) -> pd.DataFrame:
+            p = bucket_pairs(g)
+            if not len(p):
+                return p
+            a = p["id_a"].to_numpy(dtype=np.int64)
+            b = p["id_b"].to_numpy(dtype=np.int64)
+            if len(a) and 0 <= a.min() and max(a.max(), b.max()) < (1 << 31):
+                pk = np.unique(a * np.int64(1 << 32) + b)
+                return pd.DataFrame({"id_a": (pk >> np.int64(32)),
+                                     "id_b": pk & np.int64((1 << 32) - 1)})
+            return p.drop_duplicates(["id_a", "id_b"])
+
+        return (banded.repartition(1)
+                .map_batches(pairs_distinct, batch_format="pandas",
+                             batch_size=None))
+
     cand = (banded.map_batches(add_part, batch_format="pandas")
             .groupby("_part").map_groups(
                 lambda g: bucket_pairs(g.drop(columns=["_part"])),
@@ -290,13 +318,16 @@ def referenced_docs(cand_ds, docs_ds, id_col: str = "doc_id",
     corpus size — this is what makes broadcast-side verification scale."""
     import ray
 
+    # per-batch unique then one driver-side np.unique: the driver sees only
+    # per-batch distinct ids — the same bounded payload the broadcast below
+    # ships anyway — and no exchange runs (a hash_distinct here paid a full
+    # sort barrier to dedupe rows the driver was about to collect regardless)
     ids = cand_ds.map_batches(
         lambda df: pd.DataFrame({"_id": pd.unique(
             pd.concat([df["id_a"], df["id_b"]], ignore_index=True))}),
-        batch_format="pandas")
-    ids = hash_distinct(ids, ["_id"]).to_pandas()
-    id_arr = (np.sort(ids["_id"].to_numpy(dtype=np.int64))
-              if "_id" in ids.columns else np.empty(0, dtype=np.int64))
+        batch_format="pandas").to_pandas()
+    id_arr = (np.unique(ids["_id"].to_numpy(dtype=np.int64))
+              if "_id" in ids.columns and len(ids) else np.empty(0, dtype=np.int64))
     id_ref = ray.put(id_arr)
 
     def keep_referenced(df: pd.DataFrame) -> pd.DataFrame:

@@ -452,6 +452,13 @@ def test_rematerialize_content_bounds_bronze(ray_session, stream, tmp_path):
             assert hashlib.sha256(c.encode("utf-8", "surrogatepass")).hexdigest() == s
 
     src, files, oracle = stream
+    # private copy: this test appends an extra epoch file later, which must
+    # not leak into the session-scoped fixture other tests replay
+    import shutil
+
+    priv = str(tmp_path / "stream")
+    shutil.copytree(src, priv)
+    src = priv
     r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
     r.setup()
     r.run(src)
@@ -464,14 +471,36 @@ def test_rematerialize_content_bounds_bronze(ray_session, stream, tmp_path):
     assert removed > 0
     _assert_matches_oracle(r, oracle)
     assert_content_ok(r)
-    # second cycle: consolidates the first maintenance epoch, raw epoch stays
+    # second cycle: steady state — only the single newest maintenance epoch
+    # remains below the cutoff, so the run is a NO-OP (re-consolidating it
+    # would churn O(all referenced content) for zero pruning benefit)
     stats2 = rematerialize_content(r, retain_epochs=1)
-    assert stats2["pruned_epochs"] == 1 and stats2["remat_epoch"] == REMAT_BASE + 1
-    r.bronze.vacuum(), r.silver.vacuum()
+    assert stats2["pruned_epochs"] == 0 and stats2["rematerialized_rows"] == 0
     bm2 = r.bronze.latest_manifest()
-    assert {f.epoch for f in bm2.fragments if f.kind == "data"} == {3, REMAT_BASE + 1}
+    assert {f.epoch for f in bm2.fragments if f.kind == "data"} == {3, REMAT_BASE}
     _assert_matches_oracle(r, oracle)
     assert_content_ok(r)
+    # a NEW raw epoch arriving re-arms the consolidation: run one more epoch
+    # past the retention window and the third cycle prunes again
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    extra = _pa.Table.from_pylist([{
+        "repo": "r-extra", "path": "x.py", "commit": "c999999999999",
+        "lang": "py", "content": "zz"}])
+    extra = extra.set_column(4, "content",
+                             extra.column("content").cast(_pa.large_string()))
+    _pq.write_table(extra, os.path.join(src, "part-00004.parquet"))
+    r.run(src)
+    stats3 = rematerialize_content(r, retain_epochs=1)
+    assert stats3["pruned_epochs"] >= 1 and stats3["remat_epoch"] == REMAT_BASE + 1
+    r.bronze.vacuum(), r.silver.vacuum()
+    bm3 = r.bronze.latest_manifest()
+    assert {f.epoch for f in bm3.fragments if f.kind == "data"} == {4, REMAT_BASE + 1}
+    assert_content_ok(r)  # every live row's payload still joins, sha-exact
+    sil = r.read_silver(columns=["repo", "content"]).to_pandas()
+    assert (sil.repo == "r-extra").sum() == 1
+    assert sil.loc[sil.repo == "r-extra", "content"].iloc[0] == "zz"
 
 
 def test_remat_crash_between_commits_stays_consistent(ray_session, stream, tmp_path):
