@@ -824,7 +824,11 @@ def docs_minhash_pairs(sf_dir: str):
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     cand = minhash_lsh_candidates(docs, num_perm=64, bands=16)
-    out = verify_pairs_jaccard(cand, docs, threshold=0.5).to_pandas()
+    # byte-gated fast path: a small corpus broadcasts whole, fusing candidate
+    # generation + verify into one streaming execution (see verify_pairs_jaccard)
+    small = os.path.getsize(os.path.join(sf_dir, "documents.parquet")) <= (256 << 20)
+    out = verify_pairs_jaccard(cand, docs, threshold=0.5,
+                               broadcast_all_texts=small).to_pandas()
     out = out[["id_a", "id_b", "jaccard"]].copy()
     out["jaccard"] = _r(out["jaccard"], 6)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

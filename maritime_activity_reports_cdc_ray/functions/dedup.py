@@ -283,17 +283,25 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
     except Exception:
         n_docs = None
     if n_docs is not None and n_docs * bands <= small_gate_rows:
-        def pairs_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        def pairs_distinct(g: pd.DataFrame):
             p = bucket_pairs(g)
             if not len(p):
-                return p
+                yield p
+                return
             a = p["id_a"].to_numpy(dtype=np.int64)
             b = p["id_b"].to_numpy(dtype=np.int64)
             if len(a) and 0 <= a.min() and max(a.max(), b.max()) < (1 << 31):
                 pk = np.unique(a * np.int64(1 << 32) + b)
-                return pd.DataFrame({"id_a": (pk >> np.int64(32)),
-                                     "id_b": pk & np.int64((1 << 32) - 1)})
-            return p.drop_duplicates(["id_a", "id_b"])
+                p = pd.DataFrame({"id_a": (pk >> np.int64(32)),
+                                  "id_b": pk & np.int64((1 << 32) - 1)})
+            else:
+                p = p.drop_duplicates(["id_a", "id_b"])
+            # yield in chunks: the generator re-splits the single pairing
+            # task's output into many blocks, so downstream stages (the
+            # Jaccard verify map) parallelize again with NO extra barrier
+            step = max(4096, len(p) // 64 + 1)
+            for s in range(0, len(p), step):
+                yield p.iloc[s : s + step]
 
         return (banded.repartition(1)
                 .map_batches(pairs_distinct, batch_format="pandas",
@@ -346,21 +354,33 @@ def referenced_docs(cand_ds, docs_ds, id_col: str = "doc_id",
 
 
 def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float = 0.8, k: int = 5,
-                         text_col: str = "text", id_col: str = "doc_id"):
+                         text_col: str = "text", id_col: str = "doc_id",
+                         broadcast_all_texts: bool = False):
     """Exact n-gram-Jaccard verification of candidate pairs. Only the texts
     REFERENCED by candidates are broadcast (semi-join via ``referenced_docs``
     — payload ∝ candidate count, never corpus size); the check then runs per
-    batch of pairs with per-worker shingle-set caching."""
+    batch of pairs with per-worker shingle-set caching.
+
+    ``broadcast_all_texts=True`` is the caller-gated small-corpus fast path:
+    when the whole text column fits a broadcast comfortably (the caller
+    checks bytes — e.g. the parquet file size), the candidate Dataset is
+    consumed ONCE, so the candidate pipeline and the verify map fuse into a
+    single streaming execution (no materialize, no id-extraction pass, no
+    second corpus scan). Above the gate the referenced-texts path is the
+    100 TB shape."""
     import ray
 
-    # the candidate Dataset is consumed twice (id extraction below, then the
-    # verify map at the end); without this pin Ray re-executes the entire lazy
-    # candidate pipeline — signatures, banding, bucket shuffle — a second
-    # time. Pairs are bounded by candidate count (bucket_cap caps the O(c²)
-    # tail), and materialize() keeps blocks in the object store, never on the
-    # driver, so this stays scale-safe.
-    cand_ds = cand_ds.materialize()
-    docs = referenced_docs(cand_ds, docs_ds, id_col=id_col, text_col=text_col)
+    if broadcast_all_texts:
+        docs = docs_ds.select_columns([id_col, text_col]).to_pandas()
+    else:
+        # the candidate Dataset is consumed twice (id extraction below, then
+        # the verify map at the end); without this pin Ray re-executes the
+        # entire lazy candidate pipeline — signatures, banding, bucket
+        # shuffle — a second time. Pairs are bounded by candidate count
+        # (bucket_cap caps the O(c²) tail), and materialize() keeps blocks in
+        # the object store, never on the driver, so this stays scale-safe.
+        cand_ds = cand_ds.materialize()
+        docs = referenced_docs(cand_ds, docs_ds, id_col=id_col, text_col=text_col)
     lookup_ref = ray.put(dict(zip(docs[id_col], docs[text_col])))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:

@@ -163,6 +163,28 @@ def test_hll_close_to_exact(ray_session):
     assert abs(est - 1234) / 1234 < 0.05
 
 
+def test_minhash_small_and_partitioned_paths_agree(ray_session):
+    """The size-gated single-task pairing path and the hash-partitioned
+    exchange path must produce the identical candidate set."""
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def pairs(ds):
+        df = ds.to_pandas()
+        return sorted(map(tuple, df[["id_a", "id_b"]].to_numpy()))
+
+    small = pairs(minhash_lsh_candidates(docs, num_perm=64, bands=16))
+    big = pairs(minhash_lsh_candidates(docs, num_perm=64, bands=16,
+                                       small_gate_rows=0))
+    assert small == big and len(small) > 0
+
+
 def test_simhash_bands_exact_recall():
     """bands > max_hamming ⇒ every qualifying pair shares a chunk."""
     from maritime_activity_reports_cdc_ray.functions.dedup import SimHasher
