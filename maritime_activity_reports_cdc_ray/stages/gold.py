@@ -44,21 +44,23 @@ def aggregate_repos(silver_rows: pa.Table, epoch: int, pid: int) -> pa.Table:
         return align_to_schema(pa.table({}), GOLD_SCHEMA)
     silver_rows = silver_rows.combine_chunks()
     order = pc.sort_indices(silver_rows, sort_keys=[("repo", "ascending"), ("path", "ascending")])
-    t = silver_rows.take(order)
-    repo = np.asarray(t.column("repo").to_numpy(zero_copy_only=False), dtype=object)
-    path = np.asarray(t.column("path").to_numpy(zero_copy_only=False), dtype=object)
-    commit = np.asarray(t.column("commit").to_numpy(zero_copy_only=False), dtype=object)
-    lang = np.asarray(t.column("lang").to_numpy(zero_copy_only=False), dtype=object)
-    sha = np.asarray(t.column("content_sha256").to_numpy(zero_copy_only=False), dtype=object)
+    t = silver_rows.take(order).combine_chunks()
+    n = t.num_rows
+    repo_arr = t.column("repo").chunk(0) if t.column("repo").num_chunks else \
+        pa.array([], pa.string())
     nbytes = t.column("content_bytes").to_numpy(zero_copy_only=False)
     deleted = t.column("is_deleted").to_numpy(zero_copy_only=False).astype(bool)
     ever = t.column("ever_deleted").to_numpy(zero_copy_only=False).astype(bool)
     versions = t.column("version_count").to_numpy(zero_copy_only=False).astype(np.int64)
 
-    n = len(repo)
+    # segment boundaries without object-dtype conversion: Arrow compares the
+    # shifted repo column against itself (C-level), numpy only sees booleans
     first = np.ones(n, dtype=bool)
-    first[1:] = repo[1:] != repo[:-1]
+    if n > 1:
+        first[1:] = pc.not_equal(repo_arr.slice(1), repo_arr.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
     starts = np.flatnonzero(first)
+    seg_id = np.cumsum(first) - 1
     live = ~deleted
 
     file_count = np.add.reduceat(live.astype(np.int64), starts)
@@ -67,58 +69,78 @@ def aggregate_repos(silver_rows: pa.Table, epoch: int, pid: int) -> pa.Table:
     total_versions = np.add.reduceat(versions, starts)
 
     n_seg = len(starts)
-    repos_all = repo[starts]
+    repos_all = repo_arr.take(pa.array(starts, pa.int64()))
 
     # live-row view: latest commit / lang counts / repo sha only read live rows
     lv = np.flatnonzero(live)
     latest = np.full(n_seg, "", dtype=object)
     empty_digest = hashlib.sha256().hexdigest()
     repo_shas = np.full(n_seg, empty_digest, dtype=object)
-    # per-segment distinct-lang run counts (for list offsets) + children
-    lang_child_lang: np.ndarray = np.empty(0, dtype=object)
-    lang_child_n: np.ndarray = np.empty(0, dtype=np.int64)
+    lang_child_lang = pa.array([], pa.string())
+    lang_child_n = np.empty(0, dtype=np.int64)
     seg_nlang = np.zeros(n_seg, dtype=np.int64)
     if len(lv):
+        lv_idx = pa.array(lv, pa.int64())
+        seg_live = seg_id[lv]
+        # latest commit + lang counts: C-level Arrow group_by over the live
+        # rows keyed by segment id — no Python string comparisons
+        live_tbl = pa.table({
+            "seg": pa.array(seg_live, pa.int64()),
+            "commit": t.column("commit").take(lv_idx),
+            "lang": t.column("lang").take(lv_idx),
+        })
+        cm = live_tbl.group_by("seg").aggregate([("commit", "max")])
+        latest[cm.column("seg").to_numpy()] = np.asarray(
+            cm.column("commit_max").to_numpy(zero_copy_only=False), dtype=object)
+        lc = (live_tbl.group_by(["seg", "lang"]).aggregate([("lang", "count")])
+              .sort_by([("seg", "ascending"), ("lang", "ascending")]))
+        lang_child_lang = lc.column("lang").combine_chunks()
+        if isinstance(lang_child_lang, pa.ChunkedArray):  # flat Array for StructArray
+            lang_child_lang = (lang_child_lang.chunk(0) if lang_child_lang.num_chunks
+                               else pa.array([], pa.string()))
+        lang_child_n = lc.column("lang_count").to_numpy()
+        seg_nlang = np.bincount(lc.column("seg").to_numpy(), minlength=n_seg) \
+            .astype(np.int64)
+        # repo sha: rows are sorted by (repo, path), so each live run's
+        # "p\x00s\n" lines are CONTIGUOUS in the joined column's data buffer —
+        # hash a zero-copy memoryview slice per repo instead of building a
+        # Python string per row (frompyfunc here cost ~1 µs/row; this is one
+        # C-level join + one hash call per repo)
+        j1 = pc.binary_join_element_wise(
+            t.column("path").take(lv_idx).cast(pa.large_binary()),
+            t.column("content_sha256").take(lv_idx).cast(pa.large_binary()),
+            pa.scalar(b"\x00", pa.large_binary()))  # "p\x00s"
+        joined = pc.binary_join_element_wise(
+            j1, pa.array([b""] * len(lv), pa.large_binary()),
+            pa.scalar(b"\n", pa.large_binary())).combine_chunks()
+        # → "p\x00s\n" per row, byte-identical to the oracle's hash stream;
+        # large_binary → int64 offsets, so a >2 GB pid can't overflow them
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.chunk(0)
+        offs = np.frombuffer(joined.buffers()[1], dtype=np.int64,
+                             count=len(lv) + 1)
+        data = memoryview(joined.buffers()[2])
         l_first = np.ones(len(lv), dtype=bool)
-        l_first[1:] = repo[lv][1:] != repo[lv][:-1]
+        l_first[1:] = seg_live[1:] != seg_live[:-1]
         l_starts = np.flatnonzero(l_first)
-        # which global segment each live-run belongs to
-        g_seg = np.searchsorted(starts, lv[l_starts], side="right") - 1
-        # max commit per live run — np.maximum ufunc compares Python strings
-        latest[g_seg] = np.maximum.reduceat(commit[lv], l_starts)
-        # lang counts: C-level pandas groupby over (seg, lang), then one
-        # list<struct> column built from offsets — no per-repo Python
-        seg_of_live = np.cumsum(l_first) - 1
-        import pandas as pd
-
-        lc = (pd.DataFrame({"seg": g_seg[seg_of_live], "lang": lang[lv]})
-              .groupby(["seg", "lang"], sort=True, as_index=False).size())
-        lang_child_lang = lc["lang"].to_numpy()
-        lang_child_n = lc["size"].to_numpy(dtype=np.int64)
-        seg_nlang = np.bincount(lc["seg"].to_numpy(), minlength=n_seg).astype(np.int64)
-        # repo sha: one joined bytes blob per live run, one hash call each
-        # (rows sorted by (repo, path) → pairs arrive pre-sorted).
-        # NB frompyfunc, not `arr + "\x00"`: numpy (and pandas' numpy-routed
-        # broadcast) coerce the separator scalar through a fixed-width U
-        # dtype, which silently strips the NUL byte.
-        blob = np.frompyfunc(lambda p, s: f"{p}\x00{s}\n", 2, 1)(path[lv], sha[lv])
         l_ends = np.append(l_starts[1:], len(lv))
+        g_seg = seg_live[l_starts]
+        sha256 = hashlib.sha256
         for ri, (s, e) in enumerate(zip(l_starts, l_ends)):
-            repo_shas[g_seg[ri]] = hashlib.sha256(
-                "".join(blob[s:e]).encode()).hexdigest()
+            repo_shas[g_seg[ri]] = sha256(data[offs[s]:offs[e]]).hexdigest()
 
     offsets = np.zeros(n_seg + 1, dtype=np.int32)
     np.cumsum(seg_nlang, out=offsets[1:])
     lang_counts_arr = pa.ListArray.from_arrays(
         pa.array(offsets),
         pa.StructArray.from_arrays(
-            [pa.array(lang_child_lang, pa.string()), pa.array(lang_child_n, pa.int64())],
+            [lang_child_lang.cast(pa.string()), pa.array(lang_child_n, pa.int64())],
             names=["lang", "n"]),
     )
 
     return pa.table(
         {
-            "repo": pa.array(repos_all, pa.string()),
+            "repo": repos_all.cast(pa.string()),
             "file_count": pa.array(file_count, pa.int64()),
             "latest_commit": pa.array(latest, pa.string()),
             "total_bytes": pa.array(total_bytes, pa.int64()),
