@@ -761,8 +761,10 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4,
 # ---------------------------------------------------------------------------
 def label_components(pairs_df: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
     """(id_a, id_b) edges → (id, component) with component = min id reachable.
-    Pure-pandas min-label propagation for driver-sized pair sets; the
-    distributed equivalent is :func:`label_components_distributed`."""
+    Pure-pandas min-label propagation with pointer jumping (each round also
+    folds in label(label(i)), so convergence is O(log diameter) rounds, same
+    as the distributed variant) for driver-sized pair sets; the distributed
+    equivalent is :func:`label_components_distributed`."""
     ids = pd.unique(pd.concat([pairs_df["id_a"], pairs_df["id_b"]], ignore_index=True))
     label = pd.Series(ids, index=ids)
     a = pairs_df["id_a"].to_numpy()
@@ -775,6 +777,11 @@ def label_components(pairs_df: pd.DataFrame, max_rounds: int = 20) -> pd.DataFra
         nl = upd.groupby("id")["lab"].min()
         merged = label.copy()
         merged.loc[nl.index] = np.minimum(label.loc[nl.index].to_numpy(), nl.to_numpy())
+        # pointer jumping: label values are node ids, so label-of-label is a
+        # positional lookup — path-halving short-cut per round
+        merged = pd.Series(
+            np.minimum(merged.to_numpy(), merged.loc[merged.to_numpy()].to_numpy()),
+            index=merged.index)
         if merged.equals(label):
             break
         label = merged
@@ -782,7 +789,8 @@ def label_components(pairs_df: pd.DataFrame, max_rounds: int = 20) -> pd.DataFra
 
 
 def label_components_distributed(pairs_ds, num_partitions: int = 16,
-                                 max_rounds: int = 30):
+                                 max_rounds: int = 30,
+                                 small_gate_rows: int = 100_000):
     """Distributed connected components over an (id_a, id_b) edge Dataset →
     (id, component) Dataset with component = min id reachable.
 
@@ -795,10 +803,24 @@ def label_components_distributed(pairs_ds, num_partitions: int = 16,
     labels (one row per node) are re-materialized per round; the driver sees
     only the changed-count scalar. Rounds needed = component diameter (dup
     groups are near-cliques in practice, so 2-3).
+
+    Strategy gate: an edge set at or under ``small_gate_rows`` is collected
+    and labeled with the pandas kernel in one step — each distributed round
+    costs two exchanges plus a materialize barrier, which dwarfs the label
+    compute for small pair sets (a near-dup pair list is usually orders of
+    magnitude smaller than the corpus that produced it).
     """
     import ray.data as rd
 
     _I64MAX = np.iinfo(np.int64).max
+
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() <= small_gate_rows:
+        pdf = pairs_ds.to_pandas()
+        if not len(pdf):
+            return rd.from_pandas(pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                                "component": pd.Series(dtype="int64")}))
+        return rd.from_pandas(label_components(pdf, max_rounds=max_rounds))
 
     def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
         a = df["id_a"].to_numpy(dtype=np.int64)
