@@ -81,6 +81,14 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--input", required=True)
 
+    sp = sub.add_parser("read", help="read silver/gold/history — optionally AS OF an epoch "
+                                     "(time travel; Delta VERSION AS OF analogue)")
+    common(sp)
+    sp.add_argument("--table", choices=["silver", "gold", "history"], default="silver")
+    sp.add_argument("--as-of-epoch", type=int, default=None)
+    sp.add_argument("--columns", default=None, help="comma-separated projection")
+    sp.add_argument("--limit", type=int, default=20)
+
     sp = sub.add_parser("simulate", help="generate a deterministic synthetic change stream")
     sp.add_argument("--out", required=True)
     sp.add_argument("--events", type=int, default=10_000)
@@ -147,6 +155,18 @@ def main(argv=None):
             lake = r.silver if args.table == "silver" else r.gold
             kinds = ("history", "current") if args.table == "silver" else ("gold",)
             print(json.dumps(compact_table(lake, kinds=kinds, compression=r.cfg.write_compression)))
+        elif args.cmd == "read":
+            cols = args.columns.split(",") if args.columns else None
+            if args.table == "silver":
+                ds = r.read_silver(columns=cols, as_of_epoch=args.as_of_epoch)
+            elif args.table == "gold":
+                ds = r.read_gold(as_of_epoch=args.as_of_epoch)
+            else:
+                ds = r.read_history(as_of_epoch=args.as_of_epoch)
+            rows = ds.limit(args.limit).to_pandas()
+            print(json.dumps({"table": args.table, "as_of_epoch": args.as_of_epoch,
+                              "rows": json.loads(rows.to_json(orient="records"))},
+                             indent=1))
         elif args.cmd == "verify":
             from maritime_activity_reports_cdc_ray.oracle import replay_files
             from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
