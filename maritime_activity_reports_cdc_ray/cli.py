@@ -87,6 +87,10 @@ def main(argv=None):
     sp.add_argument("--table", choices=["silver", "gold", "history"], default="silver")
     sp.add_argument("--as-of-epoch", type=int, default=None)
     sp.add_argument("--columns", default=None, help="comma-separated projection")
+    sp.add_argument("--where", default=None, metavar="COL=VALUE",
+                    help="pushed-down equality filter (comma-separated values "
+                         "= IN list); COL=repo prunes to the key's hash "
+                         "partition before opening any file")
     sp.add_argument("--limit", type=int, default=20)
 
     sp = sub.add_parser("simulate", help="generate a deterministic synthetic change stream")
@@ -157,12 +161,18 @@ def main(argv=None):
             print(json.dumps(compact_table(lake, kinds=kinds, compression=r.cfg.write_compression)))
         elif args.cmd == "read":
             cols = args.columns.split(",") if args.columns else None
+            pred = None
+            if args.where:
+                col, _, val = args.where.partition("=")
+                vals = val.split(",")
+                pred = (col, "==", vals[0]) if len(vals) == 1 else (col, "in", vals)
             if args.table == "silver":
-                ds = r.read_silver(columns=cols, as_of_epoch=args.as_of_epoch)
+                ds = r.read_silver(columns=cols, as_of_epoch=args.as_of_epoch,
+                                   predicate=pred)
             elif args.table == "gold":
-                ds = r.read_gold(as_of_epoch=args.as_of_epoch)
+                ds = r.read_gold(as_of_epoch=args.as_of_epoch, predicate=pred)
             else:
-                ds = r.read_history(as_of_epoch=args.as_of_epoch)
+                ds = r.read_history(as_of_epoch=args.as_of_epoch, predicate=pred)
             rows = ds.limit(args.limit).to_pandas()
             print(json.dumps({"table": args.table, "as_of_epoch": args.as_of_epoch,
                               "rows": json.loads(rows.to_json(orient="records"))},

@@ -1349,13 +1349,22 @@ class CDCReplay:
 
     # ---------------------------------------------------------------- readers
     def read_silver(self, live_only: bool = True, columns: list[str] | None = None,
-                    as_of_epoch: int | None = None):
+                    as_of_epoch: int | None = None,
+                    predicate: tuple | None = None):
         """Silver current state as a ray Dataset (streams fragment files).
 
         ``as_of_epoch`` pins the read to the table state right after that
         epoch committed (time travel — reference: Delta ``VERSION AS OF`` /
         CDF ``startingVersion``, silver/cdf_processor.py:41); default =
         latest. Pinned reads stay valid until ``vacuum()`` prunes history.
+
+        ``predicate`` = ``(col, op, value)`` pushes a filter into the read
+        (reference analogue: Delta partition filters + data skipping). An
+        equality/IN predicate on ``repo`` — the table's hash-partition key —
+        additionally prunes to the key's partition fragments, so a point read
+        opens 1/P of the table's files; every predicate also reaches the
+        parquet scanner for row-group pruning + exact row filtering. The
+        virtual ``content`` column cannot be filtered (filter after read).
 
         ``content`` is a VIRTUAL column: silver fragments store a bronze
         pointer (``content_epoch``, see SILVER_CURRENT_SCHEMA) instead of the
@@ -1376,7 +1385,18 @@ class CDCReplay:
                 "this engine reads format v2 (content-pointer silver). "
                 "Re-run the replay to rebuild the lake, or read the old lake "
                 "with the matching engine version.")
-        paths = self.silver.all_fragment_paths(sm, kind="current")
+        from maritime_activity_reports_cdc_ray.stages.partition import (
+            predicate_expression, prune_fragments_by_key)
+
+        frags = [f for f in sm.fragments if f.kind == "current"]
+        read_kwargs: dict = {}
+        if predicate is not None:
+            if predicate[0] == "content":
+                raise ValueError("cannot filter on the virtual 'content' column "
+                                 "— select it and filter after the read")
+            frags = prune_fragments_by_key(frags, predicate, sm.num_partitions)
+            read_kwargs["filter"] = predicate_expression(predicate)
+        paths = [self.silver.abspath(f.path) for f in frags]
         stored_names = [f.name for f in sm.schema] if sm.schema is not None else \
             [f.name for f in SILVER_CURRENT_SCHEMA]
         user_names = ["content" if n == "content_epoch" else n for n in stored_names]
@@ -1396,7 +1416,7 @@ class CDCReplay:
             read_cols.append("is_deleted")
         # explicit columns also prune hive-inferred partition fields (Ray 2.49
         # rejects columns= together with partitioning=None)
-        ds = rd.read_parquet(paths, columns=read_cols)
+        ds = rd.read_parquet(paths, columns=read_cols, **read_kwargs)
         if live_only:
             ds = ds.map_batches(
                 lambda t: t.filter(pc.invert(t.column("is_deleted"))),
@@ -1477,28 +1497,45 @@ class CDCReplay:
 
         return joined.map_batches(finish, batch_format="pyarrow")
 
-    def read_gold(self, as_of_epoch: int | None = None):
+    def read_gold(self, as_of_epoch: int | None = None,
+                  predicate: tuple | None = None):
         import ray.data as rd
+
+        from maritime_activity_reports_cdc_ray.stages.partition import (
+            predicate_expression, prune_fragments_by_key)
 
         self._join_gold()  # surface the committed state, not a mid-refresh one
         gm = (self.gold.latest_manifest() if as_of_epoch is None
               else self.gold.manifest_as_of(as_of_epoch))
-        paths = self.gold.all_fragment_paths(gm, kind="gold")
+        frags = [f for f in gm.fragments if f.kind == "gold"]
+        read_kwargs: dict = {}
+        if predicate is not None:
+            frags = prune_fragments_by_key(frags, predicate, gm.num_partitions)
+            read_kwargs["filter"] = predicate_expression(predicate)
+        paths = [self.gold.abspath(f.path) for f in frags]
         if not paths:
             return rd.from_arrow(pa.Table.from_pylist([], schema=GOLD_SCHEMA))
-        return rd.read_parquet(paths, partitioning=None)
+        return rd.read_parquet(paths, partitioning=None, **read_kwargs)
 
-    def read_history(self, as_of_epoch: int | None = None):
+    def read_history(self, as_of_epoch: int | None = None,
+                     predicate: tuple | None = None):
         import ray.data as rd
 
         from maritime_activity_reports_cdc_ray.schemas import SILVER_HISTORY_SCHEMA
+        from maritime_activity_reports_cdc_ray.stages.partition import (
+            predicate_expression, prune_fragments_by_key)
 
         sm = (self.silver.latest_manifest() if as_of_epoch is None
               else self.silver.manifest_as_of(as_of_epoch))
-        paths = self.silver.all_fragment_paths(sm, kind="history")
+        frags = [f for f in sm.fragments if f.kind == "history"]
+        read_kwargs: dict = {}
+        if predicate is not None:
+            frags = prune_fragments_by_key(frags, predicate, sm.num_partitions)
+            read_kwargs["filter"] = predicate_expression(predicate)
+        paths = [self.silver.abspath(f.path) for f in frags]
         if not paths:
             return rd.from_arrow(pa.Table.from_pylist([], schema=SILVER_HISTORY_SCHEMA))
-        return rd.read_parquet(paths, partitioning=None)
+        return rd.read_parquet(paths, partitioning=None, **read_kwargs)
 
 
 assert EVENT_SCHEMA is not None

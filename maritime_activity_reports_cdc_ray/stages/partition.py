@@ -31,6 +31,59 @@ def pid_of_repo(repo: str, num_partitions: int) -> int:
     return int(hash_strings(np.array([repo], dtype=object))[0] % np.uint64(num_partitions))
 
 
+_PREDICATE_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "between")
+
+
+def predicate_expression(predicate):
+    """Compile a ``(col, op, value)`` triple into a ``pyarrow.dataset``
+    expression. Passed to the parquet scanner it gives row-group statistics
+    pruning plus EXACT row filtering — the reader returns precisely the
+    matching rows. ``op`` ∈ {==, !=, <, <=, >, >=, in, between}; ``in`` takes
+    an iterable, ``between`` an inclusive ``(lo, hi)`` pair."""
+    import pyarrow.dataset as pds
+
+    col, op, val = predicate
+    f = pds.field(col)
+    if op == "==":
+        return f == val
+    if op == "!=":
+        return f != val
+    if op == "<":
+        return f < val
+    if op == "<=":
+        return f <= val
+    if op == ">":
+        return f > val
+    if op == ">=":
+        return f >= val
+    if op == "in":
+        return f.isin(list(val))
+    if op == "between":
+        lo, hi = val
+        return (f >= lo) & (f <= hi)
+    raise ValueError(f"unsupported predicate op {op!r} (one of {_PREDICATE_OPS})")
+
+
+def prune_fragments_by_key(fragments, predicate, num_partitions: int,
+                           key_col: str = "repo"):
+    """Partition pruning (reference analogue: Delta partition filters — the
+    silver/gold tables are hash-partitioned on ``repo``, so an equality / IN
+    predicate on the key maps straight to its pid via :func:`pid_of_repo`).
+    A point read then opens 1/P of the table's fragment files regardless of
+    table size. Any other predicate keeps every fragment — the scanner-level
+    :func:`predicate_expression` filter still prunes row groups and rows.
+    Fragments with ``pid < 0`` (overwrite refreshes, not key-partitioned)
+    are never pruned."""
+    if predicate is None:
+        return list(fragments)
+    col, op, val = predicate
+    if col != key_col or op not in ("==", "in"):
+        return list(fragments)
+    vals = [val] if op == "==" else list(val)
+    pids = {pid_of_repo(v, num_partitions) for v in vals}
+    return [f for f in fragments if f.pid in pids or f.pid < 0]
+
+
 def make_gid_assigner(num_partitions: int, salt_by_pid: np.ndarray, max_salt: int):
     """Add the shuffle key ``gid = pid * max_salt + (path_hash % S_pid)``.
 
