@@ -61,6 +61,16 @@ def main(argv=None):
     sp = sub.add_parser("compact", help="compact fragment chains (OPTIMIZE analogue)")
     common(sp)
     sp.add_argument("--table", choices=["silver", "gold"], default="silver")
+    sp.add_argument("--cluster-by", default=None,
+                    help="comma-separated columns to sort compacted fragments by "
+                         "(ZORDER BY analogue: makes row-group stats selective "
+                         "for later `read --where` predicates)")
+    sp.add_argument("--row-group-size", type=int, default=None,
+                    help="rows per parquet row group in compacted fragments "
+                         "(smaller = finer predicate skipping)")
+    sp.add_argument("--include-single", action="store_true",
+                    help="also rewrite single-fragment chains (re-cluster an "
+                         "already-compacted table)")
 
     sp = sub.add_parser("vacuum", help="delete unreferenced fragment files")
     common(sp)
@@ -158,7 +168,11 @@ def main(argv=None):
 
             lake = r.silver if args.table == "silver" else r.gold
             kinds = ("history", "current") if args.table == "silver" else ("gold",)
-            print(json.dumps(compact_table(lake, kinds=kinds, compression=r.cfg.write_compression)))
+            cluster = args.cluster_by.split(",") if args.cluster_by else None
+            print(json.dumps(compact_table(
+                lake, kinds=kinds, compression=r.cfg.write_compression,
+                cluster_by=cluster, row_group_size=args.row_group_size,
+                include_single=args.include_single)))
         elif args.cmd == "read":
             cols = args.columns.split(",") if args.columns else None
             pred = None

@@ -16,7 +16,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def make_compact_task_fn(root: str, compression: str):
+def make_compact_task_fn(root: str, compression: str,
+                         cluster_by: list[str] | None = None,
+                         row_group_size: int | None = None):
     def fn(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
@@ -28,11 +30,19 @@ def make_compact_task_fn(root: str, compression: str):
             pid, salt, kind, epoch = int(item["pid"]), int(item["salt"]), item["kind"], int(item["epoch"])
             tabs = [pq.read_table(lake.abspath(p)) for p in item["paths"]]
             t = pa.concat_tables(tabs, promote_options="permissive")
-            sort_keys = [("repo", "ascending"), ("path", "ascending")]
-            if "commit" in t.column_names:
-                sort_keys.append(("commit", "ascending"))
+            if cluster_by:
+                sort_keys = [(c, "ascending") for c in cluster_by
+                             if c in t.column_names]
+                # the primary key as tie-break keeps the layout deterministic
+                sort_keys += [(c, "ascending") for c in ("repo", "path", "commit")
+                              if c in t.column_names and c not in cluster_by]
+            else:
+                sort_keys = [("repo", "ascending"), ("path", "ascending")]
+                if "commit" in t.column_names:
+                    sort_keys.append(("commit", "ascending"))
             t = t.combine_chunks().take(pc.sort_indices(t, sort_keys=sort_keys))
-            frag = lake.stage_fragment(t, epoch, pid, salt, kind, compression, suffix="c")
+            frag = lake.stage_fragment(t, epoch, pid, salt, kind, compression,
+                                       suffix="c", row_group_size=row_group_size)
             rows.append({"fragments_json": json.dumps([frag.__dict__]),
                          "replaced_json": json.dumps(list(item["paths"]))})
         if not rows:
@@ -43,9 +53,22 @@ def make_compact_task_fn(root: str, compression: str):
     return fn
 
 
-def compact_table(lake, kinds: tuple = ("history",), compression: str = "zstd") -> dict:
+def compact_table(lake, kinds: tuple = ("history",), compression: str = "zstd",
+                  cluster_by: list[str] | None = None,
+                  row_group_size: int | None = None,
+                  include_single: bool = False) -> dict:
     """Merge multi-fragment chains per (pid, salt, kind) into single sorted
-    fragments. Returns counts. Safe to re-run; crash-safe (maintenance commit)."""
+    fragments. Returns counts. Safe to re-run; crash-safe (maintenance commit).
+
+    ``cluster_by`` re-sorts each compacted fragment on the given columns
+    (reference analogue: ``OPTIMIZE ... ZORDER BY (cols)``,
+    gold/table_setup.py:374-379, utils/spark_utils.py:154-171): rows with
+    equal/nearby cluster values become contiguous, so parquet row-group
+    min/max statistics turn selective and a later predicate read
+    (``read_silver(predicate=...)``) skips whole row groups. Pair with
+    ``row_group_size`` (rows per group, e.g. 32_000) to set the skipping
+    granularity. ``include_single=True`` also rewrites single-fragment
+    chains — needed when re-clustering an already-compacted table."""
     import ray
     import ray.data as rd
 
@@ -56,16 +79,18 @@ def compact_table(lake, kinds: tuple = ("history",), compression: str = "zstd") 
     for f in m.fragments:
         if f.kind in kinds:
             chains.setdefault((f.pid, f.salt, f.kind), []).append(f)
+    min_frags = 0 if include_single else 1
     items = [
         {"pid": pid, "salt": salt, "kind": kind, "epoch": m.epoch,
          "paths": [f.path for f in frs]}
-        for (pid, salt, kind), frs in chains.items() if len(frs) > 1
+        for (pid, salt, kind), frs in chains.items() if len(frs) > min_frags
     ]
     if not items:
         return {"compacted_groups": 0, "fragments_removed": 0}
     assert ray.is_initialized()
     res = rd.from_items(items).map_batches(
-        make_compact_task_fn(lake.root, compression), batch_format="pyarrow", batch_size=1
+        make_compact_task_fn(lake.root, compression, cluster_by, row_group_size),
+        batch_format="pyarrow", batch_size=1
     ).take_all()
     new_frags, replaced = [], set()
     for r in res:

@@ -188,9 +188,13 @@ class LakeTable:
         return os.path.join(self.root, rel)
 
     def stage_fragment(self, table: pa.Table, epoch: int, pid: int, salt: int, kind: str,
-                       compression: str = "zstd", suffix: str = "") -> Fragment:
+                       compression: str = "zstd", suffix: str = "",
+                       row_group_size: int | None = None) -> Fragment:
         """Write a fragment to its deterministic path (temp + atomic replace).
-        Safe to call from any Ray task/actor; reruns overwrite."""
+        Safe to call from any Ray task/actor; reruns overwrite.
+        ``row_group_size`` caps rows per parquet row group — smaller groups
+        give predicate reads finer statistics-based skipping granularity on
+        clustered fragments (see pipelines.maintenance.compact_table)."""
         import pyarrow.parquet as pq
 
         rel = self.fragment_relpath(epoch, pid, salt, kind, suffix)
@@ -199,7 +203,8 @@ class LakeTable:
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dst), suffix=".tmp")
         os.close(fd)
         try:
-            pq.write_table(table, tmp, compression=compression)
+            kw = {"row_group_size": row_group_size} if row_group_size else {}
+            pq.write_table(table, tmp, compression=compression, **kw)
             os.replace(tmp, dst)
         finally:
             if os.path.exists(tmp):

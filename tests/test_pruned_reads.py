@@ -113,3 +113,48 @@ def test_no_match_predicate_returns_empty_with_schema(lake):
     ds = lake.read_silver(predicate=("repo", "==", "no/such-repo"))
     df = ds.to_pandas()
     assert len(df) == 0
+
+
+def test_cluster_by_compaction(lake):
+    """OPTIMIZE ... ZORDER BY analogue (reference: gold/table_setup.py:374-379):
+    compacting with cluster_by re-sorts fragments so row-group min/max stats
+    become selective on the cluster column, while every read contract
+    (full read, predicate read, virtual content) is preserved bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from maritime_activity_reports_cdc_ray.pipelines.maintenance import compact_table
+
+    before = _df(lake.read_silver(live_only=False))
+    stats = compact_table(lake.silver, kinds=("current",), cluster_by=["lang"],
+                          row_group_size=64, include_single=True)
+    assert stats["compacted_groups"] > 0
+
+    # data identical after re-clustering
+    after = _df(lake.read_silver(live_only=False))
+    pd.testing.assert_frame_equal(after, before)
+
+    # fragments are lang-sorted with tight row groups: in every compacted
+    # fragment, row groups are non-overlapping on lang (min of group i+1 >=
+    # max of group i), which is what enables statistics-based skipping
+    m = lake.silver.latest_manifest()
+    frags = [f for f in m.fragments if f.kind == "current"]
+    saw_multi_group = False
+    for f in frags:
+        md = pq.ParquetFile(lake.silver.abspath(f.path)).metadata
+        idx = md.schema.names.index("lang")
+        bounds = [(md.row_group(i).column(idx).statistics.min,
+                   md.row_group(i).column(idx).statistics.max)
+                  for i in range(md.num_row_groups)]
+        saw_multi_group = saw_multi_group or len(bounds) > 1
+        # nulls (deleted rows) sort last → trailing all-null groups have None
+        # stats; every non-null pair must be ordered
+        for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+            if hi1 is not None and lo2 is not None:
+                assert lo2 >= hi1
+    assert saw_multi_group  # row_group_size actually took effect
+
+    # predicate read on the clustered column still exact
+    langs = sorted(before.lang.dropna().unique())
+    got = _df(lake.read_silver(live_only=False, predicate=("lang", "==", langs[0])))
+    want = before[before.lang == langs[0]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
