@@ -737,8 +737,15 @@ def docs_token_stats(sf_dir: str):
 
 
 def docs_fingerprint(sf_dir: str):
+    """Both fingerprint families in one attested result: kind='md5' = exact
+    whole-doc fingerprints (normalized-text md5), kind='rolling' = winnowing
+    window-min rolling-hash fingerprints (codepoint polynomials mod 2^64),
+    each rolled up to (fingerprint, n_docs, first_doc_id)."""
     from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
-    from maritime_activity_reports_cdc_ray.functions.text import fingerprint_md5
+    from maritime_activity_reports_cdc_ray.functions.text import (
+        RollingFingerprint,
+        fingerprint_md5,
+    )
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
@@ -748,10 +755,23 @@ def docs_fingerprint(sf_dir: str):
 
     # hash_agg (per-batch partials → one vectorized reduce per partition)
     # beats Ray's sort-based groupby ~2.5x at this key cardinality
-    out = hash_agg(ds.map_batches(fp, batch_format="pandas"), "fingerprint",
-                   {"n_docs": ("doc_id", "count"),
-                    "first_doc_id": ("doc_id", "min")}).to_pandas()
-    return out.astype({"n_docs": "int64", "first_doc_id": "int64"})
+    md = hash_agg(ds.map_batches(fp, batch_format="pandas"), "fingerprint",
+                  {"n_docs": ("doc_id", "count"),
+                   "first_doc_id": ("doc_id", "min")}).to_pandas()
+    md = md.astype({"n_docs": "int64", "first_doc_id": "int64"})
+    md.insert(0, "kind", "md5")
+
+    rf = RollingFingerprint(k=8, w=16)
+    ro = hash_agg(ds.map_batches(lambda df: rf.fingerprints(df),
+                                 batch_format="pandas"), "fp",
+                  {"n_docs": ("doc_id", "count"),
+                   "first_doc_id": ("doc_id", "min")}).to_pandas()
+    ro = pd.DataFrame({"kind": "rolling",
+                       "fingerprint": ro["fp"].astype("int64").astype(str),
+                       "n_docs": ro["n_docs"].astype("int64"),
+                       "first_doc_id": ro["first_doc_id"].astype("int64")})
+    return (pd.concat([md, ro], ignore_index=True)
+            .sort_values(["kind", "fingerprint"]).reset_index(drop=True))
 
 
 def docs_quality(sf_dir: str):
@@ -892,6 +912,86 @@ def docs_rolling_fingerprint(sf_dir: str):
     out = ds.map_batches(lambda df: rf.fingerprints(df), batch_format="pandas")
     return (out.to_pandas().sort_values(["doc_id", "fp"])
             .reset_index(drop=True))
+
+
+def docs_lsh_pairs(sf_dir: str):
+    """Both LSH near-dup family outputs in one attested result: method=
+    'minhash' = MinHash+LSH candidates with exact-Jaccard verify (score =
+    jaccard), method='simhash' = banded-Hamming pairs (score = hamming).
+    Each side keeps its own exact SQL oracle, unioned the same way."""
+    mh = docs_minhash_pairs(sf_dir)
+    mh = pd.DataFrame({"method": "minhash", "id_a": mh["id_a"],
+                       "id_b": mh["id_b"], "score": mh["jaccard"].astype("float64")})
+    sh = docs_simhash_pairs(sf_dir)
+    sh = pd.DataFrame({"method": "simhash", "id_a": sh["id_a"],
+                       "id_b": sh["id_b"], "score": sh["hamming"].astype("float64")})
+    return (pd.concat([mh, sh], ignore_index=True)
+            .sort_values(["method", "id_a", "id_b"]).reset_index(drop=True))
+
+
+def docs_pii_redact(sf_dir: str):
+    """PII redaction over a deterministically PII-injected corpus: emails /
+    phones / IPv4s are synthesized from doc_id (the same expressions the SQL
+    oracle uses — the raw docs are synthetic word soup with no PII), then the
+    PiiRedactor actor-pool stage counts and scrubs them. Attested per doc:
+    match counts per pattern + md5 of the redacted text."""
+    import hashlib
+
+    from maritime_activity_reports_cdc_ray.functions.text import PiiRedactor
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    red = PiiRedactor()
+
+    def q(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype("int64")
+        t = df["text"].fillna("")
+        sid = i.astype(str)
+        email = np.where(i % 3 == 0,
+                         " contact user" + sid + "@mail" + (i % 7).astype(str) + ".com", "")
+        phone = np.where(i % 5 == 0,
+                         " call 555-" + (i % 1000).astype(str).str.zfill(3)
+                         + "-" + (i % 10000).astype(str).str.zfill(4), "")
+        ip = np.where(i % 7 == 0,
+                      " host 10." + (i % 256).astype(str) + ".0."
+                      + ((i * 7) % 256).astype(str), "")
+        out = red(pd.DataFrame({"doc_id": i, "text": t + email + phone + ip}))
+        return pd.DataFrame({
+            "doc_id": out["doc_id"],
+            "n_email": out["n_email"], "n_phone": out["n_phone"], "n_ip": out["n_ip"],
+            "redacted_md5": out["text_redacted"].map(
+                lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
+        })
+
+    return (ds.map_batches(q, batch_format="pandas").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def docs_repetition(sf_dir: str):
+    """Gopher-style repetition/diversity quality signals per doc (top-word
+    fraction, duplicate-2-gram fraction, distinct-token count, repetitive
+    flag) — fully vectorized, exact SQL oracle via unnest + list kernels."""
+    from maritime_activity_reports_cdc_ray.functions.text import repetition_metrics
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(repetition_metrics, batch_format="pandas").to_pandas()
+    out["top_word_frac"] = _r(out["top_word_frac"], 6)
+    out["dup_2gram_frac"] = _r(out["dup_2gram_frac"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_ngram_contamination(sf_dir: str):
+    """Train/eval decontamination scan: holdout docs (doc_id % 97 == 0) form
+    the eval set; every train doc reports how many of its distinct word
+    5-grams hit the holdout set (broadcast semi-join side) and how many are
+    shared with >= 2 docs corpus-wide (gram-frequency shuffle side)."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import ngram_contamination
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_contamination(ds, holdout_mod=97, n=5).to_pandas()
+    out = out.astype({"n_grams": "int64", "n_holdout_shared": "int64",
+                      "n_dup_grams": "int64"})
+    out["contaminated"] = (out["n_holdout_shared"] > 0).astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 _STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "that", "for")
@@ -1113,6 +1213,18 @@ def emb_knn_ivf(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def emb_knn_ann(sf_dir: str):
+    """Both approximate-ANN scale paths in one attested result: method='lsh'
+    (hyperplane buckets) and method='ivf' (inverted lists) — each an exact
+    SQL oracle OF the approximate algorithm, unioned the same way."""
+    lsh = emb_knn_lsh(sf_dir)
+    lsh.insert(0, "method", "lsh")
+    ivf = emb_knn_ivf(sf_dir)
+    ivf.insert(0, "method", "ivf")
+    return (pd.concat([lsh, ivf], ignore_index=True)
+            .sort_values(["method", "query_id", "rank"]).reset_index(drop=True))
+
+
 def emb_cosine_dupes(sf_dir: str):
     """Exact embedding-cosine near-dup pairs (broadcast matrix + per-batch
     float64 matmul); scale path is the LSH variant (emb_knn_lsh machinery)."""
@@ -1200,11 +1312,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": docs_quality,
         "docs_lang_id": docs_lang_id,
         "docs_enrichment": docs_enrichment,
-        "docs_minhash_pairs": docs_minhash_pairs,
+        "docs_lsh_pairs": docs_lsh_pairs,
         "docs_ngram_jaccard_dupes": docs_ngram_jaccard_dupes,
         "docs_dup_groups": docs_dup_groups,
-        "docs_simhash_pairs": docs_simhash_pairs,
-        "docs_rolling_fingerprint": docs_rolling_fingerprint,
+        "docs_pii_redact": docs_pii_redact,
+        "docs_repetition": docs_repetition,
+        "docs_ngram_contamination": docs_ngram_contamination,
         "events_asof_last_click": events_asof_last_click,
         "events_value_bands": events_value_bands,
         "events_hopping_window": events_hopping_window,
@@ -1214,8 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_terms": docs_top_terms,
         "media_decode_features": media_decode_features,
         "emb_knn_brute": emb_knn_brute,
-        "emb_knn_lsh": emb_knn_lsh,
-        "emb_knn_ivf": emb_knn_ivf,
+        "emb_knn_ann": emb_knn_ann,
         "emb_cosine_dupes": emb_cosine_dupes,
         "emb_label_stats": emb_label_stats,
     }
@@ -1556,6 +1668,133 @@ def _knn_ivf_oracle_sql() -> str:
     """
 
 
+def _pii_oracle_sql() -> str:
+    """DuckDB replay of the PII scrub: the same doc_id-derived injection
+    expressions build the raw text, then each pattern is counted
+    (regexp_extract_all) and replaced (regexp_replace 'g') IN THE ENGINE'S
+    ORDER; the redacted text is attested by md5. The regexes are ASCII-only
+    so RE2 (DuckDB) and Python `re` agree exactly (functions/text.py
+    PII_PATTERNS)."""
+    from maritime_activity_reports_cdc_ray.functions.text import PII_PATTERNS
+
+    sql = """
+        WITH r0 AS (
+            SELECT doc_id,
+                   COALESCE(text, '')
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || doc_id || '@mail'
+                                || (doc_id % 7) || '.com' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' host 10.' || (doc_id % 256) || '.0.'
+                                || ((doc_id * 7) % 256) ELSE '' END AS s
+            FROM documents)
+    """
+    prev = "r0"
+    carried: list[str] = []
+    for idx, (name, rx, repl) in enumerate(PII_PATTERNS, start=1):
+        lit = rx.replace("'", "''")
+        keep = "".join(f" {c}," for c in carried)
+        sql += f""",
+        r{idx} AS (
+            SELECT doc_id,{keep}
+                   len(regexp_extract_all(s, '{lit}')) AS n_{name},
+                   regexp_replace(s, '{lit}', '{repl}', 'g') AS s
+            FROM {prev})
+        """
+        carried.append(f"n_{name}")
+        prev = f"r{idx}"
+    names = ", ".join(f"CAST(n_{name} AS BIGINT) AS n_{name}"
+                      for name, _, _ in PII_PATTERNS)
+    sql += f"""
+        SELECT doc_id, {names}, md5(s) AS redacted_md5 FROM {prev}
+    """
+    return sql
+
+
+def _repetition_oracle_sql(top_word_max: float = 0.125,
+                           dup_2gram_max: float = 0.06) -> str:
+    """DuckDB replay of the Gopher-style repetition metrics: identical
+    tokenization (string_split on ' ', empty tokens dropped), per-doc
+    token-frequency max, consecutive-2-gram distinct/total, the same float
+    divisions, and the same unrounded threshold comparisons for the flag."""
+    return f"""
+        WITH l AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                               x -> x <> '') AS toks
+            FROM documents),
+        w AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+        c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+        m AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(cnt) AS mx
+              FROM c GROUP BY 1),
+        g AS (SELECT doc_id,
+                     list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1]) AS grams
+              FROM l),
+        gm AS (SELECT doc_id, len(grams) AS tg, len(list_distinct(grams)) AS dg
+               FROM g)
+        SELECT d.doc_id,
+               COALESCE(m.n_tokens, 0) AS n_tokens,
+               COALESCE(m.n_distinct, 0) AS n_distinct,
+               ROUND(CASE WHEN COALESCE(m.n_tokens, 0) > 0
+                          THEN CAST(m.mx AS DOUBLE) / m.n_tokens
+                          ELSE 0.0 END, 6) AS top_word_frac,
+               ROUND(CASE WHEN COALESCE(gm.tg, 0) > 0
+                          THEN CAST(gm.tg - gm.dg AS DOUBLE) / gm.tg
+                          ELSE 0.0 END, 6) AS dup_2gram_frac,
+               CAST(CASE WHEN (COALESCE(m.n_tokens, 0) > 0
+                               AND CAST(m.mx AS DOUBLE) / m.n_tokens > {top_word_max!r})
+                           OR (COALESCE(gm.tg, 0) > 0
+                               AND CAST(gm.tg - gm.dg AS DOUBLE) / gm.tg > {dup_2gram_max!r})
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+        FROM documents d LEFT JOIN m USING (doc_id) LEFT JOIN gm USING (doc_id)
+    """
+
+
+def _contamination_oracle_sql(holdout_mod: int = 97, n: int = 5) -> str:
+    """DuckDB replay of the word-n-gram decontamination scan: identical
+    tokenization and gram rules (whole-doc gram when < n tokens, none when
+    empty), md5_u64 gram hashes, the holdout gram-set membership count, and
+    the corpus gram-document-frequency >= 2 count."""
+    joins = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+        WITH l AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                               x -> x <> '') AS toks
+            FROM documents),
+        g0 AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(range(1, len(toks) - {n - 2}),
+                                            i -> {joins})
+                   END AS grams
+            FROM l),
+        g AS (SELECT DISTINCT doc_id,
+                     ('0x' || substr(md5(u.gr), 1, 16))::UBIGINT AS h
+              FROM g0, unnest(grams) AS u(gr)),
+        hold AS (SELECT DISTINCT h FROM g WHERE doc_id % {holdout_mod} = 0),
+        freq AS (SELECT h, COUNT(*) AS nd FROM g GROUP BY h)
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN hold.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_holdout_shared,
+               CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_grams,
+               CAST(CASE WHEN SUM(CASE WHEN hold.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM g JOIN freq f USING (h) LEFT JOIN hold ON g.h = hold.h
+        WHERE g.doc_id % {holdout_mod} <> 0
+        GROUP BY g.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": f"""
@@ -1871,10 +2110,15 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens
             FROM documents GROUP BY lang
         """,
-        "docs_fingerprint": """
-            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+        "docs_fingerprint": f"""
+            SELECT 'md5' AS kind,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
                    COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
-            FROM documents GROUP BY 1
+            FROM documents GROUP BY 2
+            UNION ALL
+            SELECT 'rolling' AS kind, CAST(fp AS VARCHAR) AS fingerprint,
+                   COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
+            FROM ({_rolling_fp_oracle_sql()}) GROUP BY 2
         """,
         "docs_quality": f"""
             WITH m AS (
@@ -2001,13 +2245,25 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                        ORDER BY ts DESC, event_id DESC) = 1
         """,
-        "docs_minhash_pairs": _minhash_oracle_sql(),
-        "docs_simhash_pairs": _simhash_oracle_sql(),
-        "docs_rolling_fingerprint": _rolling_fp_oracle_sql(),
+        "docs_lsh_pairs": f"""
+            SELECT 'minhash' AS method, id_a, id_b, jaccard AS score
+            FROM ({_minhash_oracle_sql()})
+            UNION ALL
+            SELECT 'simhash' AS method, id_a, id_b, CAST(hamming AS DOUBLE) AS score
+            FROM ({_simhash_oracle_sql()})
+        """,
+        "docs_pii_redact": _pii_oracle_sql(),
+        "docs_repetition": _repetition_oracle_sql(),
+        "docs_ngram_contamination": _contamination_oracle_sql(),
         "events_approx_distinct_users": _hll_oracle_sql(),
         "media_decode_features": _media_oracle_sql(),
-        "emb_knn_lsh": _knn_lsh_oracle_sql(),
-        "emb_knn_ivf": _knn_ivf_oracle_sql(),
+        "emb_knn_ann": f"""
+            SELECT 'lsh' AS method, query_id, neighbor_id, rank
+            FROM ({_knn_lsh_oracle_sql()})
+            UNION ALL
+            SELECT 'ivf' AS method, query_id, neighbor_id, rank
+            FROM ({_knn_ivf_oracle_sql()})
+        """,
         "docs_sampling": """
             SELECT 'hash' AS method, doc_id, lang, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')

@@ -923,3 +923,122 @@ def label_components_distributed(pairs_ds, num_partitions: int = 16,
     return labels.map_batches(
         lambda df: df.rename(columns={"lab": "component"})[["id", "component"]],
         batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# training-data decontamination (word-n-gram overlap)
+# ---------------------------------------------------------------------------
+class WordNgramExploder:
+    """Explode each document to its DISTINCT word ``n``-gram hashes (actor-pool
+    stage: nothing to load, but the class keeps ``n`` and the hash cache warm
+    per actor). Tokenization is ``lower().split(' ')`` with empty tokens
+    dropped; documents with fewer than ``n`` tokens contribute ONE gram over
+    all their tokens (and zero grams when empty) — each rule mirrored
+    bit-for-bit by the SQL oracle. Gram hash = ``md5_u64`` (SQL:
+    ``('0x' || substr(md5(g),1,16))::UBIGINT``), emitted int64-wrapped.
+
+    Vectorized: one explode, shifted-array gram construction (no per-row
+    Python loop); only the tiny ``< n``-token remainder uses a groupby join.
+    Because one document lives wholly in one input row, the per-batch
+    ``drop_duplicates`` IS the global per-doc distinct."""
+
+    def __init__(self, n: int = 5, id_col: str = "doc_id", text_col: str = "text"):
+        self.n, self.id_col, self.text_col = n, id_col, text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
+
+        n = self.n
+        s = df[self.text_col].fillna("").str.lower().str.split(" ").reset_index(drop=True)
+        ids = df[self.id_col].to_numpy()
+        ex = s.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        rows = ex.index.to_numpy(dtype=np.int64)
+        toks = ex.to_numpy(dtype=object)
+        out_rows: list[np.ndarray] = []
+        out_grams: list[np.ndarray] = []
+        if len(rows):
+            cnt = np.bincount(rows, minlength=len(df))
+            parts = [toks]
+            rok = np.ones(len(rows), dtype=bool)
+            for j in range(1, n):
+                pj = np.concatenate([toks[j:], np.asarray([None] * j, dtype=object)])
+                rj = np.concatenate([rows[j:], np.full(j, -1, dtype=np.int64)])
+                rok &= rj == rows
+                parts.append(pj)
+            if rok.any():
+                g = parts[0][rok]
+                for pj in parts[1:]:
+                    g = g + " " + pj[rok]
+                out_rows.append(rows[rok])
+                out_grams.append(g)
+            # documents with 1 <= tokens < n: one whole-doc gram
+            short = (cnt > 0) & (cnt < n)
+            if short.any():
+                sel = short[rows]
+                joined = (pd.Series(toks[sel], index=rows[sel])
+                          .groupby(level=0).agg(" ".join))
+                out_rows.append(joined.index.to_numpy(dtype=np.int64))
+                out_grams.append(joined.to_numpy(dtype=object))
+        if not out_rows:
+            return pd.DataFrame({self.id_col: pd.Series(dtype="int64"),
+                                 "h": pd.Series(dtype="int64")})
+        r = np.concatenate(out_rows)
+        g = np.concatenate(out_grams)
+        d = pd.DataFrame({self.id_col: ids[r], "g": g}).drop_duplicates()
+        return pd.DataFrame({
+            self.id_col: d[self.id_col].to_numpy(),
+            "h": md5_u64_array(d["g"].to_numpy(dtype=object)).astype(np.int64),
+        })
+
+
+def ngram_contamination(ds, holdout_mod: int = 97, n: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_partitions: int = 16):
+    """Train/eval decontamination + cross-doc duplication scan: for every
+    NON-holdout document (holdout = ``id % holdout_mod == 0``, the eval set),
+    count how many of its distinct word ``n``-grams (a) appear in any holdout
+    document — the contamination signal — and (b) appear in >= 2 documents
+    corpus-wide — the cross-doc duplication signal.
+
+    Scale shape: grams explode to (doc_id, h) rows and are materialized ONCE
+    (object-store blocks, reused by three consumers — never driver-side);
+    the holdout gram set is tiny by construction (1/holdout_mod of the
+    corpus) and flows through ``auto_join``'s row/byte gates (broadcast when
+    small, partitioned hash join past the gates); the gram-frequency side is
+    a combiner-first ``hash_count`` and joins back the same gated way. The
+    shuffle moves (hash, count) rows, never text."""
+    from maritime_activity_reports_cdc_ray.functions.join import auto_join
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
+    grams = ds.map_batches(WordNgramExploder(n, id_col, text_col),
+                           batch_format="pandas").materialize()
+
+    hold = hash_distinct(
+        grams.map_batches(lambda df: df[df[id_col] % holdout_mod == 0][["h"]],
+                          batch_format="pandas"),
+        ["h"], num_partitions)
+    hold = hold.map_batches(
+        lambda df: df.assign(in_hold=np.ones(len(df), dtype=np.int64)),
+        batch_format="pandas")
+    freq = hash_count(grams, ["h"], num_partitions, count_col="n_docs")
+
+    train = grams.map_batches(lambda df: df[df[id_col] % holdout_mod != 0],
+                              batch_format="pandas")
+    j = auto_join(train, freq, on=["h"], num_partitions=num_partitions)
+    j = auto_join(j, hold, on=["h"], how="left_outer",
+                  num_partitions=num_partitions)
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "is_hold": df["in_hold"].fillna(0).astype("int64"),
+            "is_dup": (df["n_docs"] >= 2).astype("int64"),
+        })
+
+    per_doc = hash_agg(j.map_batches(flags, batch_format="pandas"), id_col, {
+        "n_grams": (id_col, "count"),
+        "n_holdout_shared": ("is_hold", "sum"),
+        "n_dup_grams": ("is_dup", "sum"),
+    }, num_partitions)
+    return per_doc

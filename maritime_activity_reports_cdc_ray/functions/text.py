@@ -194,6 +194,101 @@ class RollingFingerprint:
                              "fp": np.concatenate(fps)})
 
 
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+# Default PII patterns. ASCII-only character classes on purpose: Python `re`
+# and RE2 (DuckDB's regexp engine — what the SQL oracle runs) agree exactly on
+# these, so a redaction is bit-reproducible in SQL. Applied IN ORDER: each
+# replacement token is digit-free, so earlier redactions cannot create or
+# destroy later matches in an engine-dependent way.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+class PiiRedactor:
+    """PII scrubber (actor-pool stage: regexes compile once per actor).
+
+    For each pattern, counts non-overlapping matches then replaces them —
+    sequentially, in table order — and emits ``n_<name>`` count columns plus
+    ``<col>_redacted``. The curation analogue of the reference's hard
+    validity filters (utils/data_quality.py): rows aren't dropped, their
+    sensitive spans are rewritten before training-data export."""
+
+    def __init__(self, patterns=PII_PATTERNS):
+        self.pats = [(name, re.compile(rx), repl) for name, rx, repl in patterns]
+
+    def __call__(self, df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+        s = df[col].fillna("")
+        out = df.copy()
+        for name, rx, repl in self.pats:
+            out[f"n_{name}"] = s.str.count(rx).astype("int64")
+            s = s.str.replace(rx, repl, regex=True)
+        out[f"{col}_redacted"] = s
+        return out
+
+
+# ---------------------------------------------------------------------------
+# repetition / diversity metrics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+def repetition_metrics(df: pd.DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       top_word_max: float = 0.125,
+                       dup_2gram_max: float = 0.06) -> pd.DataFrame:
+    """Per-doc repetition signals à la Gopher's quality filters (Rae et al.
+    2021 §A1.1): most-common-word fraction, duplicate-2-gram fraction,
+    distinct-token count — plus an ``is_repetitive`` flag when either
+    fraction exceeds its threshold.
+
+    Tokenization is ``lower().split(' ')`` with empty tokens dropped — chosen
+    bit-reproducible in SQL (``string_split(lower(text), ' ')``). Fully
+    vectorized: one explode, C-level groupbys/bincounts, a shifted-array
+    2-gram construction; no per-row Python loop."""
+    s = df[text_col].fillna("").str.lower().str.split(" ").reset_index(drop=True)
+    n = len(df)
+    ex = s.explode()
+    ex = ex[ex.notna() & (ex != "")]
+    rows = ex.index.to_numpy(dtype=np.int64)
+    toks = ex.to_numpy(dtype=object)
+    n_tokens = np.bincount(rows, minlength=n) if len(rows) else np.zeros(n, np.int64)
+
+    top = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    if len(rows):
+        ct = pd.DataFrame({"r": rows, "t": toks}).groupby(["r", "t"], sort=False).size()
+        per = ct.groupby(level=0)
+        mx, nd = per.max(), per.size()
+        top[mx.index.to_numpy()] = mx.to_numpy()
+        n_distinct[nd.index.to_numpy()] = nd.to_numpy()
+
+    tot2 = np.zeros(n, dtype=np.int64)
+    dist2 = np.zeros(n, dtype=np.int64)
+    if len(rows) > 1:
+        nxt_t = np.concatenate([toks[1:], np.asarray([None], dtype=object)])
+        nxt_r = np.concatenate([rows[1:], [-1]])
+        valid = nxt_r == rows  # 2-gram stays within one doc
+        grams = toks[valid] + " " + nxt_t[valid]
+        grows = rows[valid]
+        tot2 = np.bincount(grows, minlength=n)
+        gdist = pd.DataFrame({"r": grows, "g": grams}).drop_duplicates()
+        dist2 = np.bincount(gdist["r"].to_numpy(), minlength=n)
+
+    top_word_frac = np.where(n_tokens > 0, top / np.maximum(n_tokens, 1), 0.0)
+    dup_2gram_frac = np.where(tot2 > 0, (tot2 - dist2) / np.maximum(tot2, 1), 0.0)
+    return pd.DataFrame({
+        id_col: df[id_col].to_numpy(),
+        "n_tokens": n_tokens.astype("int64"),
+        "n_distinct": n_distinct.astype("int64"),
+        "top_word_frac": top_word_frac,
+        "dup_2gram_frac": dup_2gram_frac,
+        "is_repetitive": ((top_word_frac > top_word_max)
+                          | (dup_2gram_frac > dup_2gram_max)).astype("int64"),
+    })
+
+
 def top_terms(ds, text_col: str = "text", stopwords=(), limit: int = 20,
               num_partitions: int = 16):
     """Corpus vocabulary head: global term counts → top ``limit`` by

@@ -561,3 +561,85 @@ def test_resize_images_plumbing(ray_session):
     # real backends are honestly stubbed
     with _pytest.raises(NotImplementedError):
         ImageResizer(backend="pil")
+
+
+def test_pii_redactor_counts_and_order():
+    r = T.PiiRedactor()
+    df = pd.DataFrame({"text": [
+        "mail a.b%c@mail2.com or x@y.io now",
+        "call 555-042-0042 from host 10.3.0.211",
+        "no pii here",
+        None,
+    ]})
+    out = r(df)
+    assert out["n_email"].tolist() == [2, 0, 0, 0]
+    assert out["n_phone"].tolist() == [0, 1, 0, 0]
+    assert out["n_ip"].tolist() == [0, 1, 0, 0]
+    assert out["text_redacted"].tolist()[:2] == [
+        "mail <EMAIL> or <EMAIL> now",
+        "call <PHONE> from host <IP>",
+    ]
+    # order matters: the phone must be scrubbed before the IP pass sees it —
+    # a dotted triple-quad would otherwise double-match
+    df2 = pd.DataFrame({"text": ["1.2.3.4 then 555-123-4567"]})
+    o2 = r(df2)
+    assert o2["n_ip"].iloc[0] == 1 and o2["n_phone"].iloc[0] == 1
+
+
+def test_repetition_metrics_hand_computed():
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a a a b", "x y z w", ""],
+    })
+    m = T.repetition_metrics(df)
+    # doc 0: 4 tokens, 2 distinct, top=3/4, 2-grams: [a a, a a, a b] -> 3 tot,
+    # 2 distinct -> dup frac 1/3
+    assert m.loc[0, "n_tokens"] == 4 and m.loc[0, "n_distinct"] == 2
+    assert m.loc[0, "top_word_frac"] == 0.75
+    assert abs(m.loc[0, "dup_2gram_frac"] - 1 / 3) < 1e-12
+    assert m.loc[0, "is_repetitive"] == 1
+    # doc 1: all distinct
+    assert m.loc[1, "top_word_frac"] == 0.25 and m.loc[1, "dup_2gram_frac"] == 0.0
+    assert m.loc[1, "is_repetitive"] == 1  # 0.25 > 0.125 top-word threshold
+    # doc 2: empty
+    assert m.loc[2, "n_tokens"] == 0 and m.loc[2, "is_repetitive"] == 0
+
+
+def test_word_ngram_exploder_rules():
+    ex = D.WordNgramExploder(n=3)
+    df = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": ["a b c d", "a b", "", "a b c a b c"],
+    })
+    out = ex(df)
+    from maritime_activity_reports_cdc_ray.hashing import md5_u64
+
+    def h(s):
+        return np.int64(np.uint64(md5_u64(s)))
+
+    by = out.groupby("doc_id")["h"].apply(lambda s: set(s.tolist())).to_dict()
+    assert by[10] == {h("a b c"), h("b c d")}
+    assert by[11] == {h("a b")}  # < n tokens -> one whole-doc gram
+    assert 12 not in by  # empty -> no grams
+    assert by[13] == {h("a b c"), h("b c a"), h("c a b")}  # distinct within doc
+
+
+def test_ngram_contamination_counts(ray_session):
+    # doc 0 is holdout (0 % 97 == 0); doc 1 shares a gram with it,
+    # doc 2 shares with doc 1 only (dup, not contaminated), doc 3 is unique
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["p q r s t",           # holdout: grams {p q r s t -> 1 gram}
+                 "p q r s t u",          # shares 'p q r s t' with holdout
+                 "z p q r s t u z2 a b", # shares 'p q r s t'(hold) + 'q r s t u'(doc1)
+                 "m n o aa bb cc"],
+    })
+    out = D.ngram_contamination(_ds(df), holdout_mod=97, n=5).to_pandas()
+    out = out.set_index("doc_id")
+    assert 0 not in out.index  # holdout excluded from the report
+    assert out.loc[1, "n_grams"] == 2
+    assert out.loc[1, "n_holdout_shared"] == 1
+    assert out.loc[1, "n_dup_grams"] == 2  # both its grams also in doc 2
+    assert out.loc[2, "n_holdout_shared"] == 1
+    assert out.loc[2, "n_dup_grams"] == 2
+    assert out.loc[3, "n_holdout_shared"] == 0 and out.loc[3, "n_dup_grams"] == 0
