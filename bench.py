@@ -40,7 +40,7 @@ QUERY_SUBSET = [
     "events_sessionize",
     "docs_fingerprint",
     "docs_quality",
-    "docs_minhash_pairs",
+    "docs_lsh_pairs",
     "emb_knn_brute",
 ]
 

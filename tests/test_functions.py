@@ -643,3 +643,53 @@ def test_ngram_contamination_counts(ray_session):
     assert out.loc[2, "n_holdout_shared"] == 1
     assert out.loc[2, "n_dup_grams"] == 2
     assert out.loc[3, "n_holdout_shared"] == 0 and out.loc[3, "n_dup_grams"] == 0
+
+
+def test_new_curation_ops_compose_streaming(ray_session, tmp_path):
+    """Decontaminate -> repetition-filter -> PII-redact -> partitioned sink,
+    all streaming over the documents table; the redacted output must contain
+    zero residual PII matches and read back from hive partitions."""
+    import re
+
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.dedup import ngram_contamination
+    from maritime_activity_reports_cdc_ray.functions.join import semi_join
+    from maritime_activity_reports_cdc_ray.functions.text import PII_PATTERNS
+    from maritime_activity_reports_cdc_ray.sources.writers import write_partitioned
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    # inject PII so the redaction stage has real work
+    def inject(df):
+        df = df.copy()
+        df["text"] = df["text"].fillna("") + np.where(
+            df["doc_id"] % 2 == 0,
+            " reach me at u" + df["doc_id"].astype(str) + "@x.io or 10.0.0."
+            + (df["doc_id"] % 250).astype(str), "")
+        return df
+
+    docs = docs.map_batches(inject, batch_format="pandas")
+    metrics = ngram_contamination(docs, holdout_mod=97, n=5)
+    clean = metrics.map_batches(
+        lambda df: df[df["n_holdout_shared"] == 0][["doc_id"]],
+        batch_format="pandas")
+    kept = semi_join(docs, clean, on="doc_id")
+
+    def rep_filter(df):
+        m = T.repetition_metrics(df)
+        return df[(m["is_repetitive"] == 0).to_numpy()]
+
+    kept = kept.map_batches(rep_filter, batch_format="pandas")
+    red = kept.map_batches(T.PiiRedactor(), batch_format="pandas")
+    out_root = str(tmp_path / "curated")
+    res = write_partitioned(
+        red.map_batches(lambda df: df[["doc_id", "lang", "text_redacted"]],
+                        batch_format="pandas"),
+        out_root, by="lang")
+    assert res["rows"] > 0 and res["partitions_written"] >= 2
+    back = rd.read_parquet(out_root).to_pandas()
+    assert len(back) == res["rows"]
+    for _, rx, _ in PII_PATTERNS:
+        assert back["text_redacted"].str.count(re.compile(rx)).sum() == 0
+    assert back["text_redacted"].str.contains("<EMAIL>").any()
