@@ -38,6 +38,9 @@ def _r(s, d: int):
     return np.copysign(np.floor(np.abs(y) + 0.5), y) / m
 
 
+_READ_LOCK = __import__("threading").Lock()
+
+
 def _t(sf_dir: str, name: str, columns=None):
     import ray.data as rd
 
@@ -51,7 +54,24 @@ def _t(sf_dir: str, name: str, columns=None):
         nb = max(16, min(64, os.path.getsize(path) // (8 << 20) + 16))
     except OSError:
         nb = None
-    return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+    # serialized: concurrent read_parquet calls (the _par2 merged queries)
+    # race on ray's fsspec-http probe import — CPython's import-deadlock
+    # avoidance can hand a second thread the partially-initialized module,
+    # turning a benign ModuleNotFoundError into a hard ImportError. Dataset
+    # CREATION is cheap; execution still overlaps fully.
+    with _READ_LOCK:
+        return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+
+
+def _par2(fa, fb):
+    """Run two independent query callables concurrently (each drives its own
+    Ray Data execution; the streaming executor interleaves their tasks) —
+    merged two-face queries pay max() instead of sum() of their halves."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        a, b = ex.submit(fa), ex.submit(fb)
+        return a.result(), b.result()
 
 
 def _revenue(t: pa.Table) -> pa.Table:
@@ -747,29 +767,34 @@ def docs_fingerprint(sf_dir: str):
         fingerprint_md5,
     )
 
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
-
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"fingerprint": fingerprint_md5(df["text"]),
                              "doc_id": df["doc_id"]})
 
-    # hash_agg (per-batch partials → one vectorized reduce per partition)
-    # beats Ray's sort-based groupby ~2.5x at this key cardinality
-    md = hash_agg(ds.map_batches(fp, batch_format="pandas"), "fingerprint",
-                  {"n_docs": ("doc_id", "count"),
-                   "first_doc_id": ("doc_id", "min")}).to_pandas()
-    md = md.astype({"n_docs": "int64", "first_doc_id": "int64"})
-    md.insert(0, "kind", "md5")
+    def md5_side() -> pd.DataFrame:
+        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        # hash_agg (per-batch partials → one vectorized reduce per partition)
+        # beats Ray's sort-based groupby ~2.5x at this key cardinality
+        md = hash_agg(ds.map_batches(fp, batch_format="pandas"), "fingerprint",
+                      {"n_docs": ("doc_id", "count"),
+                       "first_doc_id": ("doc_id", "min")}).to_pandas()
+        md = md.astype({"n_docs": "int64", "first_doc_id": "int64"})
+        md.insert(0, "kind", "md5")
+        return md
 
-    rf = RollingFingerprint(k=8, w=16)
-    ro = hash_agg(ds.map_batches(lambda df: rf.fingerprints(df),
-                                 batch_format="pandas"), "fp",
-                  {"n_docs": ("doc_id", "count"),
-                   "first_doc_id": ("doc_id", "min")}).to_pandas()
-    ro = pd.DataFrame({"kind": "rolling",
-                       "fingerprint": ro["fp"].astype("int64").astype(str),
-                       "n_docs": ro["n_docs"].astype("int64"),
-                       "first_doc_id": ro["first_doc_id"].astype("int64")})
+    def rolling_side() -> pd.DataFrame:
+        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        rf = RollingFingerprint(k=8, w=16)
+        ro = hash_agg(ds.map_batches(lambda df: rf.fingerprints(df),
+                                     batch_format="pandas"), "fp",
+                      {"n_docs": ("doc_id", "count"),
+                       "first_doc_id": ("doc_id", "min")}).to_pandas()
+        return pd.DataFrame({"kind": "rolling",
+                             "fingerprint": ro["fp"].astype("int64").astype(str),
+                             "n_docs": ro["n_docs"].astype("int64"),
+                             "first_doc_id": ro["first_doc_id"].astype("int64")})
+
+    md, ro = _par2(md5_side, rolling_side)
     return (pd.concat([md, ro], ignore_index=True)
             .sort_values(["kind", "fingerprint"]).reset_index(drop=True))
 
@@ -919,10 +944,10 @@ def docs_lsh_pairs(sf_dir: str):
     'minhash' = MinHash+LSH candidates with exact-Jaccard verify (score =
     jaccard), method='simhash' = banded-Hamming pairs (score = hamming).
     Each side keeps its own exact SQL oracle, unioned the same way."""
-    mh = docs_minhash_pairs(sf_dir)
+    mh, sh = _par2(lambda: docs_minhash_pairs(sf_dir),
+                   lambda: docs_simhash_pairs(sf_dir))
     mh = pd.DataFrame({"method": "minhash", "id_a": mh["id_a"],
                        "id_b": mh["id_b"], "score": mh["jaccard"].astype("float64")})
-    sh = docs_simhash_pairs(sf_dir)
     sh = pd.DataFrame({"method": "simhash", "id_a": sh["id_a"],
                        "id_b": sh["id_b"], "score": sh["hamming"].astype("float64")})
     return (pd.concat([mh, sh], ignore_index=True)
@@ -1217,9 +1242,9 @@ def emb_knn_ann(sf_dir: str):
     """Both approximate-ANN scale paths in one attested result: method='lsh'
     (hyperplane buckets) and method='ivf' (inverted lists) — each an exact
     SQL oracle OF the approximate algorithm, unioned the same way."""
-    lsh = emb_knn_lsh(sf_dir)
+    lsh, ivf = _par2(lambda: emb_knn_lsh(sf_dir),
+                     lambda: emb_knn_ivf(sf_dir))
     lsh.insert(0, "method", "lsh")
-    ivf = emb_knn_ivf(sf_dir)
     ivf.insert(0, "method", "ivf")
     return (pd.concat([lsh, ivf], ignore_index=True)
             .sort_values(["method", "query_id", "rank"]).reset_index(drop=True))
