@@ -1115,6 +1115,8 @@ def docs_sampling(sf_dir: str):
         stratified_hash_sample,
     )
 
+    from maritime_activity_reports_cdc_ray.functions.window import topk_per_group
+
     ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
     h = md5_hash_sample(ds, "doc_id", keep_hex=("0", "1")).to_pandas()
     h["method"] = "hash"
@@ -1123,27 +1125,62 @@ def docs_sampling(sf_dir: str):
         keep_by_group={"en": ("0", "1", "2", "3")},
         default_keep=("0", "1", "2", "3", "4", "5", "6", "7")).to_pandas()
     s["method"] = "stratified"
-    out = pd.concat([h, s], ignore_index=True)
+    # third face: group-balanced top-k (3 largest docs per language, doc_id
+    # tie-break) — the per-source cap primitive of corpus curation
+    t = topk_per_group(ds, "lang", "n_chars", "doc_id", k=3).to_pandas()
+    t = t.drop(columns=["rn"])
+    t["method"] = "topk"
+    out = pd.concat([h, s, t], ignore_index=True)
     return (out[["method", "doc_id", "lang", "n_chars"]]
             .sort_values(["method", "doc_id"]).reset_index(drop=True))
 
 
-def docs_topk_per_lang(sf_dir: str):
-    """Group-balanced top-k selection (3 largest docs per language,
-    doc_id tie-break) — the per-source cap primitive of corpus curation."""
-    from maritime_activity_reports_cdc_ray.functions.window import topk_per_group
+def emb_kmeans(sf_dir: str):
+    """Deterministic distributed k-means over the embeddings table (Lloyd,
+    2 iterations, id-stride init) — per-cluster sizes + inertia from the
+    final assignment. EXACT SQL oracle: every distance and every centroid
+    coordinate is quantized to 6dp at each step, so DuckDB replays the whole
+    iteration bit-for-bit (unnest dims → rounded Σ(v-c)² → argmin with
+    smallest-centroid tie-break → rounded AVG update → repeat)."""
+    from maritime_activity_reports_cdc_ray.functions.similarity import kmeans_fit
 
-    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-    return topk_per_group(ds, "lang", "n_chars", "doc_id", k=3)
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, stats = kmeans_fit(ds, k=16, iters=2, centroid_id_stride=29)
+    return stats.sort_values("cluster").reset_index(drop=True)
 
 
 def docs_top_terms(sf_dir: str):
-    """Corpus vocabulary head: top-20 terms by global count (stopwords
-    dropped) — partial counts before the shuffle, term totals co-located."""
+    """Corpus vocabulary head + Count-Min heavy-hitter sketch: top-20 terms
+    by exact global count (partial counts before the shuffle) alongside each
+    term's CMS frequency estimate — the all-integer mergeable sketch is
+    recomputed register-for-register by the SQL oracle. The exact path and
+    the sketch run as concurrent executions over the same token stream."""
+    from maritime_activity_reports_cdc_ray.functions.stats import (
+        cms_estimate,
+        cms_sketch,
+    )
     from maritime_activity_reports_cdc_ray.functions.text import top_terms
 
-    ds = _t(sf_dir, "documents", ["text"])
-    return top_terms(ds, "text", stopwords=_STOPWORDS, limit=20)
+    sw = frozenset(_STOPWORDS)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("").str.lower().str.split(" ").explode()
+        s = s[(s != "") & ~s.isin(sw)]
+        return pd.DataFrame({"term": s.astype(str)})
+
+    def exact():
+        return top_terms(_t(sf_dir, "documents", ["text"]), "text",
+                         stopwords=_STOPWORDS, limit=20)
+
+    def sketch():
+        terms = _t(sf_dir, "documents", ["text"]).map_batches(
+            explode, batch_format="pandas")
+        return cms_sketch(terms, "term", d=4, w=1024).to_pandas()
+
+    top, regs = _par2(exact, sketch)
+    top = top.copy()
+    top["cms_estimate"] = cms_estimate(regs, top["term"].tolist(), d=4, w=1024)
+    return top
 
 
 # ---------------------------------------------------------------------------
@@ -1348,8 +1385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": events_hopping_window,
         "events_approx_distinct_users": events_approx_distinct_users,
         "docs_sampling": docs_sampling,
-        "docs_topk_per_lang": docs_topk_per_lang,
         "docs_top_terms": docs_top_terms,
+        "emb_kmeans": emb_kmeans,
         "media_decode_features": media_decode_features,
         "emb_knn_brute": emb_knn_brute,
         "emb_knn_ann": emb_knn_ann,
@@ -1820,6 +1857,50 @@ def _contamination_oracle_sql(holdout_mod: int = 97, n: int = 5) -> str:
     """
 
 
+def _kmeans_oracle_sql(k: int = 16, iters: int = 2, dim: int = 64,
+                       stride: int = 29, round_dp: int = 6) -> str:
+    """DuckDB replay of the deterministic Lloyd k-means: id-stride init,
+    per-step 6dp quantization of distances and centroid coordinates (so
+    cross-engine float summation-order noise cannot compound), argmin with
+    smallest-centroid tie-break, per-cluster sizes + inertia from the final
+    assignment (functions/similarity.py kmeans_fit)."""
+    sql = f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        vd AS (SELECT vec_id, i.i AS dim, e[CAST(i.i AS INT) + 1] AS x
+               FROM v, unnest(range({dim})) i(i)),
+        c0sel AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+            FROM v WHERE vec_id % {stride} = 0 AND vec_id // {stride} < {k}
+            ORDER BY vec_id LIMIT {k}),
+        c0 AS (SELECT s.cid, vd.dim, ROUND(vd.x, {round_dp}) AS cx
+               FROM c0sel s JOIN vd ON vd.vec_id = s.vec_id)
+    """
+    prev = "c0"
+    for t in range(1, iters + 1):
+        sql += f""",
+        d{t} AS (SELECT vd.vec_id, c.cid,
+                        ROUND(SUM(power(vd.x - c.cx, 2)), {round_dp}) AS d2
+                 FROM vd JOIN {prev} c ON c.dim = vd.dim
+                 GROUP BY 1, 2),
+        a{t} AS (SELECT vec_id, cid, d2 FROM d{t}
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, cid) = 1),
+        c{t} AS (SELECT c.cid, c.dim,
+                        ROUND(COALESCE(u.nx, c.cx), {round_dp}) AS cx
+                 FROM {prev} c LEFT JOIN (
+                     SELECT a.cid, vd.dim, AVG(vd.x) AS nx
+                     FROM a{t} a JOIN vd USING (vec_id) GROUP BY 1, 2
+                 ) u ON u.cid = c.cid AND u.dim = c.dim)
+        """
+        prev = f"c{t}"
+    sql += f"""
+        SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(SUM(d2), 2) AS inertia
+        FROM a{iters} GROUP BY cid
+    """
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": f"""
@@ -2278,6 +2359,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_simhash_oracle_sql()})
         """,
         "docs_pii_redact": _pii_oracle_sql(),
+        "emb_kmeans": _kmeans_oracle_sql(),
         "docs_repetition": _repetition_oracle_sql(),
         "docs_ngram_contamination": _contamination_oracle_sql(),
         "events_approx_distinct_users": _hll_oracle_sql(),
@@ -2298,9 +2380,8 @@ def oracle_sql() -> dict[str, str]:
                   THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
                   ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                        IN ('0','1','2','3','4','5','6','7') END
-        """,
-        "docs_topk_per_lang": """
-            SELECT doc_id, lang, n_chars, rn FROM (
+            UNION ALL
+            SELECT 'topk' AS method, doc_id, lang, n_chars FROM (
                 SELECT doc_id, lang, n_chars,
                        ROW_NUMBER() OVER (PARTITION BY lang
                                           ORDER BY n_chars DESC, doc_id) AS rn
@@ -2308,11 +2389,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3
         """,
         "docs_top_terms": f"""
-            SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-                SELECT UNNEST(string_split(lower(text), ' ')) AS term
-                FROM documents)
-            WHERE term <> '' AND term NOT IN ({_STOP_LIST})
-            GROUP BY term ORDER BY cnt DESC, term LIMIT 20
+            WITH tc AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                    SELECT UNNEST(string_split(lower(text), ' ')) AS term
+                    FROM documents)
+                WHERE term <> '' AND term NOT IN ({_STOP_LIST})
+                GROUP BY term),
+            top AS (SELECT term, c AS cnt FROM tc ORDER BY c DESC, term LIMIT 20),
+            regs AS (
+                SELECT i.i AS row_i,
+                       ('0x' || substr(md5(i.i || ':' || tc.term), 1, 16))::UBIGINT
+                           % 1024 AS slot,
+                       SUM(c) AS v
+                FROM tc CROSS JOIN unnest(range(4)) i(i)
+                GROUP BY 1, 2),
+            est AS (
+                SELECT t.term, MIN(r.v) AS e
+                FROM top t CROSS JOIN unnest(range(4)) i(i)
+                JOIN regs r
+                  ON r.row_i = i.i
+                 AND r.slot = ('0x' || substr(md5(i.i || ':' || t.term), 1, 16))::UBIGINT
+                              % 1024
+                GROUP BY t.term)
+            SELECT top.term, top.cnt, CAST(est.e AS BIGINT) AS cms_estimate
+            FROM top JOIN est USING (term)
+            ORDER BY top.cnt DESC, top.term
         """,
         "emb_cosine_dupes": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -392,3 +392,82 @@ def knn_lsh(ds, query_ids: list[int], k: int = 10, dim: int = 64,
     cand = ds.map_batches(probe, batch_format="pandas")
     return cand.groupby("query_id").map_groups(
         _make_final(k, round_decimals, dedupe=True), batch_format="pandas")
+
+
+def kmeans_fit(ds, k: int = 16, iters: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding", centroid_id_stride: int = 29,
+               round_dp: int = 6):
+    """Deterministic distributed Lloyd k-means over an embedding column —
+    the clustering primitive of embedding-space curation (SemDeDup-style
+    cluster-then-prune, per-cluster sampling quotas).
+
+    Reproducibility contract (what makes a SQL oracle possible): centroids
+    init from the vectors with ``id % stride == 0`` (ordered by id, first
+    ``k`` — no RNG), every distance is ``ROUND(Σ(v-c)², round_dp)`` with
+    smallest-centroid tie-break, and every centroid update rounds each
+    coordinate to ``round_dp`` — so cross-engine float summation-order noise
+    (~1e-15) is quantized away at each step instead of compounding.
+
+    Scale shape: per iteration ONE streaming pass — centroids broadcast via
+    ``ray.put``; each batch emits k partial rows (count, per-dim sums,
+    inertia), the classic k-means combiner; the driver reduces k×(dim+2)
+    numbers, never rows. iters full scans total — inherent to Lloyd.
+
+    Returns ``(centroids, stats)``: the final centroids and a per-cluster
+    DataFrame (cluster, n_vecs, inertia) from the LAST assignment (i.e.
+    against the centroids produced by iteration ``iters-1``)."""
+    import ray
+
+    stride = int(centroid_id_stride)
+    cdf = ds.map_batches(
+        lambda df: df[(df[id_col].to_numpy() % stride == 0)
+                      & (df[id_col].to_numpy() // stride < k)],
+        batch_format="pandas",
+    ).to_pandas().sort_values(id_col).head(k)
+    cent = np.round(_to_matrix(cdf[vec_col]), round_dp)
+    kk, dim = cent.shape
+
+    def make_partials(ref):
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            cols = {"cid": np.arange(kk, dtype=np.int64)}
+            if not len(df):
+                cols.update({"n": np.zeros(kk, dtype=np.int64),
+                             "inertia": np.zeros(kk)})
+                for j in range(dim):
+                    cols[f"s{j}"] = np.zeros(kk)
+                return pd.DataFrame(cols)
+            m = _to_matrix(df[vec_col])
+            d2 = np.round(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2),
+                          round_dp)
+            a = d2.argmin(axis=1)  # first min = smallest centroid id
+            sums = np.zeros((kk, dim))
+            np.add.at(sums, a, m)
+            cols["n"] = np.bincount(a, minlength=kk).astype(np.int64)
+            cols["inertia"] = np.bincount(a, weights=d2[np.arange(len(a)), a],
+                                          minlength=kk)
+            for j in range(dim):
+                cols[f"s{j}"] = sums[:, j]
+            return pd.DataFrame(cols)
+
+        return partials
+
+    last = None
+    for _ in range(iters):
+        ref = ray.put(cent)
+        parts = ds.map_batches(make_partials(ref),
+                               batch_format="pandas").to_pandas()
+        agg = parts.groupby("cid", sort=True).sum()  # k rows on the driver
+        last = agg
+        n = agg["n"].to_numpy()
+        sums = agg[[f"s{j}" for j in range(dim)]].to_numpy()
+        new = cent.copy()
+        nz = n > 0
+        new[nz] = np.round(sums[nz] / n[nz, None], round_dp)
+        cent = new
+    stats = pd.DataFrame({
+        "cluster": last.index.to_numpy(dtype=np.int64),
+        "n_vecs": last["n"].to_numpy(dtype=np.int64),
+        "inertia": np.round(last["inertia"].to_numpy(), 2),
+    })
+    return cent, stats[stats["n_vecs"] > 0].reset_index(drop=True)

@@ -207,3 +207,65 @@ def hll_count_distinct(ds, cols: list[str], p: int = 12) -> float:
     if E <= 2.5 * m and zeros:
         E = m * np.log(m / zeros)  # linear counting for the small range
     return float(E)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (heavy hitters)
+# ---------------------------------------------------------------------------
+def cms_sketch(ds, term_col: str = "term", d: int = 4, w: int = 1024,
+               num_partitions: int = 16):
+    """Count-Min sketch over a term stream — the mergeable heavy-hitter
+    sketch for frequency estimation where exact per-term counts are too
+    expensive to co-locate. All-integer, so merging is EXACTLY associative
+    and a SQL oracle reproduces every register bit-for-bit.
+
+    Shape: each batch groupbys its local term counts and scatter-adds them
+    into ``d`` register rows (one bincount per row — C-level), emitting only
+    the NON-ZERO (row, slot, cnt) partials; a combiner-first ``hash_agg``
+    sums them into the global sparse register table (≤ d·w rows ever move).
+    Row hash = ``md5_u64(f"{row}:{term}") % w`` — in SQL:
+    ``('0x' || substr(md5(row || ':' || term), 1, 16))::UBIGINT % w``.
+
+    Returns the sparse register Dataset with columns (row, slot, cnt)."""
+    from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"row": pd.Series(dtype="int64"),
+                              "slot": pd.Series(dtype="int64"),
+                              "cnt": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        tc = df.groupby(term_col, sort=False).size()
+        terms = tc.index.to_numpy(dtype=object)
+        cnts = tc.to_numpy(dtype=np.int64)
+        rows, slots, vals = [], [], []
+        for i in range(d):
+            keyed = np.asarray([f"{i}:{t}" for t in terms], dtype=object)
+            s = (md5_u64_array(keyed) % np.uint64(w)).astype(np.int64)
+            reg = np.bincount(s, weights=cnts, minlength=w).astype(np.int64)
+            nz = np.flatnonzero(reg)
+            rows.append(np.full(len(nz), i, dtype=np.int64))
+            slots.append(nz.astype(np.int64))
+            vals.append(reg[nz])
+        if not rows:
+            return empty
+        return pd.DataFrame({"row": np.concatenate(rows),
+                             "slot": np.concatenate(slots),
+                             "cnt": np.concatenate(vals)})
+
+    return hash_agg(ds.map_batches(partials, batch_format="pandas"),
+                    ["row", "slot"], {"cnt": ("cnt", "sum")}, num_partitions)
+
+
+def cms_estimate(regs: pd.DataFrame, terms, d: int = 4, w: int = 1024) -> np.ndarray:
+    """Point-estimate term frequencies from a (row, slot, cnt) register
+    frame: min over the d registers each term hashes to (0 when the slot is
+    empty). Driver-side over the QUERIED terms only (top-k sized)."""
+    from maritime_activity_reports_cdc_ray.hashing import md5_u64
+
+    lut = {(int(r), int(s)): int(c)
+           for r, s, c in zip(regs["row"], regs["slot"], regs["cnt"])}
+    out = np.empty(len(terms), dtype=np.int64)
+    for j, t in enumerate(terms):
+        out[j] = min(lut.get((i, md5_u64(f"{i}:{t}") % w), 0) for i in range(d))
+    return out

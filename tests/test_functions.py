@@ -693,3 +693,42 @@ def test_new_curation_ops_compose_streaming(ray_session, tmp_path):
     for _, rx, _ in PII_PATTERNS:
         assert back["text_redacted"].str.count(re.compile(rx)).sum() == 0
     assert back["text_redacted"].str.contains("<EMAIL>").any()
+
+
+def test_cms_sketch_estimates_bound_exact(ray_session):
+    rng = np.random.default_rng(3)
+    terms = np.repeat([f"t{i}" for i in range(50)], np.arange(1, 51))
+    df = pd.DataFrame({"term": rng.permutation(terms)})
+    from maritime_activity_reports_cdc_ray.functions.stats import cms_estimate, cms_sketch
+
+    regs = cms_sketch(_ds(df), "term", d=4, w=1024).to_pandas()
+    exact = df.groupby("term").size()
+    est = cms_estimate(regs, exact.index.tolist(), d=4, w=1024)
+    # CMS never under-estimates; with 50 terms in 1024 slots it is near-exact
+    assert (est >= exact.to_numpy()).all()
+    assert (est == exact.to_numpy()).mean() > 0.9
+    # total register mass per row == stream length (mergeable integer sums)
+    per_row = regs.groupby("row")["cnt"].sum()
+    assert (per_row == len(df)).all()
+
+
+def test_kmeans_fit_recovers_planted_clusters(ray_session):
+    rng = np.random.default_rng(5)
+    n, dim = 232, 8
+    base = np.where(np.arange(n)[:, None] % 2 == 0, 5.0, -5.0)
+    vecs = base + rng.normal(0, 0.1, (n, dim))
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": [v.astype(np.float32) for v in vecs]})
+    from maritime_activity_reports_cdc_ray.functions.similarity import kmeans_fit
+
+    # stride picks ids 0 (even cluster) and 29 (odd cluster) as seeds
+    cent, stats = kmeans_fit(_ds(df), k=2, iters=2, centroid_id_stride=29)
+    assert sorted(stats["n_vecs"].tolist()) == [116, 116]
+    # deterministic under re-blocking: 4-block input gives identical stats
+    import ray.data as rd
+
+    ds4 = rd.from_pandas(df).repartition(4)
+    cent2, stats2 = kmeans_fit(ds4, k=2, iters=2, centroid_id_stride=29)
+    pd.testing.assert_frame_equal(stats.reset_index(drop=True),
+                                  stats2.reset_index(drop=True))
+    assert np.array_equal(cent, cent2)
