@@ -1008,13 +1008,16 @@ def docs_ngram_contamination(sf_dir: str):
     """Train/eval decontamination scan: holdout docs (doc_id % 97 == 0) form
     the eval set; every train doc reports how many of its distinct word
     5-grams hit the holdout set (broadcast semi-join side) and how many are
-    shared with >= 2 docs corpus-wide (gram-frequency shuffle side)."""
+    shared with >= 2 docs corpus-wide (gram-frequency shuffle side). Also
+    carries the SCALE path for the membership side: ``n_bloom_shared`` = the
+    same holdout question answered by a Bloom filter (m=4096 bits, k=4 —
+    small enough that false positives occur and are themselves attested)."""
     from maritime_activity_reports_cdc_ray.functions.dedup import ngram_contamination
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    out = ngram_contamination(ds, holdout_mod=97, n=5).to_pandas()
+    out = ngram_contamination(ds, holdout_mod=97, n=5, bloom_m=4096).to_pandas()
     out = out.astype({"n_grams": "int64", "n_holdout_shared": "int64",
-                      "n_dup_grams": "int64"})
+                      "n_dup_grams": "int64", "n_bloom_shared": "int64"})
     out["contaminated"] = (out["n_holdout_shared"] > 0).astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1818,12 +1821,18 @@ def _repetition_oracle_sql(top_word_max: float = 0.125,
     """
 
 
-def _contamination_oracle_sql(holdout_mod: int = 97, n: int = 5) -> str:
+def _contamination_oracle_sql(holdout_mod: int = 97, n: int = 5,
+                              bloom_m: int = 4096, bloom_k: int = 4) -> str:
     """DuckDB replay of the word-n-gram decontamination scan: identical
     tokenization and gram rules (whole-doc gram when < n tokens, none when
-    empty), md5_u64 gram hashes, the holdout gram-set membership count, and
-    the corpus gram-document-frequency >= 2 count."""
+    empty), md5_u64 gram hashes, the holdout gram-set membership count, the
+    corpus gram-document-frequency >= 2 count, and the Bloom-filter
+    membership column — every set bit recomputed (position_i = (h + i·(h>>17)
+    + i²) mod m in HUGEINT; m | 2^64 so numpy's uint64 wraparound and the
+    exact arithmetic agree mod m)."""
     joins = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    pos = (f"((CAST({{h}} AS HUGEINT) + i.i * CAST(({{h}} >> 17) AS HUGEINT)"
+           f" + i.i * i.i) % {bloom_m})")
     return f"""
         WITH l AS (
             SELECT doc_id,
@@ -1842,16 +1851,29 @@ def _contamination_oracle_sql(holdout_mod: int = 97, n: int = 5) -> str:
                      ('0x' || substr(md5(u.gr), 1, 16))::UBIGINT AS h
               FROM g0, unnest(grams) AS u(gr)),
         hold AS (SELECT DISTINCT h FROM g WHERE doc_id % {holdout_mod} = 0),
-        freq AS (SELECT h, COUNT(*) AS nd FROM g GROUP BY h)
+        freq AS (SELECT h, COUNT(*) AS nd FROM g GROUP BY h),
+        bloom AS (
+            SELECT DISTINCT {pos.format(h="hold.h")} AS bit
+            FROM hold CROSS JOIN unnest(range({bloom_k})) i(i)),
+        bmem AS (
+            SELECT g.doc_id, g.h,
+                   CASE WHEN SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+                        = {bloom_k} THEN 1 ELSE 0 END AS inb
+            FROM g CROSS JOIN unnest(range({bloom_k})) i(i)
+            LEFT JOIN bloom b ON b.bit = {pos.format(h="g.h")}
+            WHERE g.doc_id % {holdout_mod} <> 0
+            GROUP BY g.doc_id, g.h)
         SELECT g.doc_id,
                COUNT(*) AS n_grams,
                CAST(SUM(CASE WHEN hold.h IS NOT NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_holdout_shared,
                CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_dup_grams,
+               CAST(SUM(bm.inb) AS BIGINT) AS n_bloom_shared,
                CAST(CASE WHEN SUM(CASE WHEN hold.h IS NOT NULL THEN 1 ELSE 0 END) > 0
                          THEN 1 ELSE 0 END AS BIGINT) AS contaminated
         FROM g JOIN freq f USING (h) LEFT JOIN hold ON g.h = hold.h
+                JOIN bmem bm ON bm.doc_id = g.doc_id AND bm.h = g.h
         WHERE g.doc_id % {holdout_mod} <> 0
         GROUP BY g.doc_id
     """

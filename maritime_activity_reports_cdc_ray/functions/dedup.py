@@ -994,7 +994,8 @@ class WordNgramExploder:
 
 def ngram_contamination(ds, holdout_mod: int = 97, n: int = 5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        num_partitions: int = 16):
+                        num_partitions: int = 16,
+                        bloom_m: int | None = None, bloom_k: int = 4):
     """Train/eval decontamination + cross-doc duplication scan: for every
     NON-holdout document (holdout = ``id % holdout_mod == 0``, the eval set),
     count how many of its distinct word ``n``-grams (a) appear in any holdout
@@ -1007,12 +1008,37 @@ def ngram_contamination(ds, holdout_mod: int = 97, n: int = 5,
     corpus) and flows through ``auto_join``'s row/byte gates (broadcast when
     small, partitioned hash join past the gates); the gram-frequency side is
     a combiner-first ``hash_count`` and joins back the same gated way. The
-    shuffle moves (hash, count) rows, never text."""
+    shuffle moves (hash, count) rows, never text.
+
+    When ``bloom_m`` is set, an ``n_bloom_shared`` column is added: the same
+    holdout membership answered by a Bloom filter instead of the exact set —
+    the SCALE path when even the holdout gram set outgrows the join gates.
+    The filter's set-bit indices are built distributively (per-batch partial
+    bits → distinct) and the collected state is bounded by ``bloom_m`` BITS
+    regardless of corpus size; false positives are possible (never
+    negatives), deterministic, and SQL-attested bit-for-bit."""
+    import ray
+
     from maritime_activity_reports_cdc_ray.functions.join import auto_join
     from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
 
     grams = ds.map_batches(WordNgramExploder(n, id_col, text_col),
                            batch_format="pandas").materialize()
+
+    bits_ref = None
+    if bloom_m is not None:
+        def hold_bits(df: pd.DataFrame) -> pd.DataFrame:
+            sel = df[df[id_col] % holdout_mod == 0]
+            if not len(sel):
+                return pd.DataFrame({"bit": pd.Series(dtype="int64")})
+            pos = bloom_positions(sel["h"].to_numpy().astype(np.uint64),
+                                  bloom_m, bloom_k)
+            return pd.DataFrame({"bit": np.unique(pos.ravel())})
+
+        bits = (hash_distinct(grams.map_batches(hold_bits, batch_format="pandas"),
+                              ["bit"], num_partitions)
+                .to_pandas()["bit"].to_numpy(dtype=np.int64))
+        bits_ref = ray.put(np.sort(bits))
 
     hold = hash_distinct(
         grams.map_batches(lambda df: df[df[id_col] % holdout_mod == 0][["h"]],
@@ -1030,15 +1056,67 @@ def ngram_contamination(ds, holdout_mod: int = 97, n: int = 5,
                   num_partitions=num_partitions)
 
     def flags(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+        out = {
             id_col: df[id_col],
             "is_hold": df["in_hold"].fillna(0).astype("int64"),
             "is_dup": (df["n_docs"] >= 2).astype("int64"),
-        })
+        }
+        if bits_ref is not None:
+            out["is_bloom"] = bloom_contains(
+                ray.get(bits_ref), df["h"].to_numpy().astype(np.uint64),
+                bloom_m, bloom_k).astype("int64")
+        return pd.DataFrame(out)
 
-    per_doc = hash_agg(j.map_batches(flags, batch_format="pandas"), id_col, {
+    aggs = {
         "n_grams": (id_col, "count"),
         "n_holdout_shared": ("is_hold", "sum"),
         "n_dup_grams": ("is_dup", "sum"),
-    }, num_partitions)
+    }
+    if bits_ref is not None:
+        aggs["n_bloom_shared"] = ("is_bloom", "sum")
+    per_doc = hash_agg(j.map_batches(flags, batch_format="pandas"), id_col,
+                       aggs, num_partitions)
     return per_doc
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (approximate membership)
+# ---------------------------------------------------------------------------
+BLOOM_M_DEFAULT = 1 << 16  # bits
+BLOOM_K_DEFAULT = 4        # hash functions
+
+
+def bloom_positions(hashes: np.ndarray, m: int = BLOOM_M_DEFAULT,
+                    k: int = BLOOM_K_DEFAULT) -> np.ndarray:
+    """The k bit positions of each uint64 item hash: position_i =
+    (h + i·(h >> 17) + i²) mod m — pure integer arithmetic on the already-
+    md5_u64'd item, so a SQL oracle recomputes every bit. Returns an
+    (n, k) int64 array."""
+    h = hashes.astype(np.uint64)
+    i = np.arange(k, dtype=np.uint64)
+    pos = (h[:, None] + i[None, :] * (h[:, None] >> np.uint64(17))
+           + i[None, :] * i[None, :]) % np.uint64(m)
+    return pos.astype(np.int64)
+
+
+def bloom_build(hashes: np.ndarray, m: int = BLOOM_M_DEFAULT,
+                k: int = BLOOM_K_DEFAULT) -> np.ndarray:
+    """Sorted unique SET-BIT indices of the Bloom filter over ``hashes`` —
+    the mergeable form (union = merge of sorted arrays) and the broadcast
+    form (searchsorted membership, no bit twiddling per probe)."""
+    if not len(hashes):
+        return np.empty(0, dtype=np.int64)
+    return np.unique(bloom_positions(np.asarray(hashes), m, k).ravel())
+
+
+def bloom_contains(bits: np.ndarray, hashes: np.ndarray,
+                   m: int = BLOOM_M_DEFAULT, k: int = BLOOM_K_DEFAULT) -> np.ndarray:
+    """Vectorized membership probe: True iff ALL k positions of each item
+    are set (false positives possible, false negatives never)."""
+    if not len(hashes):
+        return np.zeros(0, dtype=bool)
+    if not len(bits):
+        return np.zeros(len(hashes), dtype=bool)
+    pos = bloom_positions(np.asarray(hashes), m, k)
+    idx = np.minimum(np.searchsorted(bits, pos), len(bits) - 1)
+    return (bits[idx] == pos).all(axis=1)

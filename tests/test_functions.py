@@ -732,3 +732,23 @@ def test_kmeans_fit_recovers_planted_clusters(ray_session):
     pd.testing.assert_frame_equal(stats.reset_index(drop=True),
                                   stats2.reset_index(drop=True))
     assert np.array_equal(cent, cent2)
+
+
+def test_bloom_filter_no_false_negatives(ray_session):
+    rng = np.random.default_rng(11)
+    h = rng.integers(0, 2**63, 2000, dtype=np.int64).astype(np.uint64)
+    members, probes = h[:1000], h[1000:]
+    bits = D.bloom_build(members, m=4096, k=4)
+    assert D.bloom_contains(bits, members, m=4096, k=4).all()  # never misses
+    fp = D.bloom_contains(bits, probes, m=4096, k=4).mean()
+    assert fp < 0.5  # deterministic, bounded (4096 bits, 1000 items, k=4)
+    assert not D.bloom_contains(np.empty(0, dtype=np.int64), probes).any()
+    # contamination query face: bloom counts bound the exact counts
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["p q r s t", "p q r s t u", "m n o aa bb cc"],
+    })
+    out = D.ngram_contamination(_ds(df), holdout_mod=97, n=5,
+                                bloom_m=4096).to_pandas().set_index("doc_id")
+    assert (out["n_bloom_shared"] >= out["n_holdout_shared"]).all()
+    assert out.loc[1, "n_bloom_shared"] >= 1  # the truly shared gram is found
