@@ -204,8 +204,13 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10, n_lists: int = 16,
 
     if centroid_id_stride is not None:
         stride = int(centroid_id_stride)
+        # bound the candidate set BEFORE collecting: ids in [0, stride·n_lists)
+        # caps the driver collect at n_lists rows even when the corpus has
+        # billions of ids (an unbounded `% stride` filter is 1/stride of the
+        # table); the SQL oracle applies the identical predicate
         cdf = ds.map_batches(
-            lambda df: df[df[id_col].to_numpy() % stride == 0],
+            lambda df: df[(df[id_col].to_numpy() % stride == 0)
+                          & (df[id_col].to_numpy() // stride < n_lists)],
             batch_format="pandas",
         ).to_pandas().sort_values(id_col).head(n_lists)
         cent = _to_matrix(cdf[vec_col])

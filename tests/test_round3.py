@@ -204,3 +204,21 @@ def test_simhash_bands_exact_recall():
             == (other >> np.uint64(b * w)) & np.uint64((1 << w) - 1)
             for b in range(9))
         assert shared
+
+
+def test_driver_contract_registry_alignment():
+    """Every registered query has an oracle (zero rows-only) and the registry
+    holds exactly 50 entries — the driver snapshot window measured in round 2."""
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_contract_check",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__ray_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    q, o = mod.queries(), mod.oracle_sql()
+    assert len(q) == 50
+    assert set(q) == set(o)
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
