@@ -509,12 +509,28 @@ def events_user_360(sf_dir: str):
 def events_value_percentiles(sf_dir: str):
     """Per-type EXACT discrete percentiles (A5 exact-median analogue) via
     groupby + map_groups — element selection, so float-bit-identical to
-    PERCENTILE_DISC."""
-    from maritime_activity_reports_cdc_ray.functions.stats import grouped_percentiles
+    PERCENTILE_DISC — PLUS the mergeable-sketch path: approx_p50/approx_p90
+    from an equi-width histogram sketch (width 2.0 — a dyadic float, so the
+    binning division is exact and the SQL oracle replays every bin count and
+    the lower-edge quantile rule bit-for-bit). Both paths run concurrently."""
+    from maritime_activity_reports_cdc_ray.functions.stats import (
+        grouped_percentiles,
+        histogram_quantile_sketch,
+    )
 
-    ds = _t(sf_dir, "events", ["event_type", "value"])
-    out = grouped_percentiles(ds, "event_type", "value", [0.5, 0.9]).to_pandas()
-    return out[["event_type", "n", "p50", "p90"]]
+    def exact():
+        ds = _t(sf_dir, "events", ["event_type", "value"])
+        return grouped_percentiles(ds, "event_type", "value", [0.5, 0.9]).to_pandas()
+
+    def sketch():
+        ds = _t(sf_dir, "events", ["event_type", "value"])
+        return histogram_quantile_sketch(ds, "event_type", "value",
+                                         lo=0.0, hi=512.0, n_bins=256,
+                                         qs=(0.5, 0.9))
+
+    out, ap = _par2(exact, sketch)
+    out = out.merge(ap, on="event_type", how="left")
+    return out[["event_type", "n", "p50", "p90", "approx_p50", "approx_p90"]]
 
 
 _CDC_STREAM_V = "v5"  # bump when the adapted stream or engine config changes
@@ -2079,10 +2095,34 @@ def oracle_sql() -> dict[str, str]:
                          LEFT JOIN recent ON s.user_id = recent.user_id
         """,
         "events_value_percentiles": """
-            SELECT event_type, COUNT(*) AS n,
-                   PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS p50,
-                   PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value) AS p90
-            FROM events GROUP BY event_type
+            WITH ex AS (
+                SELECT event_type, COUNT(*) AS n,
+                       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+                       PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value) AS p90
+                FROM events GROUP BY event_type),
+            hist AS (
+                SELECT event_type,
+                       CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 2.0), 0), 255)
+                            AS BIGINT) AS bin,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1, 2),
+            tot AS (SELECT event_type, SUM(c) AS n FROM hist GROUP BY 1),
+            cum AS (
+                SELECT h.event_type, h.bin,
+                       SUM(h.c) OVER (PARTITION BY h.event_type ORDER BY h.bin)
+                           AS cc,
+                       t.n
+                FROM hist h JOIN tot t USING (event_type)),
+            ap AS (
+                SELECT event_type,
+                       0.0 + 2.0 * MIN(CASE WHEN cc >= CEIL(0.5 * n) THEN bin END)
+                           AS approx_p50,
+                       0.0 + 2.0 * MIN(CASE WHEN cc >= CEIL(0.9 * n) THEN bin END)
+                           AS approx_p90
+                FROM cum GROUP BY 1)
+            SELECT ex.event_type, ex.n, ex.p50, ex.p90,
+                   ap.approx_p50, ap.approx_p90
+            FROM ex JOIN ap USING (event_type)
         """,
         "events_daily_quality": """
             SELECT STRFTIME(ts, '%Y-%m-%d') AS day,

@@ -269,3 +269,49 @@ def cms_estimate(regs: pd.DataFrame, terms, d: int = 4, w: int = 1024) -> np.nda
     for j, t in enumerate(terms):
         out[j] = min(lut.get((i, md5_u64(f"{i}:{t}") % w), 0) for i in range(d))
     return out
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram sketch (mergeable approximate quantiles)
+# ---------------------------------------------------------------------------
+def histogram_quantile_sketch(ds, group_col: str, value_col: str,
+                              lo: float = 0.0, hi: float = 512.0,
+                              n_bins: int = 256, qs=(0.5, 0.9),
+                              num_partitions: int = 16) -> pd.DataFrame:
+    """Per-group approximate quantiles from a mergeable equi-width histogram
+    — the streaming-sketch path next to ``grouped_percentiles``' exact
+    element selection (which must co-locate every group's values; the sketch
+    moves only ≤ groups×n_bins integer rows, error ≤ one bin width).
+
+    Deterministic + SQL-reproducible by construction: bin = clip(floor(
+    (v - lo)/width), 0, n_bins-1) (pick lo/hi so width is a dyadic float and
+    the division is exact); estimate(q) = lo + width · (first bin whose
+    cumulative count ≥ ceil(q·n)) — lower-edge rule, all-integer cumsum.
+
+    Shape: per-batch integer bin counts per group (combiner) → combiner-first
+    ``hash_agg`` sum → the finished histogram (bounded by groups×n_bins) is
+    collected and the quantile walk is driver-side arithmetic on counts."""
+    width = (hi - lo) / n_bins
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        b = np.clip(np.floor((v - lo) / width), 0, n_bins - 1).astype(np.int64)
+        return (pd.DataFrame({group_col: df[group_col].to_numpy(), "bin": b})
+                .groupby([group_col, "bin"], sort=False).size()
+                .reset_index(name="cnt"))
+
+    regs = hash_agg(ds.map_batches(partials, batch_format="pandas"),
+                    [group_col, "bin"], {"cnt": ("cnt", "sum")},
+                    num_partitions).to_pandas()
+    rows = []
+    for grp, g in regs.groupby(group_col, sort=True):
+        g = g.sort_values("bin")
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        bins = g["bin"].to_numpy()
+        row = {group_col: grp}
+        for q in qs:
+            k = np.ceil(q * n)
+            row[f"approx_p{int(q * 100)}"] = lo + width * float(bins[int(np.searchsorted(cum, k))])
+        rows.append(row)
+    return pd.DataFrame(rows)

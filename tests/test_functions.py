@@ -752,3 +752,28 @@ def test_bloom_filter_no_false_negatives(ray_session):
                                 bloom_m=4096).to_pandas().set_index("doc_id")
     assert (out["n_bloom_shared"] >= out["n_holdout_shared"]).all()
     assert out.loc[1, "n_bloom_shared"] >= 1  # the truly shared gram is found
+
+
+def test_histogram_quantile_sketch_bounds_and_merge(ray_session):
+    from maritime_activity_reports_cdc_ray.functions.stats import (
+        histogram_quantile_sketch,
+    )
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"g": np.repeat(["a", "b"], 4000),
+                       "v": np.concatenate([rng.uniform(0, 100, 4000),
+                                            rng.uniform(200, 500, 4000)])})
+    out = histogram_quantile_sketch(_ds(df), "g", "v", lo=0.0, hi=512.0,
+                                    n_bins=256, qs=(0.5, 0.9)).set_index("g")
+    for g, sub in df.groupby("g"):
+        for q in (0.5, 0.9):
+            exact = np.quantile(sub["v"], q)
+            approx = out.loc[g, f"approx_p{int(q*100)}"]
+            assert abs(approx - exact) <= 2.0 + 1e-9  # within one bin width
+    # mergeable: any re-blocking yields the identical histogram estimates
+    import ray.data as rd
+
+    out8 = histogram_quantile_sketch(rd.from_pandas(df).repartition(8),
+                                     "g", "v", lo=0.0, hi=512.0,
+                                     n_bins=256, qs=(0.5, 0.9)).set_index("g")
+    pd.testing.assert_frame_equal(out.sort_index(), out8.sort_index())
