@@ -60,8 +60,13 @@ def _t(sf_dir: str, name: str, columns=None):
     # serialized: concurrent read_parquet calls (the _par2 merged queries)
     # race on ray's fsspec-http probe import — CPython's import-deadlock
     # avoidance can hand a second thread the partially-initialized module,
-    # turning a benign ModuleNotFoundError into a hard ImportError. Dataset
-    # CREATION is cheap; execution still overlaps fully.
+    # turning a benign ModuleNotFoundError into a hard ImportError. A warm-up
+    # import CANNOT fix this: the probe import always fails (no aiohttp in
+    # the container) and failed imports are never cached, so every
+    # read_parquet retries it — only serializing removes the concurrent
+    # partial-module window. Dataset CREATION is cheap (~ms); execution
+    # still overlaps fully. All _par2 query halves create datasets through
+    # _t, so this lock covers every concurrent creation in this module.
     with _READ_LOCK:
         return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
 
@@ -945,19 +950,6 @@ def docs_ngram_jaccard_dupes(sf_dir: str):
     return out[["id_a", "id_b", "jaccard"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def docs_rolling_fingerprint(sf_dir: str):
-    """Winnowing rolling-hash fingerprints, exploded to (doc_id, fp). EXACT
-    SQL oracle: codepoint polynomial k-gram hashes (mod 2^64) + window-of-w
-    minima + DISTINCT, recomputed in DuckDB with unicode()/window MIN."""
-    from maritime_activity_reports_cdc_ray.functions.text import RollingFingerprint
-
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    rf = RollingFingerprint(k=8, w=16)
-    out = ds.map_batches(lambda df: rf.fingerprints(df), batch_format="pandas")
-    return (out.to_pandas().sort_values(["doc_id", "fp"])
-            .reset_index(drop=True))
-
-
 def docs_lsh_pairs(sf_dir: str):
     """Both LSH near-dup family outputs in one attested result: method=
     'minhash' = MinHash+LSH candidates with exact-Jaccard verify (score =
@@ -1181,25 +1173,20 @@ def docs_top_terms(sf_dir: str):
         cms_estimate,
         cms_sketch,
     )
-    from maritime_activity_reports_cdc_ray.functions.text import top_terms
+    from maritime_activity_reports_cdc_ray.functions.text import (
+        make_term_exploder,
+        top_terms,
+    )
 
-    sw = frozenset(_STOPWORDS)
+    # ONE tokenization pass feeds both consumers (blocks pinned in the
+    # object store, never the driver)
+    terms = _t(sf_dir, "documents", ["text"]).map_batches(
+        make_term_exploder("text", _STOPWORDS),
+        batch_format="pandas").materialize()
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["text"].fillna("").str.lower().str.split(" ").explode()
-        s = s[(s != "") & ~s.isin(sw)]
-        return pd.DataFrame({"term": s.astype(str)})
-
-    def exact():
-        return top_terms(_t(sf_dir, "documents", ["text"]), "text",
-                         stopwords=_STOPWORDS, limit=20)
-
-    def sketch():
-        terms = _t(sf_dir, "documents", ["text"]).map_batches(
-            explode, batch_format="pandas")
-        return cms_sketch(terms, "term", d=4, w=1024).to_pandas()
-
-    top, regs = _par2(exact, sketch)
+    top, regs = _par2(
+        lambda: top_terms(terms, limit=20, pre_exploded=True),
+        lambda: cms_sketch(terms, "term", d=4, w=1024).to_pandas())
     top = top.copy()
     top["cms_estimate"] = cms_estimate(regs, top["term"].tolist(), d=4, w=1024)
     return top

@@ -997,10 +997,14 @@ def ngram_contamination(ds, holdout_mod: int = 97, n: int = 5,
                         num_partitions: int = 16,
                         bloom_m: int | None = None, bloom_k: int = 4):
     """Train/eval decontamination + cross-doc duplication scan: for every
-    NON-holdout document (holdout = ``id % holdout_mod == 0``, the eval set),
-    count how many of its distinct word ``n``-grams (a) appear in any holdout
-    document — the contamination signal — and (b) appear in >= 2 documents
-    corpus-wide — the cross-doc duplication signal.
+    NON-holdout document WITH AT LEAST ONE GRAM (holdout = ``id %
+    holdout_mod == 0``, the eval set; empty/whitespace-only docs produce no
+    grams and are absent from the report — trivially uncontaminated, but
+    callers composing "keep uncontaminated" filters via semi-join must union
+    them back explicitly if they should survive), count how many of its
+    distinct word ``n``-grams (a) appear in any holdout document — the
+    contamination signal — and (b) appear in >= 2 documents corpus-wide —
+    the cross-doc duplication signal.
 
     Scale shape: grams explode to (doc_id, h) rows and are materialized ONCE
     (object-store blocks, reused by three consumers — never driver-side);

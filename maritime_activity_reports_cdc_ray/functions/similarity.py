@@ -203,17 +203,11 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10, n_lists: int = 16,
     import ray
 
     if centroid_id_stride is not None:
-        stride = int(centroid_id_stride)
-        # bound the candidate set BEFORE collecting: ids in [0, stride·n_lists)
-        # caps the driver collect at n_lists rows even when the corpus has
-        # billions of ids (an unbounded `% stride` filter is 1/stride of the
-        # table); the SQL oracle applies the identical predicate
-        cdf = ds.map_batches(
-            lambda df: df[(df[id_col].to_numpy() % stride == 0)
-                          & (df[id_col].to_numpy() // stride < n_lists)],
-            batch_format="pandas",
-        ).to_pandas().sort_values(id_col).head(n_lists)
-        cent = _to_matrix(cdf[vec_col])
+        # bounded seed selection shared with kmeans_fit (and both SQL
+        # oracles): the id-window caps the driver collect at n_lists rows
+        # even when the corpus has billions of ids
+        cent = _stride_centroids(ds, id_col, vec_col,
+                                 int(centroid_id_stride), n_lists)
     else:
         sample = ds.limit(sample_rows).to_pandas()
         cent = _kmeans(_to_matrix(sample[vec_col]), n_lists, seed=seed)
@@ -399,6 +393,38 @@ def knn_lsh(ds, query_ids: list[int], k: int = 10, dim: int = 64,
         _make_final(k, round_decimals, dedupe=True), batch_format="pandas")
 
 
+def _round_half_away(x, dp: int):
+    """Round half-AWAY-from-zero — DuckDB's ROUND(DOUBLE, dp). np.round is
+    banker's (half-to-even): np.round(0.1234565, 6) = 0.123456 while SQL
+    gives 0.123457, and one flipped value in an oracle-contracted quantity
+    cascades (a flipped distance changes a k-means assignment). Every
+    SQL-attested float in this module must go through this, never np.round."""
+    m = 10.0 ** dp
+    y = np.asarray(x, dtype=np.float64) * m
+    return np.copysign(np.floor(np.abs(y) + 0.5), y) / m
+
+
+def _stride_centroids(ds, id_col: str, vec_col: str, stride: int, k: int) -> np.ndarray:
+    """The deterministic id-stride seed selection shared by ``knn_ivf`` and
+    ``kmeans_fit`` (and contracted by both SQL oracles): vectors with
+    ``id % stride == 0 AND id // stride < k``, ordered by id, first ``k``.
+    The id-window bound caps the driver collect at ``k`` rows at any corpus
+    size — which PRESUPPOSES ids dense from 0 (the repo's id spaces are);
+    an offset/sparse id space yields too few seeds and raises here rather
+    than failing obscurely downstream."""
+    cdf = ds.map_batches(
+        lambda df: df[(df[id_col].to_numpy() % stride == 0)
+                      & (df[id_col].to_numpy() // stride < k)],
+        batch_format="pandas",
+    ).to_pandas().sort_values(id_col).head(k)
+    if not len(cdf):
+        raise ValueError(
+            f"id-stride seed selection found no rows with {id_col} % {stride} == 0 "
+            f"in [0, {stride * k}) — the deterministic quantizer requires ids "
+            f"dense from 0; pass a different stride or use the sampled quantizer")
+    return _to_matrix(cdf[vec_col])
+
+
 def kmeans_fit(ds, k: int = 16, iters: int = 2, id_col: str = "vec_id",
                vec_col: str = "embedding", centroid_id_stride: int = 29,
                round_dp: int = 6):
@@ -424,12 +450,8 @@ def kmeans_fit(ds, k: int = 16, iters: int = 2, id_col: str = "vec_id",
     import ray
 
     stride = int(centroid_id_stride)
-    cdf = ds.map_batches(
-        lambda df: df[(df[id_col].to_numpy() % stride == 0)
-                      & (df[id_col].to_numpy() // stride < k)],
-        batch_format="pandas",
-    ).to_pandas().sort_values(id_col).head(k)
-    cent = np.round(_to_matrix(cdf[vec_col]), round_dp)
+    cent = _round_half_away(
+        _stride_centroids(ds, id_col, vec_col, stride, k), round_dp)
     kk, dim = cent.shape
 
     def make_partials(ref):
@@ -443,8 +465,8 @@ def kmeans_fit(ds, k: int = 16, iters: int = 2, id_col: str = "vec_id",
                     cols[f"s{j}"] = np.zeros(kk)
                 return pd.DataFrame(cols)
             m = _to_matrix(df[vec_col])
-            d2 = np.round(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2),
-                          round_dp)
+            d2 = _round_half_away(
+                ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), round_dp)
             a = d2.argmin(axis=1)  # first min = smallest centroid id
             sums = np.zeros((kk, dim))
             np.add.at(sums, a, m)
@@ -468,11 +490,11 @@ def kmeans_fit(ds, k: int = 16, iters: int = 2, id_col: str = "vec_id",
         sums = agg[[f"s{j}" for j in range(dim)]].to_numpy()
         new = cent.copy()
         nz = n > 0
-        new[nz] = np.round(sums[nz] / n[nz, None], round_dp)
+        new[nz] = _round_half_away(sums[nz] / n[nz, None], round_dp)
         cent = new
     stats = pd.DataFrame({
         "cluster": last.index.to_numpy(dtype=np.int64),
         "n_vecs": last["n"].to_numpy(dtype=np.int64),
-        "inertia": np.round(last["inertia"].to_numpy(), 2),
+        "inertia": _round_half_away(last["inertia"].to_numpy(), 2),
     })
     return cent, stats[stats["n_vecs"] > 0].reset_index(drop=True)

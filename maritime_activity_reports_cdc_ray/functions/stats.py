@@ -295,8 +295,12 @@ def histogram_quantile_sketch(ds, group_col: str, value_col: str,
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         v = df[value_col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)  # NULL/NaN values are skipped, matching the exact
+        v = v[ok]          # twin (PERCENTILE_DISC ignores NULLs); without
+        g = df[group_col].to_numpy()[ok]  # this, floor(NaN).astype(int64)
+        # poisons the histogram with an INT64_MIN garbage bin
         b = np.clip(np.floor((v - lo) / width), 0, n_bins - 1).astype(np.int64)
-        return (pd.DataFrame({group_col: df[group_col].to_numpy(), "bin": b})
+        return (pd.DataFrame({group_col: g, "bin": b})
                 .groupby([group_col, "bin"], sort=False).size()
                 .reset_index(name="cnt"))
 

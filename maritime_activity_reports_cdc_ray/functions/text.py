@@ -289,19 +289,12 @@ def repetition_metrics(df: pd.DataFrame, id_col: str = "doc_id",
     })
 
 
-def top_terms(ds, text_col: str = "text", stopwords=(), limit: int = 20,
-              num_partitions: int = 16):
-    """Corpus vocabulary head: global term counts → top ``limit`` by
-    (count DESC, term ASC). Tokenization = ``lower().split(' ')`` — chosen to
-    be bit-reproducible in SQL (``string_split(lower(text), ' ')``).
-
-    Shape: per-batch explode + partial counts → hash partition on term → one
-    vectorized reduce per partition (each term's TOTAL lands in one
-    partition) → per-batch top-``limit`` (a correct combiner over disjoint
-    full counts) → tiny driver-side final top-``limit``. The shuffle moves
-    (term, partial_count) rows, never text."""
-    from maritime_activity_reports_cdc_ray.functions.dedup import hash_count
-
+def make_term_exploder(text_col: str = "text", stopwords=()):
+    """The ONE tokenization rule shared by the vocabulary head and the CMS
+    sketch (and contracted by their SQL oracles): ``lower().split(' ')``,
+    empty tokens and stopwords dropped — bit-reproducible in SQL
+    (``string_split(lower(text), ' ')``). Returns a map_batches fn emitting
+    a single ``term`` column."""
     sw = frozenset(stopwords)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -309,8 +302,27 @@ def top_terms(ds, text_col: str = "text", stopwords=(), limit: int = 20,
         s = s[(s != "") & ~s.isin(sw)]
         return pd.DataFrame({"term": s.astype(str)})
 
-    counts = hash_count(ds.map_batches(explode, batch_format="pandas"),
-                        ["term"], num_partitions)
+    return explode
+
+
+def top_terms(ds, text_col: str = "text", stopwords=(), limit: int = 20,
+              num_partitions: int = 16, pre_exploded: bool = False):
+    """Corpus vocabulary head: global term counts → top ``limit`` by
+    (count DESC, term ASC). Tokenization = :func:`make_term_exploder`.
+
+    Shape: per-batch explode + partial counts → hash partition on term → one
+    vectorized reduce per partition (each term's TOTAL lands in one
+    partition) → per-batch top-``limit`` (a correct combiner over disjoint
+    full counts) → tiny driver-side final top-``limit``. The shuffle moves
+    (term, partial_count) rows, never text.
+
+    ``pre_exploded=True`` takes ``ds`` as an already-exploded ``term``
+    stream (so one explode can feed several consumers)."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import hash_count
+
+    terms = ds if pre_exploded else ds.map_batches(
+        make_term_exploder(text_col, stopwords), batch_format="pandas")
+    counts = hash_count(terms, ["term"], num_partitions)
 
     def local_top(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["cnt", "term"], ascending=[False, True]).head(limit)
