@@ -103,6 +103,13 @@ def main(argv=None):
                          "partition before opening any file")
     sp.add_argument("--limit", type=int, default=20)
 
+    sp = sub.add_parser("restore", help="roll silver+gold back to their state as of an "
+                                        "epoch (Delta RESTORE analogue; bronze is never "
+                                        "rolled back — a later `replay` re-applies and "
+                                        "reconverges)")
+    common(sp)
+    sp.add_argument("--epoch", type=int, required=True)
+
     sp = sub.add_parser("simulate", help="generate a deterministic synthetic change stream")
     sp.add_argument("--out", required=True)
     sp.add_argument("--events", type=int, default=10_000)
@@ -173,6 +180,8 @@ def main(argv=None):
                 lake, kinds=kinds, compression=r.cfg.write_compression,
                 cluster_by=cluster, row_group_size=args.row_group_size,
                 include_single=args.include_single)))
+        elif args.cmd == "restore":
+            print(json.dumps(r.restore(args.epoch)))
         elif args.cmd == "read":
             cols = args.columns.split(",") if args.columns else None
             pred = None

@@ -669,6 +669,19 @@ class CDCReplay:
 
         return LookupCache(os.path.join(self.root, "cache"))
 
+    def restore(self, epoch: int) -> dict:
+        """Roll silver AND gold back to their state as of ``epoch`` (Delta
+        RESTORE analogue; reference: Delta's RESTORE + CDF reprocessing from
+        ``startingVersion``, silver/cdf_processor.py:41). Bronze — the
+        durable log — is never rolled back, so a subsequent ``run()``
+        re-applies epochs > ``epoch`` from committed bronze and reconverges
+        on exactly the same final state (exactly-once semantics make the
+        re-application deterministic)."""
+        self._join_gold()
+        sm = self.silver.restore(epoch)
+        gm = self.gold.restore(epoch)
+        return {"silver_epoch": sm.epoch, "gold_epoch": gm.epoch}
+
     def finalize_gold(self) -> None:
         """Bring gold up to the silver watermark regardless of cadence (also
         the crash-recovery path when a failure landed between the silver and

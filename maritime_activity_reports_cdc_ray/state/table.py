@@ -255,6 +255,35 @@ class LakeTable:
         self._write_manifest(m2)
         return m2
 
+    def restore(self, epoch: int) -> Manifest:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF`` analogue: publish a
+        NEW manifest whose content (fragment set, schema, salt map, stats,
+        epoch watermark) equals the table state as of ``epoch``. Nothing is
+        deleted — the restore is itself one more version in the chain, so it
+        is time-travelable and crash-atomic (one manifest rename); fragments
+        introduced by the rolled-back epochs simply become unreferenced and
+        fall to ``vacuum()``. After a silver restore, re-running the replay
+        re-applies epochs > ``epoch`` from committed bronze (the durable
+        log is never rolled back) — the reprocess-bad-data workflow."""
+        m = self.latest_manifest()
+        assert m is not None, "table not created"
+        src = self.manifest_as_of(epoch)
+        if src.version == m.version:
+            return m  # already at that state — idempotent
+        m2 = Manifest(
+            version=m.version + 1,
+            epoch=src.epoch,
+            name=m.name,
+            num_partitions=src.num_partitions,
+            schema_b64=src.schema_b64,
+            fragments=list(src.fragments),
+            salt_map=dict(src.salt_map),
+            stats=dict(src.stats),
+            format_version=src.format_version,
+        )
+        self._write_manifest(m2)
+        return m2
+
     def commit_maintenance(
         self,
         new_fragments: list,

@@ -222,3 +222,51 @@ def test_driver_contract_registry_alignment():
     assert set(q) == set(o)
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
+
+
+def test_restore_rolls_back_and_replay_reconverges(ray_session, tmp_path):
+    """Delta RESTORE analogue: silver+gold roll back to the as-of state as a
+    NEW manifest version (nothing deleted); bronze stays, so re-running the
+    replay re-applies the later epochs and reconverges bit-for-bit."""
+    from maritime_activity_reports_cdc_ray.config import EngineConfig
+    from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
+
+    events = _mini_stream(tmp_path)
+    r = CDCReplay(str(tmp_path / "lake"),
+                  EngineConfig(num_partitions=2, commit_regex=r"^c[0-9]{3}$"))
+    r.setup()
+    r.run(events)
+
+    def snap():
+        sil = (r.read_silver(columns=["repo", "path", "content"]).to_pandas()
+               .sort_values(["repo", "path"]).reset_index(drop=True))
+        gold = (r.read_gold().to_pandas().drop(columns=["lang_counts"])
+                .sort_values("repo").reset_index(drop=True))
+        return sil, gold
+
+    final_sil, final_gold = snap()
+    v_before = r.silver.latest_manifest().version
+
+    out = r.restore(0)
+    assert out == {"silver_epoch": 0, "gold_epoch": 0}
+    # a restore is an appended version, not history rewriting
+    assert r.silver.latest_manifest().version == v_before + 1
+    sil0 = r.read_silver(columns=["repo", "path", "content"]).to_pandas()
+    got = dict(zip(sil0.repo + "/" + sil0.path, sil0.content))
+    assert got == {"r1/a.py": "v0", "r2/b.py": "w0"}
+    assert len(r.read_history().to_pandas()) == 0  # no closed versions yet
+    # idempotent: restoring to the same state is a no-op version-wise
+    v = r.silver.latest_manifest().version
+    r.restore(0)
+    assert r.silver.latest_manifest().version == v
+
+    # bronze kept the later epochs: replay re-applies and reconverges
+    res = r.run(events)
+    assert res["epochs_run"] == 2
+    sil2, gold2 = snap()
+    pd.testing.assert_frame_equal(sil2, final_sil)
+    pd.testing.assert_frame_equal(gold2, final_gold)
+    # the restored chain remains time-travelable after reconvergence
+    df = r.read_silver(columns=["repo", "path", "content"], as_of_epoch=1).to_pandas()
+    got1 = dict(zip(df.repo + "/" + df.path, df.content))
+    assert got1 == {"r1/a.py": "v1", "r2/b.py": "w0"}
