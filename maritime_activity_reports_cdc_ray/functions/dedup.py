@@ -960,10 +960,16 @@ class WordNgramExploder:
         if len(rows):
             cnt = np.bincount(rows, minlength=len(df))
             parts = [toks]
-            rok = np.ones(len(rows), dtype=bool)
+            m = len(rows)
+            rok = np.ones(m, dtype=bool)
             for j in range(1, n):
-                pj = np.concatenate([toks[j:], np.asarray([None] * j, dtype=object)])
-                rj = np.concatenate([rows[j:], np.full(j, -1, dtype=np.int64)])
+                # shift-by-j; slots past the end (including j >= m — a batch
+                # with fewer tokens than the gram width) are invalid
+                pj = np.full(m, None, dtype=object)
+                rj = np.full(m, -1, dtype=np.int64)
+                if j < m:
+                    pj[: m - j] = toks[j:]
+                    rj[: m - j] = rows[j:]
                 rok &= rj == rows
                 parts.append(pj)
             if rok.any():

@@ -219,7 +219,13 @@ class PiiRedactor:
     sensitive spans are rewritten before training-data export."""
 
     def __init__(self, patterns=PII_PATTERNS):
-        self.pats = [(name, re.compile(rx), repl) for name, rx, repl in patterns]
+        # re.ASCII: Python's \b/\d/\w are unicode-aware by default while
+        # RE2's (DuckDB's) are ASCII — e.g. Python sees no word boundary
+        # between 'é' and '5' but RE2 does. ASCII mode makes the two engines
+        # agree on EVERY input, not just ASCII corpora (verified by the
+        # hypothesis differential test against DuckDB).
+        self.pats = [(name, re.compile(rx, re.ASCII), repl)
+                     for name, rx, repl in patterns]
 
     def __call__(self, df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
         s = df[col].fillna("")
