@@ -115,3 +115,144 @@ def test_word_ngram_hashes_match_duckdb(texts, n):
         FROM g0, unnest(grams) AS u(gr)
     """).fetchall()
     assert got == {(int(d), int(h)) for d, h in oracle}
+
+
+def _entry_mod():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_diff", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__ray_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=-5, max_value=10_000), min_size=1, max_size=400))
+def test_hll_estimate_matches_duckdb_replay(ray_session, user_ids):
+    """The HLL sketch value itself (not a bound): engine vs the oracle SQL
+    that replays register/rho/harmonic-sum arithmetic, on random id sets."""
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.stats import hll_count_distinct
+
+    df = pd.DataFrame({"user_id": np.asarray(user_ids, dtype=np.int64)})
+    approx = hll_count_distinct(rd.from_pandas(df), ["user_id"], p=12)
+    con = duckdb.connect()
+    con.register("events", df)
+    got = con.execute(_entry_mod()._hll_oracle_sql()).df()
+    assert round(approx, 2) == got["approx_users"].iloc[0]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet="abcde", min_size=1, max_size=3),
+                min_size=1, max_size=300))
+def test_cms_registers_match_duckdb(ray_session, terms):
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.stats import cms_estimate, cms_sketch
+
+    df = pd.DataFrame({"term": terms})
+    regs = cms_sketch(rd.from_pandas(df), "term", d=4, w=64).to_pandas()
+    uniq = sorted(set(terms))
+    est = cms_estimate(regs, uniq, d=4, w=64)
+    con = duckdb.connect()
+    con.register("t", df)
+    oracle = con.execute("""
+        WITH tc AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+        regs AS (SELECT i.i AS r,
+                        ('0x' || substr(md5(i.i || ':' || term), 1, 16))::UBIGINT % 64 AS s,
+                        SUM(c) AS v
+                 FROM tc CROSS JOIN unnest(range(4)) i(i) GROUP BY 1, 2)
+        SELECT tc.term, MIN(r2.v) AS e
+        FROM tc CROSS JOIN unnest(range(4)) i(i)
+        JOIN regs r2 ON r2.r = i.i
+         AND r2.s = ('0x' || substr(md5(i.i || ':' || tc.term), 1, 16))::UBIGINT % 64
+        GROUP BY tc.term ORDER BY tc.term
+    """).df()
+    assert est.tolist() == oracle["e"].astype("int64").tolist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.floats(min_value=-10, max_value=600, allow_nan=False),
+                min_size=1, max_size=300))
+def test_histogram_sketch_matches_duckdb(ray_session, values):
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.stats import (
+        histogram_quantile_sketch,
+    )
+
+    df = pd.DataFrame({"g": "x", "v": np.asarray(values, dtype=np.float64)})
+    out = histogram_quantile_sketch(rd.from_pandas(df), "g", "v",
+                                    lo=0.0, hi=512.0, n_bins=256, qs=(0.5, 0.9))
+    con = duckdb.connect()
+    con.register("t", df)
+    oracle = con.execute("""
+        WITH hist AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - 0.0) / 2.0), 0), 255)
+                                  AS BIGINT) AS bin, COUNT(*) AS c
+                      FROM t GROUP BY 1),
+        tot AS (SELECT SUM(c) AS n FROM hist),
+        cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cc, t.n
+                FROM hist, tot t)
+        SELECT 0.0 + 2.0 * MIN(CASE WHEN cc >= CEIL(0.5 * n) THEN bin END) AS p50,
+               0.0 + 2.0 * MIN(CASE WHEN cc >= CEIL(0.9 * n) THEN bin END) AS p90
+        FROM cum
+    """).df()
+    assert out["approx_p50"].iloc[0] == oracle["p50"].iloc[0]
+    assert out["approx_p90"].iloc[0] == oracle["p90"].iloc[0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=0, max_size=60),
+       st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=60))
+def test_bloom_positions_match_duckdb(members, probes):
+    from maritime_activity_reports_cdc_ray.functions.dedup import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    m_arr = np.asarray(members, dtype=np.uint64)
+    p_arr = np.asarray(probes, dtype=np.uint64)
+    bits = bloom_build(m_arr, m=4096, k=4)
+    got = bloom_contains(bits, p_arr, m=4096, k=4)
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    # register as arrow uint64 so DuckDB sees UBIGINT directly (the
+    # production oracle computes h as UBIGINT from md5 in-SQL)
+    con.register("mem", pa.table({"h": pa.array(m_arr, type=pa.uint64())}))
+    con.register("pr", pa.table({"h": pa.array(p_arr, type=pa.uint64())}))
+    oracle = con.execute("""
+        WITH mh AS (SELECT h FROM mem),
+        ph AS (SELECT ROW_NUMBER() OVER () AS rn, h FROM pr),
+        bloom AS (SELECT DISTINCT
+                      ((CAST(mh.h AS HUGEINT) + i.i * CAST((mh.h >> 17) AS HUGEINT)
+                        + i.i * i.i) % 4096) AS bit
+                  FROM mh CROSS JOIN unnest(range(4)) i(i))
+        SELECT ph.rn,
+               SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 4 AS inb
+        FROM ph CROSS JOIN unnest(range(4)) i(i)
+        LEFT JOIN bloom b
+          ON b.bit = ((CAST(ph.h AS HUGEINT) + i.i * CAST((ph.h >> 17) AS HUGEINT)
+                       + i.i * i.i) % 4096)
+        GROUP BY ph.rn ORDER BY ph.rn
+    """).df()
+    assert got.tolist() == oracle["inb"].astype(bool).tolist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet="ab 01é.", max_size=40), min_size=1, max_size=6))
+def test_rolling_fingerprint_matches_duckdb(texts):
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    rf = T.RollingFingerprint(k=8, w=16)
+    out = rf.fingerprints(df)
+    got = set(zip(out["doc_id"].tolist(), out["fp"].tolist()))
+    con = duckdb.connect()
+    con.register("documents", df)
+    oracle = con.execute(_entry_mod()._rolling_fp_oracle_sql()).fetchall()
+    assert got == {(int(d), int(fp)) for d, fp in oracle}
