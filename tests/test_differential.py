@@ -256,3 +256,70 @@ def test_rolling_fingerprint_matches_duckdb(texts):
     con.register("documents", df)
     oracle = con.execute(_entry_mod()._rolling_fp_oracle_sql()).fetchall()
     assert got == {(int(d), int(fp)) for d, fp in oracle}
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=12, max_value=40), st.integers(min_value=0, max_value=10**6))
+def test_kmeans_matches_duckdb_replay(ray_session, n_vecs, seed):
+    """Both Lloyd iterations replayed in SQL on random embeddings — the
+    stress test of the per-step half-away-from-zero quantization contract."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.similarity import kmeans_fit
+
+    dim, k, stride = 8, 4, 5
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(0, 1, (n_vecs, dim)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n_vecs),
+                       "embedding": [v for v in vecs]})
+    _, stats = kmeans_fit(rd.from_pandas(df), k=k, iters=2,
+                          centroid_id_stride=stride)
+    con = duckdb.connect()
+    con.register("embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_vecs)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    oracle = con.execute(_entry_mod()._kmeans_oracle_sql(
+        k=k, iters=2, dim=dim, stride=stride)).df().sort_values("cluster")
+    got = stats.sort_values("cluster").reset_index(drop=True)
+    assert got["cluster"].tolist() == oracle["cluster"].tolist()
+    assert got["n_vecs"].tolist() == oracle["n_vecs"].tolist()
+    assert got["inertia"].tolist() == oracle["inertia"].tolist()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="ab c.", min_size=0, max_size=30),
+                min_size=2, max_size=6))
+def test_minhash_and_simhash_pairs_match_duckdb(ray_session, texts):
+    """The full MinHash+LSH+verify and SimHash pipelines vs their production
+    oracle SQL on random documents."""
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.dedup import (
+        minhash_lsh_candidates,
+        simhash_candidates,
+        verify_pairs_jaccard,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    docs = rd.from_pandas(df)
+    cand = minhash_lsh_candidates(docs, num_perm=64, bands=16)
+    mh = verify_pairs_jaccard(cand, docs, threshold=0.5,
+                              broadcast_all_texts=True).to_pandas()
+    sh = simhash_candidates(docs, max_hamming=8, bands=9).to_pandas()
+    def pairs(frame, score, r6=False):
+        if not len(frame):  # empty Ray results surface with no columns
+            return set()
+        sc = frame[score].to_numpy()
+        if r6:
+            sc = np.copysign(np.floor(np.abs(sc * 1e6) + 0.5), sc) / 1e6
+        return {(int(a), int(b), float(s)) for a, b, s in
+                zip(frame["id_a"], frame["id_b"], sc)}
+
+    con = _con(df)
+    E = _entry_mod()
+    mh_o = con.execute(E._minhash_oracle_sql()).df()
+    assert pairs(mh, "jaccard", r6=True) == pairs(mh_o, "jaccard")
+    sh_o = con.execute(E._simhash_oracle_sql()).df()
+    assert pairs(sh, "hamming") == pairs(sh_o, "hamming")
