@@ -498,3 +498,63 @@ def kmeans_fit(ds, k: int = 16, iters: int = 2, id_col: str = "vec_id",
         "inertia": _round_half_away(last["inertia"].to_numpy(), 2),
     })
     return cent, stats[stats["n_vecs"] > 0].reset_index(drop=True)
+
+
+def semantic_dedup(ds, threshold: float = 0.95, k: int = 16, iters: int = 2,
+                   centroid_id_stride: int = 29, id_col: str = "vec_id",
+                   vec_col: str = "embedding", round_decimals: int = 6):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then run the
+    EXACT cosine near-dup scan WITHIN each cluster only — O(n²/k) pair work
+    instead of O(n²), missing only cross-cluster pairs (rare at high
+    thresholds, where near-dups co-locate by construction).
+
+    Shape: one k-means fit (see :func:`kmeans_fit` — combiner partials,
+    driver reduces numbers); one assignment pass (broadcast centroids); then
+    ``groupby(cluster).map_groups`` with a vectorized per-cluster matmul —
+    the shuffle moves (id, vector, cluster) rows once, and each cluster's
+    O(c²) scan runs as one numpy call on one worker. Returns (id_a, id_b,
+    sim, cluster) pairs with id_a < id_b."""
+    import ray
+
+    cent, _ = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+                         centroid_id_stride=centroid_id_stride)
+    cref = ray.put(cent)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(cluster=pd.Series(dtype="int64"))
+        c = ray.get(cref)
+        m = _to_matrix(df[vec_col])
+        d2 = _round_half_away(
+            ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), 6)
+        return df.assign(cluster=d2.argmin(axis=1).astype(np.int64))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64"),
+                              "cluster": pd.Series(dtype="int64")})
+        if len(g) < 2:
+            return empty
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize_rows(_to_matrix(g[vec_col].to_numpy()[order]))
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        s = sims[ia, ib]
+        keep = s >= threshold
+        if not keep.any():
+            return empty
+        s = s[keep]
+        if round_decimals is not None:
+            s = _round_half_away(s, round_decimals)
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "sim": s,
+                             "cluster": np.full(int(keep.sum()),
+                                                int(g["cluster"].iloc[0]),
+                                                dtype=np.int64)})
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+    return assigned.groupby("cluster").map_groups(pairs, batch_format="pandas")

@@ -777,3 +777,29 @@ def test_histogram_quantile_sketch_bounds_and_merge(ray_session):
                                      "g", "v", lo=0.0, hi=512.0,
                                      n_bins=256, qs=(0.5, 0.9)).set_index("g")
     pd.testing.assert_frame_equal(out.sort_index(), out8.sort_index())
+
+
+def test_semantic_dedup_finds_planted_dupes(ray_session):
+    """SemDeDup composition: planted near-identical vectors land in one
+    cluster and are reported; every reported pair is a true cosine dupe
+    (subset of the exact all-pairs scan at the same threshold)."""
+    rng = np.random.default_rng(9)
+    n, dim = 120, 16
+    base = rng.normal(0, 1, (n, dim))
+    base[60:] = np.where(np.arange(dim) < 8, 6.0, -6.0) + rng.normal(0, 0.5, (60, dim))
+    # plant exact near-dupes: 7 pairs of (v, v + tiny noise)
+    for i in range(7):
+        base[2 * i + 1] = base[2 * i] + rng.normal(0, 1e-3, dim)
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": [v.astype(np.float32) for v in base]})
+    sd = S.semantic_dedup(_ds(df), threshold=0.999, k=4, iters=2,
+                          centroid_id_stride=29).to_pandas()
+    got = set(zip(sd.id_a.astype(int), sd.id_b.astype(int)))
+    assert {(2 * i, 2 * i + 1) for i in range(7)} <= got
+    exact = S.cosine_dupes(_ds(df), threshold=0.999).to_pandas()
+    allp = set(zip(exact.id_a.astype(int), exact.id_b.astype(int)))
+    assert got <= allp  # no false pairs — only cross-cluster misses possible
+    # sims are the same rounded cosines the exact path reports
+    m = exact.set_index(["id_a", "id_b"])["sim"]
+    for (a, b), s in zip(zip(sd.id_a, sd.id_b), sd.sim):
+        assert m.loc[(a, b)] == s
