@@ -42,7 +42,9 @@ QUERY_SUBSET = [
     "docs_fingerprint",
     "docs_quality",
     "docs_lsh_pairs",
+    "docs_ngram_contamination",
     "emb_knn_brute",
+    "emb_kmeans",
 ]
 
 
