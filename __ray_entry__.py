@@ -1297,13 +1297,35 @@ def emb_knn_ann(sf_dir: str):
 
 
 def emb_cosine_dupes(sf_dir: str):
-    """Exact embedding-cosine near-dup pairs (broadcast matrix + per-batch
-    float64 matmul); scale path is the LSH variant (emb_knn_lsh machinery)."""
-    from maritime_activity_reports_cdc_ray.functions.similarity import cosine_dupes
+    """Both embedding near-dup faces in one attested result: method='exact'
+    = the block-pair all-pairs cosine scan; method='semdedup' = SemDeDup
+    (k-means cluster → per-cluster exact scan, O(n²/k) pair work — the scale
+    path). The SemDeDup oracle replays the Lloyd assignment chain plus the
+    within-cluster pair join, so the pairs it MISSES (cross-cluster) are
+    attested too. Faces run concurrently."""
+    from maritime_activity_reports_cdc_ray.functions.similarity import (
+        cosine_dupes,
+        semantic_dedup,
+    )
 
-    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = cosine_dupes(ds, threshold=0.4).to_pandas()
-    return out[["id_a", "id_b", "sim"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    def exact():
+        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        out = cosine_dupes(ds, threshold=0.4).to_pandas()
+        out = out[["id_a", "id_b", "sim"]].copy()
+        out.insert(0, "method", "exact")
+        return out
+
+    def semdedup():
+        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        out = semantic_dedup(ds, threshold=0.4, k=16, iters=2,
+                             centroid_id_stride=29).to_pandas()
+        out = out[["id_a", "id_b", "sim"]].copy()
+        out.insert(0, "method", "semdedup")
+        return out
+
+    ex, sd = _par2(exact, semdedup)
+    return (pd.concat([ex, sd], ignore_index=True)
+            .sort_values(["method", "id_a", "id_b"]).reset_index(drop=True))
 
 
 def emb_label_stats(sf_dir: str):
@@ -1889,13 +1911,12 @@ def _contamination_oracle_sql(holdout_mod: int = 97, n: int = 5,
     """
 
 
-def _kmeans_oracle_sql(k: int = 16, iters: int = 2, dim: int = 64,
-                       stride: int = 29, round_dp: int = 6) -> str:
-    """DuckDB replay of the deterministic Lloyd k-means: id-stride init,
-    per-step 6dp quantization of distances and centroid coordinates (so
-    cross-engine float summation-order noise cannot compound), argmin with
-    smallest-centroid tie-break, per-cluster sizes + inertia from the final
-    assignment (functions/similarity.py kmeans_fit)."""
+def _kmeans_cte_sql(k: int = 16, iters: int = 2, dim: int = 64,
+                    stride: int = 29, round_dp: int = 6) -> str:
+    """The WITH-body of the Lloyd replay, up to assignment CTE ``a{iters}``
+    (assignment against centroids ``c{iters-1}``) and centroids ``c{iters}``
+    — shared by the emb_kmeans oracle (stats from a{iters}) and the SemDeDup
+    oracle (which needs ONE MORE assignment, against the returned c{iters})."""
     sql = f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         vd AS (SELECT vec_id, i.i AS dim, e[CAST(i.i AS INT) + 1] AS x
@@ -1925,12 +1946,39 @@ def _kmeans_oracle_sql(k: int = 16, iters: int = 2, dim: int = 64,
                  ) u ON u.cid = c.cid AND u.dim = c.dim)
         """
         prev = f"c{t}"
-    sql += f"""
+    return sql
+
+
+def _kmeans_oracle_sql(k: int = 16, iters: int = 2, dim: int = 64,
+                       stride: int = 29, round_dp: int = 6) -> str:
+    """DuckDB replay of the deterministic Lloyd k-means: id-stride init,
+    per-step 6dp quantization of distances and centroid coordinates (so
+    cross-engine float summation-order noise cannot compound), argmin with
+    smallest-centroid tie-break, per-cluster sizes + inertia from the final
+    assignment (functions/similarity.py kmeans_fit)."""
+    return _kmeans_cte_sql(k, iters, dim, stride, round_dp) + f"""
         SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
                ROUND(SUM(d2), 2) AS inertia
         FROM a{iters} GROUP BY cid
     """
-    return sql
+
+
+def _semdedup_oracle_sql(threshold: float = 0.4, k: int = 16, iters: int = 2,
+                         dim: int = 64, stride: int = 29) -> str:
+    """DuckDB replay of semantic_dedup (functions/similarity.py): the Lloyd
+    CTEs run one extra assignment round (a{iters+1} assigns against the
+    FINAL centroids c{iters}, exactly what the engine does after kmeans_fit
+    returns), then cosine pairs WITHIN each cluster only."""
+    a_final = f"a{iters + 1}"
+    return _kmeans_cte_sql(k, iters + 1, dim, stride) + f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(va.e, vb.e), 6) AS sim
+        FROM {a_final} a JOIN {a_final} b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(va.e, vb.e) >= {threshold!r}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2471,12 +2519,17 @@ def oracle_sql() -> dict[str, str]:
             FROM top JOIN est USING (term)
             ORDER BY top.cnt DESC, top.term
         """,
-        "emb_cosine_dupes": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        "emb_cosine_dupes": f"""
+            SELECT 'exact' AS method, id_a, id_b, sim FROM (
+                WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                           FROM embeddings)
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+            UNION ALL
+            SELECT 'semdedup' AS method, id_a, id_b, sim
+            FROM ({_semdedup_oracle_sql()})
         """,
         "emb_knn_brute": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
