@@ -523,17 +523,13 @@ def events_value_percentiles(sf_dir: str):
         histogram_quantile_sketch,
     )
 
-    def exact():
-        ds = _t(sf_dir, "events", ["event_type", "value"])
-        return grouped_percentiles(ds, "event_type", "value", [0.5, 0.9]).to_pandas()
-
-    def sketch():
-        ds = _t(sf_dir, "events", ["event_type", "value"])
-        return histogram_quantile_sketch(ds, "event_type", "value",
-                                         lo=0.0, hi=512.0, n_bins=256,
-                                         qs=(0.5, 0.9))
-
-    out, ap = _par2(exact, sketch)
+    # ONE projection scan feeds both faces (blocks pinned in the object store)
+    ds = _t(sf_dir, "events", ["event_type", "value"]).materialize()
+    out, ap = _par2(
+        lambda: grouped_percentiles(ds, "event_type", "value", [0.5, 0.9]).to_pandas(),
+        lambda: histogram_quantile_sketch(ds, "event_type", "value",
+                                          lo=0.0, hi=512.0, n_bins=256,
+                                          qs=(0.5, 0.9)))
     out = out.merge(ap, on="event_type", how="left")
     return out[["event_type", "n", "p50", "p90", "approx_p50", "approx_p90"]]
 
@@ -2140,7 +2136,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 2.0), 0), 255)
                             AS BIGINT) AS bin,
                        COUNT(*) AS c
-                FROM events GROUP BY 1, 2),
+                FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
             tot AS (SELECT event_type, SUM(c) AS n FROM hist GROUP BY 1),
             cum AS (
                 SELECT h.event_type, h.bin,
@@ -2148,11 +2144,14 @@ def oracle_sql() -> dict[str, str]:
                            AS cc,
                        t.n
                 FROM hist h JOIN tot t USING (event_type)),
+            -- rank = CEIL(q·n) in FLOAT (0.5e0 — the engine computes
+            -- np.ceil(q*n) in float64; DECIMAL CEIL would differ for qs like
+            -- 0.07 where float q*n lands just above the integer)
             ap AS (
                 SELECT event_type,
-                       0.0 + 2.0 * MIN(CASE WHEN cc >= CEIL(0.5 * n) THEN bin END)
+                       0.0 + 2.0 * MIN(CASE WHEN cc >= CEIL(0.5e0 * n) THEN bin END)
                            AS approx_p50,
-                       0.0 + 2.0 * MIN(CASE WHEN cc >= CEIL(0.9 * n) THEN bin END)
+                       0.0 + 2.0 * MIN(CASE WHEN cc >= CEIL(0.9e0 * n) THEN bin END)
                            AS approx_p90
                 FROM cum GROUP BY 1)
             SELECT ex.event_type, ex.n, ex.p50, ex.p90,

@@ -151,6 +151,11 @@ def main(argv=None):
         print(json.dumps({"files_removed": removed}))
         return 0
 
+    if args.cmd == "restore":
+        # pure manifest-file operation — no Ray session needed
+        print(json.dumps(r.restore(args.epoch)))
+        return 0
+
     _ray_up(args.num_cpus)
     import ray
 
@@ -180,8 +185,6 @@ def main(argv=None):
                 lake, kinds=kinds, compression=r.cfg.write_compression,
                 cluster_by=cluster, row_group_size=args.row_group_size,
                 include_single=args.include_single)))
-        elif args.cmd == "restore":
-            print(json.dumps(r.restore(args.epoch)))
         elif args.cmd == "read":
             cols = args.columns.split(",") if args.columns else None
             pred = None

@@ -97,10 +97,7 @@ def knn_brute_force(ds, query_ids: list[int], k: int = 10,
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
         if round_decimals is not None:
-            # half-away-from-zero, matching SQL ROUND (numpy rounds half-even)
-            m = 10.0 ** round_decimals
-            y = g["sim"].to_numpy(dtype=np.float64) * m
-            g["sim"] = np.copysign(np.floor(np.abs(y) + 0.5), y) / m
+            g["sim"] = _round_half_away(g["sim"].to_numpy(), round_decimals)
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
         g = g.head(k)
         g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
@@ -158,8 +155,7 @@ def cosine_dupes(ds, threshold: float, id_col: str = "vec_id",
         a, b = np.where(sw, b, a), np.where(sw, a, b)
         sim = sims[r, c]
         if round_decimals is not None:
-            m = 10.0 ** round_decimals
-            sim = np.copysign(np.floor(np.abs(sim * m) + 0.5), sim) / m
+            sim = _round_half_away(sim, round_decimals)
         return pd.DataFrame({"id_a": a, "id_b": b, "sim": sim})
 
     outs = [cross.remote(refs[i], refs[j], i == j)
@@ -271,9 +267,7 @@ def _make_final(k: int, round_decimals: int | None, dedupe: bool = False):
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
         if round_decimals is not None:
-            m = 10.0 ** round_decimals
-            y = g["sim"].to_numpy(dtype=np.float64) * m
-            g["sim"] = np.copysign(np.floor(np.abs(y) + 0.5), y) / m
+            g["sim"] = _round_half_away(g["sim"].to_numpy(), round_decimals)
         if dedupe:
             g = g.drop_duplicates("neighbor_id")
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True],
@@ -409,9 +403,11 @@ def _stride_centroids(ds, id_col: str, vec_col: str, stride: int, k: int) -> np.
     ``kmeans_fit`` (and contracted by both SQL oracles): vectors with
     ``id % stride == 0 AND id // stride < k``, ordered by id, first ``k``.
     The id-window bound caps the driver collect at ``k`` rows at any corpus
-    size — which PRESUPPOSES ids dense from 0 (the repo's id spaces are);
-    an offset/sparse id space yields too few seeds and raises here rather
-    than failing obscurely downstream."""
+    size — which PRESUPPOSES ids dense from 0 (the repo's id spaces are).
+    A sparse tail yielding FEWER than ``k`` seeds proceeds with what exists
+    (the SQL oracle's LIMIT sees the same reduced set, so parity holds);
+    ZERO seeds (fully offset id space) raises rather than failing obscurely
+    downstream."""
     cdf = ds.map_batches(
         lambda df: df[(df[id_col].to_numpy() % stride == 0)
                       & (df[id_col].to_numpy() // stride < k)],

@@ -287,6 +287,10 @@ def histogram_quantile_sketch(ds, group_col: str, value_col: str,
     (v - lo)/width), 0, n_bins-1) (pick lo/hi so width is a dyadic float and
     the division is exact); estimate(q) = lo + width · (first bin whose
     cumulative count ≥ ceil(q·n)) — lower-edge rule, all-integer cumsum.
+    The rank ceil is FLOAT on both sides: mirror ``np.ceil(q * n)`` in SQL
+    as ``CEIL(0.5e0 * n)``, NOT ``CEIL(0.5 * n)`` — DuckDB parses a bare
+    decimal literal as DECIMAL and its exact CEIL differs from the float
+    one for qs like 0.07 (np.ceil(0.07*100) = 8, exact CEIL = 7).
 
     Shape: per-batch integer bin counts per group (combiner) → combiner-first
     ``hash_agg`` sum → the finished histogram (bounded by groups×n_bins) is
@@ -316,6 +320,8 @@ def histogram_quantile_sketch(ds, group_col: str, value_col: str,
         row = {group_col: grp}
         for q in qs:
             k = np.ceil(q * n)
-            row[f"approx_p{int(q * 100)}"] = lo + width * float(bins[int(np.searchsorted(cum, k))])
+            # round, not truncate: int(0.29*100) == 28
+            row[f"approx_p{int(round(q * 100))}"] = (
+                lo + width * float(bins[int(np.searchsorted(cum, k))]))
         rows.append(row)
     return pd.DataFrame(rows)

@@ -159,22 +159,34 @@ class LakeTable:
 
     def manifest_as_of(self, epoch: int) -> Manifest:
         """Epoch-pinned time travel (reference analogue: Delta ``VERSION AS
-        OF`` / CDF ``startingVersion``, silver/cdf_processor.py:41): the
-        highest-version manifest whose committed epoch watermark is <=
-        ``epoch`` — i.e. the table state right after ``epoch`` committed
-        (later maintenance rewrites of the same watermark are preferred, as
-        their fragment set is the one that survives compaction). Available
-        until ``vacuum()`` prunes superseded manifests/fragments — the same
-        retention contract as Delta time travel."""
+        OF`` / CDF ``startingVersion``, silver/cdf_processor.py:41).
+
+        Resolution rule: prefer the highest-VERSION manifest whose epoch
+        watermark EQUALS ``epoch`` (later maintenance rewrites of the same
+        watermark win — their fragment set is the one that survives
+        compaction); only when no manifest committed that exact epoch, fall
+        back to the highest-version manifest with epoch <= ``epoch``. The
+        exact-match preference matters once :meth:`restore` makes the
+        watermark non-monotonic across versions: after ``restore(1)`` on a
+        3-epoch table, ``as_of(2)`` must still resolve to the (undeleted)
+        epoch-2 manifest, not the higher-version restore manifest whose
+        watermark is 1. Available until ``vacuum()`` prunes superseded
+        manifests/fragments — the same retention contract as Delta."""
         mdir = os.path.join(self.root, "_manifests")
         versions = sorted(
             (int(m.group(1)) for m in map(_MANIFEST_RE.match, os.listdir(mdir)) if m),
             reverse=True)
-        for v in versions:
+        fallback = None
+        for v in versions:  # high → low: first hit of each rule is the latest
             with open(os.path.join(mdir, f"manifest-{v:010d}.json")) as f:
                 m = Manifest.from_json(f.read())
-            if m.epoch <= epoch:
+            if m.epoch == epoch:
                 return m
+            if fallback is None and m.epoch < epoch:
+                fallback = m  # keep scanning — an exact match at a lower
+                # version (shadowed by a restore) still wins
+        if fallback is not None:
+            return fallback
         raise LookupError(
             f"no manifest with epoch <= {epoch} in {self.root} "
             "(epoch predates table creation, or vacuum() pruned history)")

@@ -255,6 +255,13 @@ def test_restore_rolls_back_and_replay_reconverges(ray_session, tmp_path):
     got = dict(zip(sil0.repo + "/" + sil0.path, sil0.content))
     assert got == {"r1/a.py": "v0", "r2/b.py": "w0"}
     assert len(r.read_history().to_pandas()) == 0  # no closed versions yet
+    # FORWARD time travel still works after the rollback: the epoch-2
+    # manifest is undeleted and must not be shadowed by the higher-version
+    # restore manifest (exact-epoch match beats the version order)
+    fwd = r.read_silver(columns=["repo", "path", "content"],
+                        as_of_epoch=2).to_pandas()
+    gotf = dict(zip(fwd.repo + "/" + fwd.path, fwd.content))
+    assert gotf == {"r1/a.py": "v2", "r2/b.py": "w0"}
     # idempotent: restoring to the same state is a no-op version-wise
     v = r.silver.latest_manifest().version
     r.restore(0)
