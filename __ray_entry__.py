@@ -999,15 +999,28 @@ def docs_pii_redact(sf_dir: str):
 
 
 def docs_repetition(sf_dir: str):
-    """Gopher-style repetition/diversity quality signals per doc (top-word
-    fraction, duplicate-2-gram fraction, distinct-token count, repetitive
-    flag) — fully vectorized, exact SQL oracle via unnest + list kernels."""
+    """Repetition/duplication quality-filter suite per doc, two families in
+    one report: (a) Gopher-style WITHIN-doc signals (top-word fraction,
+    duplicate-2-gram fraction, distinct-token count, repetitive flag) and
+    (b) CROSS-doc segment-level dedup (CCNet/RefinedWeb line dedup; unit =
+    non-overlapping 10-token chunk) — segments removed, dup fraction and the
+    md5 of the rebuilt text, each attested by the SQL replay."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import segment_dedup
     from maritime_activity_reports_cdc_ray.functions.text import repetition_metrics
 
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(repetition_metrics, batch_format="pandas").to_pandas()
+    def _within():
+        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        return ds.map_batches(repetition_metrics, batch_format="pandas").to_pandas()
+
+    def _cross():
+        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        return segment_dedup(ds).to_pandas()
+
+    rep, seg = _par2(_within, _cross)
+    out = rep.merge(seg, on="doc_id", how="left")
     out["top_word_frac"] = _r(out["top_word_frac"], 6)
     out["dup_2gram_frac"] = _r(out["dup_2gram_frac"], 6)
+    out["seg_dup_frac"] = _r(out["seg_dup_frac"], 6)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1160,31 +1173,52 @@ def emb_kmeans(sf_dir: str):
 
 
 def docs_top_terms(sf_dir: str):
-    """Corpus vocabulary head + Count-Min heavy-hitter sketch: top-20 terms
-    by exact global count (partial counts before the shuffle) alongside each
-    term's CMS frequency estimate — the all-integer mergeable sketch is
-    recomputed register-for-register by the SQL oracle. The exact path and
-    the sketch run as concurrent executions over the same token stream."""
+    """Corpus vocabulary head + Count-Min heavy-hitter sketch + TF-IDF:
+    top-20 terms by exact global count (partial counts before the shuffle)
+    alongside each term's CMS frequency estimate (the all-integer mergeable
+    sketch, recomputed register-for-register by the SQL oracle), its
+    document frequency, and an integer-quantized TF-IDF weight
+    (``tfidf_q = cnt · ((N·10^6) // df)`` — integer division instead of
+    ln() so the score is exact across engines; the textbook ln-idf is a
+    driver-side map away). All three consumers run concurrently over ONE
+    tokenization pass (blocks pinned in the object store, never the
+    driver)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from maritime_activity_reports_cdc_ray.functions.stats import (
         cms_estimate,
         cms_sketch,
     )
     from maritime_activity_reports_cdc_ray.functions.text import (
-        make_term_exploder,
+        doc_freq,
+        make_doc_term_exploder,
         top_terms,
     )
 
-    # ONE tokenization pass feeds both consumers (blocks pinned in the
-    # object store, never the driver)
-    terms = _t(sf_dir, "documents", ["text"]).map_batches(
-        make_term_exploder("text", _STOPWORDS),
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    terms = docs.map_batches(
+        make_doc_term_exploder("doc_id", "text", _STOPWORDS),
         batch_format="pandas").materialize()
 
-    top, regs = _par2(
-        lambda: top_terms(terms, limit=20, pre_exploded=True),
-        lambda: cms_sketch(terms, "term", d=4, w=1024).to_pandas())
+    with ThreadPoolExecutor(3) as ex:
+        f_top = ex.submit(top_terms, terms, limit=20, pre_exploded=True)
+        f_regs = ex.submit(lambda: cms_sketch(terms, "term", d=4, w=1024).to_pandas())
+        f_df = ex.submit(lambda: doc_freq(terms).materialize())
+        top, regs, dfc = f_top.result(), f_regs.result(), f_df.result()
+
     top = top.copy()
     top["cms_estimate"] = cms_estimate(regs, top["term"].tolist(), d=4, w=1024)
+    top_set = set(top["term"].tolist())
+    dff = (dfc.map_batches(lambda d: d[d["term"].isin(top_set)],
+                           batch_format="pandas")
+           .to_pandas().set_index("term")["doc_freq"])
+    # exact integer arithmetic on the tiny driver-side head (Python ints:
+    # no uint64 overflow for any corpus size)
+    top["doc_freq"] = top["term"].map(dff).astype("int64")
+    top["tfidf_q"] = [int(c) * ((int(n_docs) * 10**6) // int(d))
+                      for c, d in zip(top["cnt"], top["doc_freq"])]
+    top["tfidf_q"] = top["tfidf_q"].astype("int64")
     return top
 
 
@@ -1809,11 +1843,16 @@ def _pii_oracle_sql() -> str:
 
 
 def _repetition_oracle_sql(top_word_max: float = 0.125,
-                           dup_2gram_max: float = 0.06) -> str:
-    """DuckDB replay of the Gopher-style repetition metrics: identical
-    tokenization (string_split on ' ', empty tokens dropped), per-doc
-    token-frequency max, consecutive-2-gram distinct/total, the same float
-    divisions, and the same unrounded threshold comparisons for the flag."""
+                           dup_2gram_max: float = 0.06,
+                           seg_tokens: int = 10) -> str:
+    """DuckDB replay of the repetition/duplication suite. Within-doc
+    (Gopher): identical tokenization (string_split on ' ', empty tokens
+    dropped), per-doc token-frequency max, consecutive-2-gram
+    distinct/total, the same float divisions and unrounded threshold
+    comparisons. Cross-doc (CCNet segment dedup): the same non-overlapping
+    ``seg_tokens``-token segmentation, md5_u64 segment hashes, corpus-wide
+    occurrence counts, and the md5 of the kept-segments rebuild — string_agg
+    ordered by segment ordinal reproduces the engine's space-join exactly."""
     return f"""
         WITH l AS (
             SELECT doc_id,
@@ -1830,7 +1869,31 @@ def _repetition_oracle_sql(top_word_max: float = 0.125,
                                     i -> toks[i] || ' ' || toks[i + 1]) AS grams
               FROM l),
         gm AS (SELECT doc_id, len(grams) AS tg, len(list_distinct(grams)) AS dg
-               FROM g)
+               FROM g),
+        segs AS (
+            SELECT doc_id, i.i AS seg_no,
+                   array_to_string(
+                       toks[i.i * {seg_tokens} + 1 : i.i * {seg_tokens} + {seg_tokens}],
+                       ' ') AS seg
+            FROM l, unnest(range(0, (len(toks) + {seg_tokens - 1}) // {seg_tokens})) i(i)),
+        hs AS (
+            SELECT doc_id, seg_no, seg,
+                   ('0x' || substr(md5(seg), 1, 16))::UBIGINT AS h,
+                   len(list_filter(string_split(seg, ' '), x -> x <> '')) AS ntok
+            FROM segs),
+        sc AS (SELECT h, COUNT(*) AS cnt FROM hs GROUP BY h),
+        sd AS (
+            SELECT hs.doc_id,
+                   COUNT(*) AS n_segs,
+                   CAST(SUM(CASE WHEN sc.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_segs,
+                   ROUND(CAST(SUM(CASE WHEN sc.cnt > 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 6) AS seg_dup_frac,
+                   CAST(COALESCE(SUM(CASE WHEN sc.cnt <= 1 THEN ntok END), 0)
+                        AS BIGINT) AS n_tokens_kept,
+                   md5(COALESCE(string_agg(CASE WHEN sc.cnt <= 1 THEN seg END,
+                                           ' ' ORDER BY seg_no), '')) AS clean_md5
+            FROM hs JOIN sc USING (h) GROUP BY hs.doc_id)
         SELECT d.doc_id,
                COALESCE(m.n_tokens, 0) AS n_tokens,
                COALESCE(m.n_distinct, 0) AS n_distinct,
@@ -1844,8 +1907,14 @@ def _repetition_oracle_sql(top_word_max: float = 0.125,
                                AND CAST(m.mx AS DOUBLE) / m.n_tokens > {top_word_max!r})
                            OR (COALESCE(gm.tg, 0) > 0
                                AND CAST(gm.tg - gm.dg AS DOUBLE) / gm.tg > {dup_2gram_max!r})
-                         THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive,
+               COALESCE(sd.n_segs, 0) AS n_segs,
+               COALESCE(sd.n_dup_segs, 0) AS n_dup_segs,
+               COALESCE(sd.seg_dup_frac, 0.0) AS seg_dup_frac,
+               COALESCE(sd.n_tokens_kept, 0) AS n_tokens_kept,
+               COALESCE(sd.clean_md5, md5('')) AS clean_md5
         FROM documents d LEFT JOIN m USING (doc_id) LEFT JOIN gm USING (doc_id)
+             LEFT JOIN sd USING (doc_id)
     """
 
 
@@ -2492,19 +2561,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3
         """,
         "docs_top_terms": f"""
-            WITH tc AS (
-                SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
-                    SELECT UNNEST(string_split(lower(text), ' ')) AS term
-                    FROM documents)
+            WITH tok AS (
+                SELECT doc_id,
+                       UNNEST(string_split(lower(text), ' ')) AS term
+                FROM documents),
+            tf AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS c,
+                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tok
                 WHERE term <> '' AND term NOT IN ({_STOP_LIST})
                 GROUP BY term),
-            top AS (SELECT term, c AS cnt FROM tc ORDER BY c DESC, term LIMIT 20),
+            top AS (SELECT term, c AS cnt, df FROM tf ORDER BY c DESC, term LIMIT 20),
             regs AS (
                 SELECT i.i AS row_i,
-                       ('0x' || substr(md5(i.i || ':' || tc.term), 1, 16))::UBIGINT
+                       ('0x' || substr(md5(i.i || ':' || tf.term), 1, 16))::UBIGINT
                            % 1024 AS slot,
                        SUM(c) AS v
-                FROM tc CROSS JOIN unnest(range(4)) i(i)
+                FROM tf CROSS JOIN unnest(range(4)) i(i)
                 GROUP BY 1, 2),
             est AS (
                 SELECT t.term, MIN(r.v) AS e
@@ -2514,7 +2587,10 @@ def oracle_sql() -> dict[str, str]:
                  AND r.slot = ('0x' || substr(md5(i.i || ':' || t.term), 1, 16))::UBIGINT
                               % 1024
                 GROUP BY t.term)
-            SELECT top.term, top.cnt, CAST(est.e AS BIGINT) AS cms_estimate
+            SELECT top.term, top.cnt, CAST(est.e AS BIGINT) AS cms_estimate,
+                   top.df AS doc_freq,
+                   CAST(top.cnt * (((SELECT COUNT(*) FROM documents) * 1000000)
+                                   // top.df) AS BIGINT) AS tfidf_q
             FROM top JOIN est USING (term)
             ORDER BY top.cnt DESC, top.term
         """,

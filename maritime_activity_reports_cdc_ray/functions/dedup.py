@@ -1130,3 +1130,127 @@ def bloom_contains(bits: np.ndarray, hashes: np.ndarray,
     pos = bloom_positions(np.asarray(hashes), m, k)
     idx = np.minimum(np.searchsorted(bits, pos), len(bits) - 1)
     return (bits[idx] == pos).all(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# cross-document segment-level dedup (CCNet / RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+def _doc_segments(texts: pd.Series, seg_tokens: int):
+    """Split each text into non-overlapping ``seg_tokens``-token segments.
+    Tokenization is the library-wide SQL-reproducible rule —
+    ``lower().split(' ')`` with empty tokens dropped. Returns
+    ``(row_idx, seg_no, seg_text, seg_ntok)`` numpy arrays, rows ordered by
+    (row_idx, seg_no). Fully vectorized up to the per-segment string join."""
+    s = texts.fillna("").str.lower().str.split(" ").reset_index(drop=True)
+    ex = s.explode()
+    ex = ex[ex.notna() & (ex != "")]
+    rows = ex.index.to_numpy(dtype=np.int64)
+    if not len(rows):
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), np.empty(0, dtype=object), z.copy()
+    toks = ex.to_numpy(dtype=object)
+    # within-doc token ordinal: rows is non-decreasing (explode preserves
+    # input order), so ordinal = position - first position of this row
+    starts = np.searchsorted(rows, np.arange(len(s), dtype=np.int64))
+    ordinal = np.arange(len(rows), dtype=np.int64) - starts[rows]
+    seg = ordinal // seg_tokens
+    joined = (pd.Series(toks)
+              .groupby([rows, seg], sort=True).agg(" ".join))
+    ntok = pd.Series(np.ones(len(rows), dtype=np.int64)) \
+        .groupby([rows, seg], sort=True).sum()
+    idx = joined.index
+    return (idx.get_level_values(0).to_numpy(np.int64),
+            idx.get_level_values(1).to_numpy(np.int64),
+            joined.to_numpy(dtype=object),
+            ntok.to_numpy(dtype=np.int64))
+
+
+def segment_dedup(ds, seg_tokens: int = 10, max_count: int = 1,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  num_partitions: int = 16,
+                  broadcast_max_hashes: int = 5_000_000):
+    """Cross-document duplicate-segment removal — CCNet §4.1 / RefinedWeb
+    line-level dedup adapted to newline-free corpora: the dedup unit is a
+    non-overlapping ``seg_tokens``-token chunk instead of a line. Any
+    segment whose corpus-wide occurrence count exceeds ``max_count`` is
+    removed from EVERY document that carries it (boilerplate removal
+    semantics; within-doc repeats count toward the total).
+
+    Scale shape: pass A explodes docs to (segment md5_u64 hash) rows — never
+    text — and a combiner-first :func:`hash_count` finds duplicated hashes;
+    pass B re-derives segments per input block (text never leaves its
+    block), drops duplicated occurrences via a broadcast sorted-array
+    membership probe, and emits per-doc metrics plus the md5 of the rebuilt
+    text. The broadcast dup-hash set is bounded by the corpus's DUPLICATE
+    mass, not its size; ``broadcast_max_hashes`` guards worker heaps — past
+    it, shard pass B by hash range (R sub-passes each broadcasting 1/R of
+    the set) rather than ever shuffling text.
+
+    Returns one row per input doc: ``n_segs``, ``n_dup_segs`` (occurrences
+    removed), ``seg_dup_frac``, ``n_tokens_kept``, ``clean_md5`` (md5 hex of
+    the space-joined kept segments; md5('') when nothing survives).
+    Reference analogue: silver dedupWithinBatch + boilerplate filters
+    (reference silver transformations drop repeated payload rows)."""
+    import hashlib
+
+    import ray
+
+    from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
+
+    def explode_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, segs, _ = _doc_segments(df[text_col], seg_tokens)
+        return pd.DataFrame({"h": md5_u64_array(segs).astype(np.int64)})
+
+    def only_dups(df: pd.DataFrame) -> pd.DataFrame:
+        if "cnt" not in df.columns:  # an all-empty corpus yields bare blocks
+            return pd.DataFrame({"h": pd.Series(dtype="int64")})
+        return df[df["cnt"] > max_count][["h"]]
+
+    counts = hash_count(ds.map_batches(explode_hashes, batch_format="pandas"),
+                        ["h"], num_partitions)
+    dup_pdf = counts.map_batches(only_dups, batch_format="pandas").to_pandas()
+    dup_hashes = (np.sort(dup_pdf["h"].to_numpy(dtype=np.int64))
+                  if "h" in dup_pdf.columns else np.empty(0, dtype=np.int64))
+    if len(dup_hashes) > broadcast_max_hashes:
+        raise ValueError(
+            f"duplicate-segment set ({len(dup_hashes)}) exceeds the broadcast "
+            f"gate ({broadcast_max_hashes}); shard pass B by hash range")
+    dup_ref = ray.put(dup_hashes)
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        dup_sorted = ray.get(dup_ref)
+        n = len(df)
+        rows, _, segs, ntok = _doc_segments(df[text_col], seg_tokens)
+        n_segs = np.bincount(rows, minlength=n) if len(rows) else \
+            np.zeros(n, dtype=np.int64)
+        if len(rows):
+            h = md5_u64_array(segs).astype(np.int64)
+            idx = np.searchsorted(dup_sorted, h)
+            np.clip(idx, 0, max(len(dup_sorted) - 1, 0), out=idx)
+            is_dup = (dup_sorted[idx] == h) if len(dup_sorted) else \
+                np.zeros(len(h), dtype=bool)
+            n_dup = np.bincount(rows[is_dup], minlength=n)
+            kept_tok = np.bincount(rows[~is_dup], minlength=n,
+                                   weights=ntok[~is_dup]).astype(np.int64)
+            keep = ~is_dup
+            clean = pd.Series([""] * n, dtype=object)
+            if keep.any():
+                j = (pd.Series(segs[keep])
+                     .groupby(rows[keep], sort=True).agg(" ".join))
+                clean.iloc[j.index.to_numpy()] = j.to_numpy()
+        else:
+            n_dup = np.zeros(n, dtype=np.int64)
+            kept_tok = np.zeros(n, dtype=np.int64)
+            clean = pd.Series([""] * n, dtype=object)
+        md5s = clean.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_segs": n_segs.astype("int64"),
+            "n_dup_segs": n_dup.astype("int64"),
+            "seg_dup_frac": np.where(n_segs > 0,
+                                     n_dup / np.maximum(n_segs, 1), 0.0),
+            "n_tokens_kept": kept_tok,
+            "clean_md5": md5s.to_numpy(dtype=object),
+        })
+
+    return ds.map_batches(rebuild, batch_format="pandas")

@@ -336,3 +336,38 @@ def top_terms(ds, text_col: str = "text", stopwords=(), limit: int = 20,
     tops = counts.map_batches(local_top, batch_format="pandas").to_pandas()
     return (tops.sort_values(["cnt", "term"], ascending=[False, True])
             .head(limit).reset_index(drop=True))
+
+
+def make_doc_term_exploder(id_col: str = "doc_id", text_col: str = "text",
+                           stopwords=()):
+    """Like :func:`make_term_exploder` but keeps the document id — one
+    tokenization pass can then feed occurrence counts (corpus TF), the CMS
+    sketch AND document-frequency (DF) consumers. Same SQL-reproducible
+    rule: ``lower().split(' ')``, empty tokens and stopwords dropped."""
+    sw = frozenset(stopwords)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("").str.lower().str.split(" ").reset_index(drop=True)
+        ex = s.explode()
+        ex = ex[ex.notna() & (ex != "") & ~ex.isin(sw)]
+        ids = df[id_col].to_numpy()[ex.index.to_numpy(dtype=np.int64)]
+        return pd.DataFrame({id_col: ids, "term": ex.to_numpy(dtype=object)})
+
+    return explode
+
+
+def doc_freq(terms_ds, id_col: str = "doc_id", num_partitions: int = 16):
+    """Document frequency per term over a (doc_id, term) stream: per-batch
+    DISTINCT (a document lives wholly in one input row, so the batch-local
+    distinct IS the global per-doc distinct) → combiner-first hash count.
+    The shuffle moves (term, partial_df) rows, never documents. Feeds
+    integer-quantized TF-IDF: idf_q = (N·10^6) // df — integer division
+    chosen over ln() because it is exact across engines (numpy and SQL libm
+    may differ in the last ulp; integer arithmetic cannot)."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import hash_count
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates([id_col, "term"])[["term"]]
+
+    return hash_count(terms_ds.map_batches(distinct, batch_format="pandas"),
+                      ["term"], num_partitions, count_col="doc_freq")

@@ -323,3 +323,57 @@ def test_minhash_and_simhash_pairs_match_duckdb(ray_session, texts):
     assert pairs(mh, "jaccard", r6=True) == pairs(mh_o, "jaccard")
     sh_o = con.execute(E._simhash_oracle_sql()).df()
     assert pairs(sh, "hamming") == pairs(sh_o, "hamming")
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="ab c é0.", max_size=40), min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=4))
+def test_segment_dedup_matches_duckdb(ray_session, texts, seg_tokens):
+    """Cross-doc segment dedup (CCNet line-dedup analogue) vs the production
+    oracle SQL: segmentation, md5_u64 hash counting, removal rule and the
+    kept-segments md5 rebuild, on adversarial docs (repeats, unicode,
+    empty/whitespace) and varying segment widths."""
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.dedup import segment_dedup
+
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    out = (segment_dedup(rd.from_pandas(df), seg_tokens=seg_tokens)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["seg_dup_frac"] = np.copysign(
+        np.floor(np.abs(out["seg_dup_frac"]) * 1e6 + 0.5), out["seg_dup_frac"]) / 1e6
+    con = _con(df)
+    oracle = con.execute(f"""
+        WITH l AS (SELECT doc_id,
+                          list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        segs AS (SELECT doc_id, i.i AS seg_no,
+                        array_to_string(
+                            toks[i.i * {seg_tokens} + 1 : i.i * {seg_tokens} + {seg_tokens}],
+                            ' ') AS seg
+                 FROM l, unnest(range(0, (len(toks) + {seg_tokens - 1}) // {seg_tokens})) i(i)),
+        hs AS (SELECT doc_id, seg_no, seg,
+                      ('0x' || substr(md5(seg), 1, 16))::UBIGINT AS h,
+                      len(list_filter(string_split(seg, ' '), x -> x <> '')) AS ntok
+               FROM segs),
+        sc AS (SELECT h, COUNT(*) AS cnt FROM hs GROUP BY h),
+        sd AS (SELECT hs.doc_id, COUNT(*) AS n_segs,
+                      CAST(SUM(CASE WHEN sc.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+                      ROUND(CAST(SUM(CASE WHEN sc.cnt > 1 THEN 1 ELSE 0 END)
+                                 AS DOUBLE) / COUNT(*), 6) AS seg_dup_frac,
+                      CAST(COALESCE(SUM(CASE WHEN sc.cnt <= 1 THEN ntok END), 0)
+                           AS BIGINT) AS n_tokens_kept,
+                      md5(COALESCE(string_agg(CASE WHEN sc.cnt <= 1 THEN seg END,
+                                              ' ' ORDER BY seg_no), '')) AS clean_md5
+               FROM hs JOIN sc USING (h) GROUP BY hs.doc_id)
+        SELECT d.doc_id, COALESCE(sd.n_segs, 0) AS n_segs,
+               COALESCE(sd.n_dup_segs, 0) AS n_dup_segs,
+               COALESCE(sd.seg_dup_frac, 0.0) AS seg_dup_frac,
+               COALESCE(sd.n_tokens_kept, 0) AS n_tokens_kept,
+               COALESCE(sd.clean_md5, md5('')) AS clean_md5
+        FROM documents d LEFT JOIN sd USING (doc_id) ORDER BY doc_id
+    """).df()
+    for col in ["n_segs", "n_dup_segs", "n_tokens_kept", "clean_md5"]:
+        assert out[col].tolist() == oracle[col].tolist(), col
+    assert np.allclose(out["seg_dup_frac"], oracle["seg_dup_frac"], atol=0, rtol=0)

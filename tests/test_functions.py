@@ -803,3 +803,51 @@ def test_semantic_dedup_finds_planted_dupes(ray_session):
     m = exact.set_index(["id_a", "id_b"])["sim"]
     for (a, b), s in zip(zip(sd.id_a, sd.id_b), sd.sim):
         assert m.loc[(a, b)] == s
+
+
+def test_segment_dedup_cross_doc(ray_session):
+    """CCNet-style segment dedup: any 3-token segment occurring more than
+    once corpus-wide is removed from every doc (within-doc repeats count);
+    empty docs and short tail segments keep one row per doc."""
+    import hashlib
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["a b c d e f",    # 'a b c' shared with doc 1
+                 "a b c x y z",
+                 "",               # zero segments
+                 "q r",            # one short unique segment
+                 "m m m m m m"],   # within-doc repeated segment -> cnt 2
+    })
+    out = (D.segment_dedup(_ds(df), seg_tokens=3).to_pandas()
+           .set_index("doc_id").sort_index())
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
+    assert out.loc[0].tolist() == [2, 1, 0.5, 3, md5("d e f")]
+    assert out.loc[1].tolist() == [2, 1, 0.5, 3, md5("x y z")]
+    assert out.loc[2].tolist() == [0, 0, 0.0, 0, md5("")]
+    assert out.loc[3].tolist() == [1, 0, 0.0, 2, md5("q r")]
+    assert out.loc[4].tolist() == [2, 2, 1.0, 0, md5("")]
+
+
+def test_segment_dedup_broadcast_gate(ray_session):
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "a b c"]})
+    with pytest.raises(ValueError, match="broadcast gate"):
+        D.segment_dedup(_ds(df), seg_tokens=3, broadcast_max_hashes=0).to_pandas()
+
+
+def test_doc_freq_and_quantized_tfidf(ray_session):
+    """DF counts per-doc-distinct occurrences; idf_q is exact integer math."""
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["x x y", "x z", "z z z"],
+    })
+    from maritime_activity_reports_cdc_ray.functions.text import (
+        doc_freq,
+        make_doc_term_exploder,
+    )
+    terms = _ds(df).map_batches(make_doc_term_exploder(), batch_format="pandas")
+    out = doc_freq(terms).to_pandas().set_index("term")["doc_freq"]
+    assert out.to_dict() == {"x": 2, "y": 1, "z": 2}
+    # idf_q = (N*1e6)//df: N=3 -> x: 1500000, y: 3000000
+    assert (3 * 10**6) // out["x"] == 1_500_000
+    assert (3 * 10**6) // out["y"] == 3_000_000
