@@ -1132,10 +1132,14 @@ def docs_sampling(sf_dir: str):
     result: ``hash`` = ~12.5% md5(doc_id)-keyed sample (no RNG, no shuffle);
     ``stratified`` = language-balanced down-sampling ('en' to ~25%, others
     ~50%) — the per-source-cap primitive, one md5-prefix keep-set per
-    stratum. Each is a pure per-batch filter, reproducible in any SQL."""
+    stratum. Each is a pure per-batch filter, reproducible in any SQL.
+    ``weighted`` = deterministic weighted sample without replacement (20
+    docs, weight = n_chars): integer priority md5_u64(id)//weight, the
+    hash-keyed Efraimidis-Spirakis race in exact integer arithmetic."""
     from maritime_activity_reports_cdc_ray.functions.sample import (
         md5_hash_sample,
         stratified_hash_sample,
+        weighted_priority_sample,
     )
 
     from maritime_activity_reports_cdc_ray.functions.window import topk_per_group
@@ -1153,7 +1157,9 @@ def docs_sampling(sf_dir: str):
     t = topk_per_group(ds, "lang", "n_chars", "doc_id", k=3).to_pandas()
     t = t.drop(columns=["rn"])
     t["method"] = "topk"
-    out = pd.concat([h, s, t], ignore_index=True)
+    w = weighted_priority_sample(ds, "doc_id", "n_chars", k=20)
+    w["method"] = "weighted"
+    out = pd.concat([h, s, t, w], ignore_index=True)
     return (out[["method", "doc_id", "lang", "n_chars"]]
             .sort_values(["method", "doc_id"]).reset_index(drop=True))
 
@@ -2559,6 +2565,15 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_chars DESC, doc_id) AS rn
                 FROM documents)
             WHERE rn <= 3
+            UNION ALL
+            SELECT 'weighted' AS method, doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       ROW_NUMBER() OVER (ORDER BY
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                               // CAST(GREATEST(n_chars, 1) AS UBIGINT),
+                           doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 20
         """,
         "docs_top_terms": f"""
             WITH tok AS (

@@ -54,3 +54,34 @@ def stratified_hash_sample(ds, id_col: str, group_col: str,
         return df[keep]
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def weighted_priority_sample(ds, id_col: str, weight_col: str, k: int = 20):
+    """Deterministic weighted sample WITHOUT replacement: keep the ``k``
+    rows with the smallest integer priority ``md5_u64(str(id)) // weight``
+    (ties by id). A heavier row divides its uniform 64-bit hash by a larger
+    weight, so it wins proportionally more often — the hash-keyed analogue
+    of the Efraimidis-Spirakis exponential race, done in PURE INTEGER
+    arithmetic so any SQL engine reproduces it bit-for-bit (float ln()/pow()
+    orderings can differ in the last ulp across libms; integer division
+    cannot).
+
+    Shape: per-batch priority + local smallest-``k`` (top-k is a semilattice,
+    so the batch-local head is a correct combiner) — the driver sees at most
+    ``k`` rows per block, never the corpus. Non-positive weights are clamped
+    to 1."""
+    import numpy as np
+
+    from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
+
+    def local_head(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(_q=pd.Series(dtype="uint64"))
+        h = md5_u64_array(df[id_col].astype(str).to_numpy(dtype=object))
+        w = np.maximum(df[weight_col].to_numpy(), 1).astype(np.uint64)
+        df = df.assign(_q=h // w)
+        return df.sort_values(["_q", id_col]).head(k)
+
+    out = ds.map_batches(local_head, batch_format="pandas").to_pandas()
+    return (out.sort_values(["_q", id_col]).head(k)
+            .drop(columns=["_q"]).reset_index(drop=True))

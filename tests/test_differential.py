@@ -377,3 +377,106 @@ def test_segment_dedup_matches_duckdb(ray_session, texts, seg_tokens):
     for col in ["n_segs", "n_dup_segs", "n_tokens_kept", "clean_md5"]:
         assert out[col].tolist() == oracle[col].tolist(), col
     assert np.allclose(out["seg_dup_frac"], oracle["seg_dup_frac"], atol=0, rtol=0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=2, max_value=40), st.integers(min_value=0, max_value=10**6))
+def test_window_kernels_match_duckdb(ray_session, n, seed):
+    """Every per-key window kernel vs the corresponding DuckDB window
+    function on random event logs with duplicate keys, duplicate order
+    values (tie stress) and single-row keys. event_id breaks ties wherever
+    the kernel contract requires a total order."""
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions import window as W
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, max(2, n // 4), n),
+        "ts": pd.to_datetime(rng.integers(0, 50, n) * 10, unit="s"),
+        "value": rng.integers(-3, 4, n).astype("float64"),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    con = _con(df.rename(columns={"text": "t"}))
+    con.unregister("documents"); con.register("events", df)
+    ds = rd.from_pandas(df)
+
+    def key(f):  # order-insensitive row-level compare
+        return f.sort_values("event_id").reset_index(drop=True)
+
+    # W1 lag
+    out = key(W.per_key_lag(ds, "user_id", ["ts", "event_id"],
+                            {"value": "prev_value"}).to_pandas())
+    ora = key(con.execute("""
+        SELECT *, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_value FROM events""").df())
+    assert out["prev_value"].fillna(-9).tolist() == ora["prev_value"].fillna(-9).tolist()
+
+    # W2 transitions (first row of a key counts)
+    out = W.transitions(ds, "user_id", ["ts", "event_id"], "event_type") \
+        .to_pandas()["event_id"].sort_values().tolist()
+    ora = con.execute("""
+        SELECT event_id FROM (
+            SELECT event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS p
+            FROM events)
+        WHERE p IS NULL OR p <> event_type ORDER BY event_id""").df()
+    assert out == ora["event_id"].tolist()
+
+    # SCD2 valid_to = lead(order)
+    out = key(W.scd2_view(ds, "user_id", "event_id").to_pandas())
+    ora = key(con.execute("""
+        SELECT event_id, lead(event_id) OVER (PARTITION BY user_id
+                                              ORDER BY event_id) AS valid_to
+        FROM events""").df())
+    assert out["valid_to"].fillna(-9).tolist() == ora["valid_to"].fillna(-9).tolist()
+
+    # sessionize (gap > 15s). Session ids are tie-order invariant.
+    out = key(W.sessionize(ds, "user_id", "ts", 15.0).to_pandas())
+    ora = key(con.execute("""
+        SELECT event_id, SUM(CASE WHEN gap IS NULL OR gap > 15 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        FROM (SELECT event_id, user_id, ts,
+                     date_diff('second',
+                               lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id), ts) AS gap
+              FROM events)""").df())
+    assert out["session_id"].tolist() == ora["sid"].astype("int64").tolist()
+
+    # rank within partition (competition ranking, ties share)
+    out = key(W.rank_within(ds, "event_type", "value").to_pandas())
+    ora = key(con.execute("""
+        SELECT event_id, RANK() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC) AS rnk
+        FROM events""").df())
+    assert out["rnk"].tolist() == ora["rnk"].astype("int64").tolist()
+
+    # top-k per group (row_number with id tie-break)
+    out = W.topk_per_group(ds, "event_type", "value", "event_id", k=3) \
+        .to_pandas()["event_id"].sort_values().tolist()
+    ora = con.execute("""
+        SELECT event_id FROM (
+            SELECT event_id, ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY value DESC, event_id) AS rn FROM events)
+        WHERE rn <= 3 ORDER BY event_id""").df()
+    assert out == ora["event_id"].tolist()
+
+    # adjacent pairing (rows 2..n per key)
+    out = key(W.adjacent_pairs(ds, "user_id", ["ts", "event_id"],
+                               ["event_type"]).to_pandas())
+    ora = key(con.execute("""
+        SELECT event_id, p FROM (
+            SELECT event_id, lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS p FROM events)
+        WHERE p IS NOT NULL""").df())
+    assert out["prev_event_type"].tolist() == ora["p"].tolist()
+
+    # global competition rank (distributed sorted-block offsets)
+    out = key(W.global_rank(ds, "value").to_pandas()
+              [["event_id", "rnk"]])
+    ora = key(con.execute("""
+        SELECT event_id, RANK() OVER (ORDER BY value DESC) AS rnk
+        FROM events""").df())
+    assert out["rnk"].tolist() == ora["rnk"].astype("int64").tolist()

@@ -851,3 +851,28 @@ def test_doc_freq_and_quantized_tfidf(ray_session):
     # idf_q = (N*1e6)//df: N=3 -> x: 1500000, y: 3000000
     assert (3 * 10**6) // out["x"] == 1_500_000
     assert (3 * 10**6) // out["y"] == 3_000_000
+
+
+def test_weighted_priority_sample_exact_and_biased(ray_session):
+    """Matches the brute-force integer-priority order exactly, and heavier
+    rows dominate the head (hash-keyed weighted race)."""
+    import hashlib
+
+    from maritime_activity_reports_cdc_ray.functions.sample import (
+        weighted_priority_sample,
+    )
+
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "n_chars": np.where(np.arange(n) % 4 == 0, 5000, 50),  # 25% heavy
+    })
+    out = weighted_priority_sample(_ds(df), "doc_id", "n_chars", k=30)
+    h = df["doc_id"].astype(str).map(
+        lambda s: int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big"))
+    brute = (df.assign(q=(h.to_numpy().astype(np.uint64)
+                          // df["n_chars"].to_numpy().astype(np.uint64)))
+             .sort_values(["q", "doc_id"]).head(30))
+    assert out["doc_id"].tolist() == brute["doc_id"].tolist()
+    # 100x weight -> heavy rows (25% of corpus) should dominate the head
+    assert (out["n_chars"] == 5000).mean() > 0.8
