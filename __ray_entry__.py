@@ -71,15 +71,19 @@ def _t(sf_dir: str, name: str, columns=None):
         return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
 
 
-def _par2(fa, fb):
-    """Run two independent query callables concurrently (each drives its own
+def _parn(*fns):
+    """Run independent query callables concurrently (each drives its own
     Ray Data execution; the streaming executor interleaves their tasks) —
-    merged two-face queries pay max() instead of sum() of their halves."""
+    merged multi-face queries pay max() instead of sum() of their faces."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(2) as ex:
-        a, b = ex.submit(fa), ex.submit(fb)
-        return a.result(), b.result()
+    with ThreadPoolExecutor(len(fns)) as ex:
+        futs = [ex.submit(f) for f in fns]
+        return tuple(f.result() for f in futs)
+
+
+def _par2(fa, fb):
+    return _parn(fa, fb)
 
 
 def _revenue(t: pa.Table) -> pa.Table:
@@ -820,14 +824,42 @@ def docs_fingerprint(sf_dir: str):
 
 
 def docs_quality(sf_dir: str):
+    """Both quality-scoring faces in one attested result: method='heuristic'
+    = the tiered rule ladder (token/char/punct/stopword gates → category);
+    method='classifier' = the fasttext-style hashed-bag-of-words linear
+    scorer (deterministic weights — the SQL oracle replays tokenize → md5
+    feature hash → integer weight sum → label). Faces run concurrently."""
     from ray.data.aggregate import Count
 
-    from maritime_activity_reports_cdc_ray.functions.text import quality_score
+    from maritime_activity_reports_cdc_ray.functions.text import (
+        HashedLinearClassifier,
+        quality_score,
+    )
 
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    scored = ds.map_batches(lambda df: quality_score(df)[["doc_id", "doc_quality_category"]],
-                            batch_format="pandas")
-    return scored.groupby("doc_quality_category").aggregate(Count(alias_name="n_docs")).to_pandas()
+    def heuristic():
+        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        scored = ds.map_batches(
+            lambda df: quality_score(df)[["doc_id", "doc_quality_category"]],
+            batch_format="pandas")
+        out = scored.groupby("doc_quality_category").aggregate(
+            Count(alias_name="n_docs")).to_pandas()
+        out = out.rename(columns={"doc_quality_category": "category"})
+        out.insert(0, "method", "heuristic")
+        return out
+
+    def classifier():
+        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        scored = ds.map_batches(HashedLinearClassifier(),
+                                batch_format="pandas")
+        out = scored.groupby("clf_label").aggregate(
+            Count(alias_name="n_docs")).to_pandas()
+        out = out.rename(columns={"clf_label": "category"})
+        out.insert(0, "method", "classifier")
+        return out
+
+    h, c = _par2(heuristic, classifier)
+    return (pd.concat([h, c], ignore_index=True)
+            .sort_values(["method", "category"]).reset_index(drop=True))
 
 
 def docs_lang_id(sf_dir: str):
@@ -1135,10 +1167,14 @@ def docs_sampling(sf_dir: str):
     stratum. Each is a pure per-batch filter, reproducible in any SQL.
     ``weighted`` = deterministic weighted sample without replacement (20
     docs, weight = n_chars): integer priority md5_u64(id)//weight, the
-    hash-keyed Efraimidis-Spirakis race in exact integer arithmetic."""
+    hash-keyed Efraimidis-Spirakis race in exact integer arithmetic.
+    ``temperature`` = α=0.5 temperature rebalancing (keep rate √(N_min/N_g)
+    per language — the mBERT/XLM-R multilingual thinning rule) via the
+    integer gate md5_u64(id) % N_g < isqrt(N_g·N_min)."""
     from maritime_activity_reports_cdc_ray.functions.sample import (
         md5_hash_sample,
         stratified_hash_sample,
+        temperature_hash_sample,
         weighted_priority_sample,
     )
 
@@ -1159,7 +1195,9 @@ def docs_sampling(sf_dir: str):
     t["method"] = "topk"
     w = weighted_priority_sample(ds, "doc_id", "n_chars", k=20)
     w["method"] = "weighted"
-    out = pd.concat([h, s, t, w], ignore_index=True)
+    tp = temperature_hash_sample(ds, "doc_id", "lang").to_pandas()
+    tp["method"] = "temperature"
+    out = pd.concat([h, s, t, w, tp], ignore_index=True)
     return (out[["method", "doc_id", "lang", "n_chars"]]
             .sort_values(["method", "doc_id"]).reset_index(drop=True))
 
@@ -1320,15 +1358,32 @@ def emb_knn_ivf(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def emb_knn_pq(sf_dir: str):
+    """Product-quantization approximate ANN (ADC scoring over 1-byte
+    subspace codes) — the memory-compression scale path. EXACT SQL oracle of
+    the approximate algorithm: deterministic slice-of-id-stride-seed
+    codebooks, rounded subspace distances, rounded ADC sums — DuckDB replays
+    codebook build, encode, and scoring bit-for-bit."""
+    from maritime_activity_reports_cdc_ray.functions.similarity import knn_pq
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_pq(ds, query_ids=_KNN_QUERIES, k=10, m=8, ksub=16,
+                 centroid_id_stride=29).to_pandas()
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def emb_knn_ann(sf_dir: str):
-    """Both approximate-ANN scale paths in one attested result: method='lsh'
-    (hyperplane buckets) and method='ivf' (inverted lists) — each an exact
-    SQL oracle OF the approximate algorithm, unioned the same way."""
-    lsh, ivf = _par2(lambda: emb_knn_lsh(sf_dir),
-                     lambda: emb_knn_ivf(sf_dir))
+    """All three approximate-ANN scale paths in one attested result:
+    method='lsh' (hyperplane buckets), method='ivf' (inverted lists), and
+    method='pq' (product-quantization codes + ADC) — each an exact SQL
+    oracle OF the approximate algorithm, unioned the same way."""
+    lsh, ivf, pq = _parn(lambda: emb_knn_lsh(sf_dir),
+                         lambda: emb_knn_ivf(sf_dir),
+                         lambda: emb_knn_pq(sf_dir))
     lsh.insert(0, "method", "lsh")
     ivf.insert(0, "method", "ivf")
-    return (pd.concat([lsh, ivf], ignore_index=True)
+    pq.insert(0, "method", "pq")
+    return (pd.concat([lsh, ivf, pq], ignore_index=True)
             .sort_values(["method", "query_id", "rank"]).reset_index(drop=True))
 
 
@@ -1798,6 +1853,53 @@ def _knn_ivf_oracle_sql() -> str:
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
         FROM sims QUALIFY rank <= 10
+    """
+
+
+def _knn_pq_oracle_sql(m: int = 8, ksub: int = 16, dim: int = 64,
+                       stride: int = 29, round_dp: int = 6) -> str:
+    """Exact DuckDB oracle OF the approximate PQ algorithm
+    (functions/similarity.py knn_pq): codeword j of subspace s is the s-th
+    slice of the j-th id-stride seed vector; encode = per-(vector, subspace)
+    argmin of ROUND(Σ(v-c)², dp) with smallest-codeword tie-break; ADC
+    distance = ROUND(Σ_s dt[s, code_s], dp) where the query's distance table
+    rows are the same rounded subspace distances; rank ascending with
+    neighbor_id tie-break."""
+    dsub = dim // m
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (
+            SELECT vec_id, v AS cv,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+            FROM e WHERE vec_id % {stride} = 0 AND vec_id // {stride} < {ksub}
+            QUALIFY j < {ksub}),
+        cb AS (
+            SELECT s.s AS s, cent.j, d.d AS dd,
+                   cent.cv[CAST(s.s * {dsub} + d.d AS INT) + 1] AS cx
+            FROM cent, unnest(range({m})) s(s), unnest(range({dsub})) d(d)),
+        vd AS (
+            SELECT e.vec_id, s.s AS s, d.d AS dd,
+                   e.v[CAST(s.s * {dsub} + d.d AS INT) + 1] AS x
+            FROM e, unnest(range({m})) s(s), unnest(range({dsub})) d(d)),
+        d2 AS (
+            SELECT vd.vec_id, vd.s, cb.j,
+                   ROUND(SUM(power(vd.x - cb.cx, 2)), {round_dp}) AS d2
+            FROM vd JOIN cb ON cb.s = vd.s AND cb.dd = vd.dd
+            GROUP BY 1, 2, 3),
+        codes AS (
+            SELECT vec_id, s, j FROM d2
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                       ORDER BY d2, j) = 1),
+        q AS (SELECT vec_id AS qid FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+        adist AS (
+            SELECT q.qid, c.vec_id AS nid, ROUND(SUM(qd.d2), {round_dp}) AS ad
+            FROM q JOIN codes c ON c.vec_id <> q.qid
+            JOIN d2 qd ON qd.vec_id = q.qid AND qd.s = c.s AND qd.j = c.j
+            GROUP BY 1, 2)
+        SELECT qid AS query_id, nid AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY ad, nid) AS BIGINT) AS rank
+        FROM adist QUALIFY rank <= 10
     """
 
 
@@ -2422,11 +2524,35 @@ def oracle_sql() -> dict[str, str]:
                              THEN 0 ELSE 1 END) AS fails
                 FROM m
             )
-            SELECT CASE fails WHEN 0 THEN 'EXCELLENT' WHEN 1 THEN 'GOOD'
+            SELECT 'heuristic' AS method,
+                   CASE fails WHEN 0 THEN 'EXCELLENT' WHEN 1 THEN 'GOOD'
                               WHEN 2 THEN 'FAIR' WHEN 3 THEN 'POOR'
-                              ELSE 'INVALID' END AS doc_quality_category,
+                              ELSE 'INVALID' END AS category,
                    COUNT(*) AS n_docs
-            FROM f GROUP BY 1
+            FROM f GROUP BY 2
+            UNION ALL
+            -- hashed-bag-of-words linear classifier: bucket =
+            -- md5_u64(token) % 128, weight = (md5_u64('w:'||bucket) % 2001)
+            -- - 1000, score = exact integer sum over token occurrences
+            SELECT 'classifier' AS method,
+                   CASE WHEN score > 0 THEN 'pos' ELSE 'neg' END AS category,
+                   COUNT(*) AS n_docs
+            FROM (
+                WITH l AS (
+                    SELECT doc_id,
+                           list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                                       x -> x <> '') AS toks
+                    FROM documents),
+                w AS (
+                    SELECT doc_id,
+                           CAST(('0x' || substr(md5('w:' || CAST(
+                               ('0x' || substr(md5(u.tok), 1, 16))::UBIGINT % 128
+                           AS VARCHAR)), 1, 16))::UBIGINT % 2001 AS BIGINT) - 1000
+                               AS wt
+                    FROM l, unnest(toks) AS u(tok))
+                SELECT l.doc_id, COALESCE(SUM(w.wt), 0) AS score
+                FROM l LEFT JOIN w USING (doc_id) GROUP BY l.doc_id)
+            GROUP BY 2
         """,
         "docs_ngram_jaccard_dupes": """
             WITH norm AS (
@@ -2548,6 +2674,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ivf' AS method, query_id, neighbor_id, rank
             FROM ({_knn_ivf_oracle_sql()})
+            UNION ALL
+            SELECT 'pq' AS method, query_id, neighbor_id, rank
+            FROM ({_knn_pq_oracle_sql()})
         """,
         "docs_sampling": """
             SELECT 'hash' AS method, doc_id, lang, n_chars FROM documents
@@ -2574,6 +2703,26 @@ def oracle_sql() -> dict[str, str]:
                            doc_id) AS rn
                 FROM documents)
             WHERE rn <= 20
+            UNION ALL
+            -- temperature (α=0.5) rebalancing: keep iff
+            -- md5_u64(id) % N_g < isqrt(N_g·N_min); isqrt replayed exactly
+            -- via float sqrt + one-step integer correction
+            SELECT 'temperature' AS method, doc_id, lang, n_chars FROM (
+                WITH tn AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl
+                            FROM documents GROUP BY lang),
+                tk AS (SELECT lang, nl, nl * (SELECT MIN(nl) FROM tn) AS x,
+                              CAST(FLOOR(SQRT(CAST(nl * (SELECT MIN(nl) FROM tn)
+                                                   AS DOUBLE))) AS BIGINT) AS k0
+                       FROM tn),
+                tq AS (SELECT lang, nl,
+                              CASE WHEN (k0 + 1) * (k0 + 1) <= x THEN k0 + 1
+                                   WHEN k0 * k0 > x THEN k0 - 1
+                                   ELSE k0 END AS kl
+                       FROM tk)
+                SELECT d.doc_id, d.lang, d.n_chars
+                FROM documents d JOIN tq USING (lang)
+                WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                      % CAST(tq.nl AS UBIGINT) < CAST(tq.kl AS UBIGINT))
         """,
         "docs_top_terms": f"""
             WITH tok AS (

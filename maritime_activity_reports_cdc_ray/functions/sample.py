@@ -56,6 +56,49 @@ def stratified_hash_sample(ds, id_col: str, group_col: str,
     return ds.map_batches(f, batch_format="pandas")
 
 
+def temperature_hash_sample(ds, id_col: str, group_col: str):
+    """Temperature-balanced down-sampling at α = 0.5 (the multilingual
+    rebalancing rule of mBERT/XLM-R-style corpus curation: keep probability
+    ∝ N_g^(α-1), so over-represented groups are thinned toward the smallest
+    group). With α = 0.5 the per-group keep rate is √(N_min / N_g) — done in
+    PURE INTEGER arithmetic so any SQL engine reproduces the selection
+    bit-for-bit: keep a row iff ``md5_u64(str(id)) % N_g < isqrt(N_g·N_min)``
+    (the keep count per group is exactly its rate times N_g, rounded down to
+    the integer square root — no float pow/sqrt whose last ulp could differ
+    across libms).
+
+    Shape: one tiny count-per-group pass (per-batch ``value_counts``
+    combiner; the driver reduces G rows, never the corpus), then a pure
+    per-batch filter with the broadcast {group: (N_g, K_g)} table — no
+    shuffle, stable under repartitioning."""
+    import math
+
+    import numpy as np
+
+    from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
+
+    counts = (ds.map_batches(
+        lambda df: df[group_col].value_counts().rename_axis(group_col)
+        .reset_index(name="n"),
+        batch_format="pandas",
+    ).to_pandas().groupby(group_col)["n"].sum())
+    n_min = int(counts.min())
+    table = {g: (int(n), math.isqrt(int(n) * n_min)) for g, n in counts.items()}
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        h = md5_u64_array(df[id_col].astype(str).to_numpy(dtype=object))
+        ng = np.empty(len(df), dtype=np.uint64)
+        kg = np.empty(len(df), dtype=np.uint64)
+        for g, (n, k) in table.items():
+            m = (df[group_col] == g).to_numpy()
+            ng[m], kg[m] = n, k
+        return df[(h % ng) < kg]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def weighted_priority_sample(ds, id_col: str, weight_col: str, k: int = 20):
     """Deterministic weighted sample WITHOUT replacement: keep the ``k``
     rows with the smallest integer priority ``md5_u64(str(id)) // weight``

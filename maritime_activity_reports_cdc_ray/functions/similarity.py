@@ -496,6 +496,99 @@ def kmeans_fit(ds, k: int = 16, iters: int = 2, id_col: str = "vec_id",
     return cent, stats[stats["n_vecs"] > 0].reset_index(drop=True)
 
 
+def knn_pq(ds, query_ids: list[int], k: int = 10, m: int = 8, ksub: int = 16,
+           centroid_id_stride: int = 29, id_col: str = "vec_id",
+           vec_col: str = "embedding", round_dp: int = 6):
+    """Product-quantization approximate top-k (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") — the memory-compression scale
+    path next to LSH (bucketing) and IVF (list pruning): each vector is stored
+    as ``m`` one-byte codes (16× smaller than float64×dim here), and queries
+    score candidates from a precomputed per-subspace distance table (ADC)
+    without touching the original floats.
+
+    Determinism contract (what makes an exact SQL oracle of the APPROXIMATE
+    algorithm possible — same discipline as :func:`kmeans_fit`): the ``ksub``
+    codewords of subspace ``s`` are the ``s``-th slices of the id-stride seed
+    vectors (``id % stride == 0``, ordered by id, first ``ksub`` — no RNG, no
+    training iterations); every subspace distance is ``ROUND(Σ(v-c)²,
+    round_dp)`` with smallest-codeword tie-break; the ADC distance is the
+    rounded sum of ``m`` table entries. DuckDB replays codebook build, encode,
+    and scoring bit-for-bit.
+
+    Scale shape: the codebook (m × ksub × dsub floats — a few KB) and the
+    query distance tables broadcast once via ``ray.put``; ONE streaming pass
+    encodes each batch and immediately ADC-scores it, emitting only local
+    top-k candidate rows (the combiner); a per-query reduce finishes. In a
+    stored-index deployment the encode pass writes the (id, code_0..code_m-1)
+    table once — 1 byte per subspace per vector — and queries stream over
+    codes alone."""
+    import ray
+
+    seeds = _stride_centroids(ds, id_col, vec_col, int(centroid_id_stride), ksub)
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    ksub = seeds.shape[0]  # a sparse id tail may yield fewer seeds (see
+    # _stride_centroids) — the SQL oracle's LIMIT sees the same reduced set
+    # codebook[s, j] = subspace-s slice of seed vector j
+    codebook = seeds.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+
+    qdf = _fetch_queries(ds, query_ids, id_col).sort_values(id_col)
+    qids_arr = qdf[id_col].to_numpy(dtype="int64")
+    qm = _to_matrix(qdf[vec_col])
+    # ADC tables: dt[qi, s, j] = round(Σ (q_sub - codeword)², dp)
+    qsub = qm.reshape(len(qm), m, dsub)
+    dt = _round_half_away(
+        ((qsub[:, :, None, :] - codebook[None, :, :, :]) ** 2).sum(axis=3),
+        round_dp)
+    ref = ray.put((codebook, qids_arr, dt))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cb, qids2, dt2 = ray.get(ref)
+        if not len(df):
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        ids = df[id_col].to_numpy(dtype="int64")
+        mv = _to_matrix(df[vec_col]).reshape(len(df), m, dsub)
+        # encode: nearest codeword per subspace (rounded d², argmin = first
+        # minimum = smallest codeword index on ties)
+        d2 = _round_half_away(
+            ((mv[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3),
+            round_dp)  # (n, m, ksub)
+        codes = d2.argmin(axis=2)  # (n, m) uint8-sized — the stored index
+        # ADC: adist[qi, i] = round(Σ_s dt2[qi, s, codes[i, s]], dp)
+        sub = np.arange(m)
+        gathered = dt2[:, sub[None, :], codes]  # (nq, n, m)
+        adist = _round_half_away(gathered.sum(axis=2), round_dp)  # (nq, n)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids2):
+            keep = np.nonzero(ids != qid)[0]
+            row = adist[qi][keep]
+            kk = min(k, len(row))
+            if kk == 0:
+                continue
+            # ADC ties are COMMON (vectors sharing codes have identical
+            # distances), so the local combiner must cut its top-k with the
+            # same (distance, neighbor_id) order the final reduce and the SQL
+            # oracle use — argpartition's arbitrary boundary handling would
+            # drop the tied candidate with the smaller id
+            top = np.lexsort((ids[keep], row))[:kk]
+            out_q.extend([qid] * len(top))
+            out_n.extend(ids[keep[top]])
+            # negate AFTER rounding: sim DESC == approx distance ASC, so the
+            # shared per-query reduce (_make_final) ranks PQ like the others
+            out_s.extend(-row[top])
+        return pd.DataFrame({"query_id": np.asarray(out_q, dtype="int64"),
+                             "neighbor_id": np.asarray(out_n, dtype="int64"),
+                             "sim": np.asarray(out_s, dtype="float64")})
+
+    cand = ds.map_batches(score, batch_format="pandas")
+    return cand.groupby("query_id").map_groups(
+        _make_final(k, None), batch_format="pandas")
+
+
 def semantic_dedup(ds, threshold: float = 0.95, k: int = 16, iters: int = 2,
                    centroid_id_stride: int = 29, id_col: str = "vec_id",
                    vec_col: str = "embedding", round_decimals: int = 6):

@@ -295,6 +295,52 @@ def repetition_metrics(df: pd.DataFrame, id_col: str = "doc_id",
     })
 
 
+class HashedLinearClassifier:
+    """Model-based quality scoring: a fasttext-style linear classifier over
+    hashed bag-of-words features (the CCNet/GPT-3 "quality classifier" stage
+    — score each document with a trained linear model, filter on the score).
+
+    Here the weight vector is DETERMINISTIC instead of trained — weight of
+    bucket ``b`` is ``(md5_u64("w:" + str(b)) % 2001) - 1000`` — so the whole
+    scoring pipeline (tokenize → hash features → linear score → label) is
+    attested bit-for-bit by a SQL oracle; a production deployment swaps the
+    derived weights for a trained array loaded in ``__init__`` (the actor-pool
+    pattern: model state built once per actor, batches scored in
+    ``__call__``). Score arithmetic is pure integer (token bucket weights in
+    [-1000, 1000] summed exactly), tokenization is the shared
+    ``lower().split(' ')`` rule."""
+
+    def __init__(self, n_buckets: int = 128, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        from maritime_activity_reports_cdc_ray.hashing import md5_u64
+
+        self.n_buckets = n_buckets
+        self.id_col, self.text_col = id_col, text_col
+        self.weights = np.asarray(
+            [(md5_u64(f"w:{b}") % 2001) - 1000 for b in range(n_buckets)],
+            dtype=np.int64)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
+
+        n = len(df)
+        score = np.zeros(n, dtype=np.int64)
+        s = (df[self.text_col].fillna("").str.lower().str.split(" ")
+             .reset_index(drop=True).explode())
+        s = s[s.notna() & (s != "")]
+        if len(s):
+            rows = s.index.to_numpy(dtype=np.int64)
+            h = md5_u64_array(s.to_numpy(dtype=object))
+            w = self.weights[(h % np.uint64(self.n_buckets)).astype(np.int64)]
+            # bincount-with-weights is float64 but exact here (|score| ≪ 2^53)
+            score = np.bincount(rows, weights=w, minlength=n).astype(np.int64)
+        return pd.DataFrame({
+            self.id_col: df[self.id_col].to_numpy(),
+            "clf_score": score,
+            "clf_label": np.where(score > 0, "pos", "neg"),
+        })
+
+
 def make_term_exploder(text_col: str = "text", stopwords=()):
     """The ONE tokenization rule shared by the vocabulary head and the CMS
     sketch (and contracted by their SQL oracles): ``lower().split(' ')``,

@@ -480,3 +480,97 @@ def test_window_kernels_match_duckdb(ray_session, n, seed):
         SELECT event_id, RANK() OVER (ORDER BY value DESC) AS rnk
         FROM events""").df())
     assert out["rnk"].tolist() == ora["rnk"].astype("int64").tolist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=16, max_value=48), st.integers(min_value=0, max_value=9))
+def test_knn_pq_matches_duckdb_replay(ray_session, n_vecs, seed):
+    """Product-quantization ANN (codebook build → encode → ADC scoring)
+    replayed in SQL on random embeddings — stress of the per-subspace
+    rounding contract and the smallest-codeword/neighbor tie-breaks."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.similarity import knn_pq
+
+    dim, m, ksub, stride = 8, 2, 4, 5
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(0, 1, (n_vecs, dim)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n_vecs),
+                       "embedding": [v for v in vecs]})
+    out = knn_pq(rd.from_pandas(df), query_ids=[0, 1, 2, 3, 4], k=10,
+                 m=m, ksub=ksub, centroid_id_stride=stride).to_pandas()
+    con = duckdb.connect()
+    con.register("embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_vecs)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    oracle = con.execute(_entry_mod()._knn_pq_oracle_sql(
+        m=m, ksub=ksub, dim=dim, stride=stride)).df()
+    key = lambda d: d.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got, ora = key(out[["query_id", "neighbor_id", "rank"]]), key(oracle)
+    assert got["query_id"].tolist() == ora["query_id"].tolist()
+    assert got["neighbor_id"].tolist() == ora["neighbor_id"].tolist()
+    assert got["rank"].tolist() == ora["rank"].astype("int64").tolist()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.sampled_from(["en", "de", "fr", "xx"]), min_size=2, max_size=40),
+       st.integers(min_value=0, max_value=1000))
+def test_temperature_sample_matches_duckdb(ray_session, langs, id0):
+    """α=0.5 temperature rebalancing: the integer gate
+    md5_u64(id) % N_g < isqrt(N_g·N_min) vs the SQL replay (float sqrt +
+    one-step correction), on skewed random group distributions."""
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.sample import (
+        temperature_hash_sample,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(id0, id0 + len(langs)),
+                       "lang": langs, "n_chars": np.ones(len(langs), int)})
+    out = temperature_hash_sample(rd.from_pandas(df), "doc_id", "lang").to_pandas()
+    con = _con(df)
+    ora = con.execute("""
+        WITH tn AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl
+                    FROM documents GROUP BY lang),
+        tk AS (SELECT lang, nl, nl * (SELECT MIN(nl) FROM tn) AS x,
+                      CAST(FLOOR(SQRT(CAST(nl * (SELECT MIN(nl) FROM tn)
+                                           AS DOUBLE))) AS BIGINT) AS k0
+               FROM tn),
+        tq AS (SELECT lang, nl,
+                      CASE WHEN (k0 + 1) * (k0 + 1) <= x THEN k0 + 1
+                           WHEN k0 * k0 > x THEN k0 - 1 ELSE k0 END AS kl
+               FROM tk)
+        SELECT d.doc_id FROM documents d JOIN tq USING (lang)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+              % CAST(tq.nl AS UBIGINT) < CAST(tq.kl AS UBIGINT)
+        ORDER BY doc_id""").df()
+    got = sorted(out["doc_id"].tolist()) if len(out) else []
+    assert got == ora["doc_id"].tolist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(_texts)
+def test_hashed_classifier_matches_duckdb(texts):
+    """fasttext-style hashed-bag-of-words linear scorer vs its SQL replay:
+    md5 feature hashing, derived integer weights, exact integer score sums."""
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    out = (T.HashedLinearClassifier()(df)
+           .sort_values("doc_id").reset_index(drop=True))
+    con = _con(df)
+    ora = con.execute("""
+        WITH l AS (SELECT doc_id,
+                          list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        w AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5('w:' || CAST(
+                         ('0x' || substr(md5(u.tok), 1, 16))::UBIGINT % 128
+                     AS VARCHAR)), 1, 16))::UBIGINT % 2001 AS BIGINT) - 1000 AS wt
+              FROM l, unnest(toks) AS u(tok))
+        SELECT l.doc_id, COALESCE(SUM(w.wt), 0) AS score
+        FROM l LEFT JOIN w USING (doc_id) GROUP BY l.doc_id ORDER BY doc_id
+    """).df()
+    assert out["clf_score"].tolist() == ora["score"].astype("int64").tolist()
+    assert (out["clf_label"] == np.where(ora["score"] > 0, "pos", "neg")).all()

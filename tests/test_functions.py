@@ -876,3 +876,86 @@ def test_weighted_priority_sample_exact_and_biased(ray_session):
     assert out["doc_id"].tolist() == brute["doc_id"].tolist()
     # 100x weight -> heavy rows (25% of corpus) should dominate the head
     assert (out["n_chars"] == 5000).mean() > 0.8
+
+
+def test_knn_pq_recall_and_determinism(ray_session):
+    """PQ/ADC ANN: planted structure — clusters far apart in distinct
+    subspace patterns — must be recovered (same-cluster vectors rank first),
+    and the result is identical across repartitionings (the combiner cut is
+    order-independent)."""
+    rng = np.random.default_rng(3)
+    n, dim = 120, 16
+    base = rng.normal(0, 0.05, (n, dim))
+    # 4 well-separated cluster centers; vec i belongs to cluster i % 4
+    centers = np.eye(4).repeat(4, axis=1) * 10.0  # (4, 16)
+    vecs = base + centers[np.arange(n) % 4]
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(vecs)})
+
+    out = S.knn_pq(_ds(df), query_ids=[0, 1], k=10, m=4, ksub=8,
+                   centroid_id_stride=7).to_pandas()
+    for qid in (0, 1):
+        neigh = out[out.query_id == qid]["neighbor_id"].to_numpy()
+        assert len(neigh) == 10
+        assert qid not in neigh
+        # all top-10 from the query's own cluster
+        assert (neigh % 4 == qid % 4).all()
+
+    out2 = S.knn_pq(_ds(df).repartition(7), query_ids=[0, 1], k=10, m=4,
+                    ksub=8, centroid_id_stride=7).to_pandas()
+    key = lambda d: d.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert key(out)[["query_id", "neighbor_id", "rank"]].equals(
+        key(out2)[["query_id", "neighbor_id", "rank"]])
+
+
+def test_temperature_sample_rates(ray_session):
+    """α=0.5 rebalancing: per-group keep counts land near √(N_min·N_g) and
+    the selection equals the brute-force integer gate exactly."""
+    import hashlib
+    import math
+
+    from maritime_activity_reports_cdc_ray.functions.sample import (
+        temperature_hash_sample,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(2000),
+        "lang": np.where(np.arange(2000) % 10 == 0, "rare",
+                         np.where(np.arange(2000) % 2 == 0, "mid", "big")),
+    })
+    out = temperature_hash_sample(_ds(df), "doc_id", "lang").to_pandas()
+    counts = df["lang"].value_counts()
+    nmin = int(counts.min())
+    h = df["doc_id"].astype(str).map(
+        lambda s: int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big"))
+    keep = pd.Series(False, index=df.index)
+    for g, n in counts.items():
+        kl = math.isqrt(int(n) * nmin)
+        keep |= (df["lang"] == g) & ((h % int(n)) < kl)
+    assert sorted(out["doc_id"]) == sorted(df[keep]["doc_id"])
+    # rare group kept ~100%, larger groups thinned toward sqrt(nmin/n)
+    got = out["lang"].value_counts()
+    assert got["rare"] >= 0.9 * nmin
+    for g in ("mid", "big"):
+        expect = math.isqrt(int(counts[g]) * nmin)
+        assert abs(got.get(g, 0) - expect) / expect < 0.35  # hash noise
+
+
+def test_hashed_classifier_score_and_actor_state():
+    """Integer weight sums over hashed token buckets: hand-check one doc;
+    empty/missing text scores 0 = 'neg'; weights built once in __init__."""
+    import hashlib
+
+    clf = T.HashedLinearClassifier(n_buckets=128)
+
+    def w(tok):
+        b = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") % 128
+        return (int.from_bytes(hashlib.md5(f"w:{b}".encode()).digest()[:8],
+                               "big") % 2001) - 1000
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["Alpha beta alpha", "", None]})
+    out = clf(df)
+    assert out["clf_score"].tolist() == [2 * w("alpha") + w("beta"), 0, 0]
+    assert out["clf_label"].tolist() == [
+        "pos" if 2 * w("alpha") + w("beta") > 0 else "neg", "neg", "neg"]
+    assert clf.weights.shape == (128,) and clf.weights.dtype == np.int64
