@@ -94,7 +94,8 @@ def main(argv=None):
     sp = sub.add_parser("read", help="read silver/gold/history — optionally AS OF an epoch "
                                      "(time travel; Delta VERSION AS OF analogue)")
     common(sp)
-    sp.add_argument("--table", choices=["silver", "gold", "history"], default="silver")
+    sp.add_argument("--table", choices=["silver", "gold", "history", "quarantine"],
+                    default="silver")
     sp.add_argument("--as-of-epoch", type=int, default=None)
     sp.add_argument("--columns", default=None, help="comma-separated projection")
     sp.add_argument("--where", default=None, metavar="COL=VALUE",
@@ -197,6 +198,8 @@ def main(argv=None):
                                    predicate=pred)
             elif args.table == "gold":
                 ds = r.read_gold(as_of_epoch=args.as_of_epoch, predicate=pred)
+            elif args.table == "quarantine":
+                ds = r.read_quarantine()
             else:
                 ds = r.read_history(as_of_epoch=args.as_of_epoch, predicate=pred)
             rows = ds.limit(args.limit).to_pandas()

@@ -47,6 +47,11 @@ class EngineConfig:
     max_content_bytes: int = 1 << 20  # soft flag, not a hard drop
     known_langs: tuple[str, ...] = ("py", "rs", "go", "js", "md", "txt")
     min_quality_score: float = 0.0  # hard-drop threshold on the tiered score
+    # dead-letter sink: when True, rows the validator drops (hard-invalid or
+    # under min_quality_score) are written — with a reject_reason column — to
+    # lake/quarantine/epoch=E/ for audit/repair instead of vanishing
+    # (reference analogue: bad-record routing in production CDC ingest)
+    quarantine_rejects: bool = False
 
     # --- execution ---
     batch_size_rows: int | None = None  # None → whole blocks (zero-copy arrow)

@@ -705,7 +705,8 @@ class CDCReplay:
         with _CTX_LOCK:
             ds = rd.read_parquet(files)
         ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
-        ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(make_validator(cfg, self._quarantine_dir(epoch)),
+                            batch_format="pyarrow", zero_copy_batch=True)
         ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow", zero_copy_batch=True)
         outdir = self.bronze.abspath(f"fragments/epoch={epoch}")
         shutil.rmtree(outdir, ignore_errors=True)
@@ -1160,10 +1161,36 @@ class CDCReplay:
         ds = rd.read_parquet(files, partitioning=None, override_num_blocks=nblocks)
         ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow",
                             zero_copy_batch=True)
-        ds = ds.map_batches(make_validator(cfg), batch_format="pyarrow",
-                            zero_copy_batch=True)
+        ds = ds.map_batches(make_validator(cfg, self._quarantine_dir(epoch)),
+                            batch_format="pyarrow", zero_copy_batch=True)
         return ds.map_batches(make_partitioner(cfg.num_partitions),
                               batch_format="pyarrow", zero_copy_batch=True)
+
+    def _quarantine_dir(self, epoch: int, clear: bool = True) -> str | None:
+        """Dead-letter dir for one epoch's rejected rows (None when the knob
+        is off). Cleared once per map phase — driver-side, before any task
+        writes — so a remap/rerun rewrites rather than duplicates."""
+        if not self.cfg.quarantine_rejects:
+            return None
+        d = os.path.join(self.root, "quarantine", f"epoch={epoch}")
+        if clear:
+            shutil.rmtree(d, ignore_errors=True)
+        return d
+
+    def read_quarantine(self):
+        """The dead-letter table: every row the validator rejected, across
+        epochs, with its quality score/category and reject_reason — the audit
+        surface for repair-and-replay."""
+        import ray.data as rd
+
+        files = sorted(glob.glob(os.path.join(
+            self.root, "quarantine", "epoch=*", "*.parquet")))
+        if not files:
+            import pandas as pd
+
+            return rd.from_pandas(pd.DataFrame({"repo": pd.Series(dtype="object"),
+                                                "reject_reason": pd.Series(dtype="object")}))
+        return rd.read_parquet(files, partitioning=None)
 
     def _premap_prologue(self, epoch: int, files: list[str]):
         """Shared premap setup: presalt, pin the salt array, size blocks,

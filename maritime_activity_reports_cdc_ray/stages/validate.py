@@ -65,15 +65,56 @@ def quality_columns(batch: pa.Table, cfg: EngineConfig) -> tuple[pa.Table, "pa.B
     return out, hard_valid
 
 
-def make_validator(cfg: EngineConfig):
+def reject_reasons(batch: pa.Table, cfg: EngineConfig) -> pa.Array:
+    """First-match reject reason per row (for quarantined rows): null_key →
+    bad_commit → null_content → low_quality. Vectorized if_else ladder —
+    called only on the (small) rejected subset, never the hot path."""
+    repo, path, commit = batch.column("repo"), batch.column("path"), batch.column("commit")
+    content = batch.column("content")
+    is_tomb = pc.equal(batch.column("cdc_operation"), "delete")
+
+    def nonempty(col):
+        return pc.and_(pc.is_valid(col), pc.not_equal(pc.fill_null(col, ""), ""))
+
+    bad_key = pc.invert(pc.and_(nonempty(repo), nonempty(path)))
+    bad_commit = pc.invert(
+        pc.match_substring_regex(pc.fill_null(commit, ""), cfg.commit_regex))
+    no_content = pc.invert(pc.or_(pc.is_valid(content), is_tomb))
+    return pc.if_else(
+        bad_key, pa.scalar("null_key"),
+        pc.if_else(bad_commit, pa.scalar("bad_commit"),
+                   pc.if_else(no_content, pa.scalar("null_content"),
+                              pa.scalar("low_quality")))).cast(pa.string())
+
+
+def make_validator(cfg: EngineConfig, quarantine_dir: str | None = None):
     """map_batches fn: score, then drop hard-invalid rows and rows under the
-    quality threshold (reference: filter_by_quality, utils/data_quality.py:255-278)."""
+    quality threshold (reference: filter_by_quality, utils/data_quality.py:255-278).
+
+    With ``quarantine_dir`` set (cfg.quarantine_rejects), dropped rows are
+    persisted there as parquet — scored, stamped with ``reject_reason`` — the
+    dead-letter table. Crash/rerun-safe because the caller clears the epoch's
+    quarantine dir before the map phase starts (same discipline as the bronze
+    fragment dir): a remap rewrites, never duplicates."""
 
     def validate(batch: pa.Table) -> pa.Table:
         scored, hard_valid = quality_columns(batch, cfg)
         keep = hard_valid
         if cfg.min_quality_score > 0.0:
             keep = pc.and_(keep, pc.greater_equal(scored.column("data_quality_score"), cfg.min_quality_score))
+        if quarantine_dir is not None:
+            rej = scored.filter(pc.invert(pc.fill_null(keep, False)))
+            if rej.num_rows:
+                import os
+                import uuid
+
+                import pyarrow.parquet as _pq
+
+                rej = rej.append_column("reject_reason", reject_reasons(rej, cfg))
+                os.makedirs(quarantine_dir, exist_ok=True)
+                _pq.write_table(
+                    rej, os.path.join(quarantine_dir, f"rej-{uuid.uuid4().hex}.parquet"),
+                    compression=cfg.write_compression)
         return scored.filter(keep)
 
     return validate

@@ -592,3 +592,53 @@ def test_curation_pipeline_composes_end_to_end(ray_session, stream, tmp_path):
     again = md5_hash_sample(deduped, "content_sha256",
                             keep_hex=tuple("01234567")).count()
     assert again == res["rows"]
+
+
+def test_quarantine_dead_letter_sink(ray_session, tmp_path):
+    """cfg.quarantine_rejects routes validator-dropped rows to a dead-letter
+    table with reject reasons instead of silently vanishing; reruns rewrite
+    (never duplicate) it; valid-row state is identical to a run without the
+    sink."""
+    import pyarrow.parquet as _pq
+
+    d = str(tmp_path / "stream")
+    files = generate_events(d, n_events=1500, n_repos=8, n_epochs=2, seed=9)
+    # plant three hard-invalid rows (one per reason) into epoch 0's file
+    t = _pq.read_table(files[0])
+    bad = pa.table({
+        "repo": pa.array([None, "r-bad", "r-bad"], pa.string()),
+        "path": pa.array(["p1", "p2", "p3"], pa.string()),
+        "commit": pa.array(["c000000000001", "nope", "c000000000002"],
+                           pa.string()),
+        "lang": pa.array(["py", "py", "py"], pa.string()),
+        "content": pa.array(["x", "y", None], pa.large_string()),
+    }).cast(t.schema)
+    _pq.write_table(pa.concat_tables([t, bad]), files[0])
+
+    lake_q = CDCReplay(str(tmp_path / "lake_q"),
+                       EngineConfig(num_partitions=4, quarantine_rejects=True))
+    lake_q.setup()
+    out = lake_q.run(d)
+    assert out["epochs_run"] == 2
+
+    q = lake_q.read_quarantine().to_pandas()
+    assert len(q) == 3
+    assert sorted(q["reject_reason"]) == ["bad_commit", "null_content", "null_key"]
+    assert (q["quality_category"] == "INVALID").all()
+    # the planted rows are identifiable
+    assert set(q["path"]) == {"p1", "p2", "p3"}
+
+    # rerun is a no-op for tables AND does not duplicate the dead letters
+    out2 = lake_q.run(d)
+    assert out2["epochs_run"] == 0
+    assert lake_q.read_quarantine().count() == 3
+
+    # valid-row state identical to a run with the sink off
+    lake_p = CDCReplay(str(tmp_path / "lake_p"), EngineConfig(num_partitions=4))
+    lake_p.setup()
+    lake_p.run(d)
+    key = lambda df: df.sort_values(["repo", "path"]).reset_index(drop=True)
+    a = key(lake_q.read_silver().to_pandas())[["repo", "path", "commit", "content_sha256"]]
+    b = key(lake_p.read_silver().to_pandas())[["repo", "path", "commit", "content_sha256"]]
+    assert a.equals(b)
+    assert lake_p.read_quarantine().count() == 0  # knob off -> empty surface
