@@ -642,3 +642,58 @@ def test_quarantine_dead_letter_sink(ray_session, tmp_path):
     b = key(lake_p.read_silver().to_pandas())[["repo", "path", "commit", "content_sha256"]]
     assert a.equals(b)
     assert lake_p.read_quarantine().count() == 0  # knob off -> empty surface
+
+
+def test_quarantine_repair_and_replay(ray_session, tmp_path):
+    """The full dead-letter loop: rejected rows are read back from
+    quarantine, repaired, appended to the stream as a new file, and the next
+    incremental run folds them in — final state equals a stream that was
+    never corrupted."""
+    import pyarrow.parquet as _pq
+
+    clean_dir, broken_dir = str(tmp_path / "clean"), str(tmp_path / "broken")
+    files = generate_events(clean_dir, n_events=1200, n_repos=6, n_epochs=2, seed=4)
+    os.makedirs(broken_dir)
+    # broken stream: same events, but one file has a corrupted commit on its
+    # last row (the repair target)
+    import shutil as _sh
+
+    for f in files:
+        _sh.copy(f, broken_dir)
+    bfiles = sorted(os.path.join(broken_dir, os.path.basename(f)) for f in files)
+    t = _pq.read_table(bfiles[0])
+    corrupt = t.set_column(t.schema.get_field_index("commit"), "commit",
+                           pa.array([c.as_py() if i < t.num_rows - 1 else "BROKEN"
+                                     for i, c in enumerate(t.column("commit"))],
+                                    pa.string()))
+    _pq.write_table(corrupt, bfiles[0])
+    fixed_commit = t.column("commit")[t.num_rows - 1].as_py()
+
+    lake = CDCReplay(str(tmp_path / "lake"),
+                     EngineConfig(num_partitions=4, quarantine_rejects=True))
+    lake.setup()
+    lake.run(broken_dir)
+    q = lake.read_quarantine().to_pandas()
+    assert len(q) == 1 and q["reject_reason"].iloc[0] == "bad_commit"
+
+    # repair: restore the true commit, append as a new stream file; the next
+    # run discovers it as one more epoch
+    repaired = pa.table({
+        "repo": pa.array(q["repo"], pa.string()),
+        "path": pa.array(q["path"], pa.string()),
+        "commit": pa.array([fixed_commit], pa.string()),
+        "lang": pa.array(q["lang"], pa.string()),
+        "content": pa.array(q["content"], pa.large_string()),
+    })
+    _pq.write_table(repaired, os.path.join(broken_dir, "part-99-repair.parquet"))
+    out = lake.run(broken_dir)
+    assert out["epochs_run"] == 1  # only the repair epoch
+
+    # reference: the never-corrupted stream replayed fresh
+    ref = CDCReplay(str(tmp_path / "lake_ref"), EngineConfig(num_partitions=4))
+    ref.setup()
+    ref.run(clean_dir)
+    key = lambda df: df.sort_values(["repo", "path"]).reset_index(drop=True)
+    a = key(lake.read_silver().to_pandas())[["repo", "path", "commit", "content_sha256"]]
+    b = key(ref.read_silver().to_pandas())[["repo", "path", "commit", "content_sha256"]]
+    assert a.equals(b)
