@@ -30,6 +30,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from maritime_activity_reports_cdc_ray.hashing import MD5_U64_SQL
+
 _REV = "l_extendedprice * (1 - l_discount)"
 
 
@@ -1420,20 +1422,60 @@ def emb_cosine_dupes(sf_dir: str):
 
 
 def emb_label_stats(sf_dir: str):
+    """Two faces: method='exact' = per-label L2-norm stats over the raw
+    64-dim embeddings; method='jl' = the same stats AFTER an 8-dim
+    Johnson-Lindenstrauss sign projection (functions/similarity.py
+    RandomProjector — md5-derived ±1 matrix, so the oracle replays every
+    matrix entry and every quantized coordinate). Faces run concurrently."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    from maritime_activity_reports_cdc_ray.functions.similarity import (
+        RandomProjector,
+        _round_half_away,
+        _to_matrix,
+    )
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        m = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
-        return pd.DataFrame({"label": df["label"],
-                             "l2norm": np.sqrt((m * m).sum(axis=1))})
+    def _agg(ds):
+        out = ds.groupby("label").aggregate(
+            Count(alias_name="n_vecs"), Sum("l2norm", alias_name="total_norm")
+        ).to_pandas()
+        out["total_norm"] = _r(out["total_norm"], 3)
+        return out
 
-    out = ds.map_batches(norm, batch_format="pandas").groupby("label").aggregate(
-        Count(alias_name="n_vecs"), Sum("l2norm", alias_name="total_norm")
-    ).to_pandas()
-    out["total_norm"] = _r(out["total_norm"], 3)
-    return out
+    def exact():
+        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+        def norm(df: pd.DataFrame) -> pd.DataFrame:
+            m = _to_matrix(df["embedding"])
+            return pd.DataFrame({"label": df["label"],
+                                 "l2norm": np.sqrt((m * m).sum(axis=1))})
+
+        out = _agg(ds.map_batches(norm, batch_format="pandas"))
+        out.insert(0, "method", "exact")
+        return out
+
+    def jl():
+        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        rp = RandomProjector(64, out_dim=8)
+
+        def norm(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"label": df["label"],
+                                     "l2norm": pd.Series(dtype="float64")})
+            p = rp.project(_to_matrix(df["embedding"]))
+            # per-row norm quantized at 6dp: the label-level SUM then agrees
+            # with SQL regardless of summation order
+            return pd.DataFrame({"label": df["label"],
+                                 "l2norm": _round_half_away(
+                                     np.sqrt((p * p).sum(axis=1)), 6)})
+
+        out = _agg(ds.map_batches(norm, batch_format="pandas"))
+        out.insert(0, "method", "jl")
+        return out
+
+    ex, jl_ = _par2(exact, jl)
+    return (pd.concat([ex, jl_], ignore_index=True)
+            .sort_values(["method", "label"]).reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
@@ -2783,9 +2825,28 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
             FROM sims QUALIFY rank <= 10
         """,
-        "emb_label_stats": """
-            SELECT label, COUNT(*) AS n_vecs,
+        "emb_label_stats": f"""
+            WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            vd AS (SELECT vec_id, label, i.i AS dim, e[CAST(i.i AS INT) + 1] AS x
+                   FROM v, unnest(range(64)) i(i)),
+            -- the engine's JL sign matrix, entry by entry: md5_u64('jl:i:j') parity
+            s AS (SELECT i.i AS dim, j.j AS outd,
+                         CASE WHEN {MD5_U64_SQL.format(expr="'jl:' || i.i || ':' || j.j")} % 2 = 0
+                              THEN 1.0 ELSE -1.0 END AS sgn
+                  FROM unnest(range(64)) i(i), unnest(range(8)) j(j)),
+            p AS (SELECT vd.vec_id, vd.label, s.outd,
+                         ROUND(SUM(vd.x * s.sgn) / sqrt(8.0), 6) AS px
+                  FROM vd JOIN s ON s.dim = vd.dim
+                  GROUP BY 1, 2, 3),
+            n AS (SELECT vec_id, label, ROUND(sqrt(SUM(px * px)), 6) AS l2
+                  FROM p GROUP BY 1, 2)
+            SELECT 'exact' AS method, label, COUNT(*) AS n_vecs,
                    ROUND(SUM(sqrt(list_dot_product(embedding, embedding))), 3) AS total_norm
             FROM embeddings GROUP BY label
+            UNION ALL
+            SELECT 'jl' AS method, label, COUNT(*) AS n_vecs,
+                   ROUND(SUM(l2), 3) AS total_norm
+            FROM n GROUP BY label
         """,
     }

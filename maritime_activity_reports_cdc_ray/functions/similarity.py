@@ -647,3 +647,69 @@ def semantic_dedup(ds, threshold: float = 0.95, k: int = 16, iters: int = 2,
 
     assigned = ds.map_batches(assign, batch_format="pandas")
     return assigned.groupby("cluster").map_groups(pairs, batch_format="pandas")
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimensionality reduction)
+# ---------------------------------------------------------------------------
+def jl_sign_matrix(dim: int, out_dim: int, tag: str = "jl") -> np.ndarray:
+    """±1 sign matrix (dim × out_dim) for sparse JL projection (Achlioptas
+    2003 — database-friendly random projections). Entries derive from
+    ``md5_u64(f"{tag}:{i}:{j}") % 2`` so a DuckDB oracle can rebuild every
+    entry with the same ``('0x' || substr(md5(...),1,16))::UBIGINT``
+    expression — no literal matrix shipping, no seed-dependent RNG drift."""
+    from ..hashing import md5_u64
+
+    s = np.empty((dim, out_dim), dtype=np.float64)
+    for i in range(dim):
+        for j in range(out_dim):
+            s[i, j] = 1.0 if md5_u64(f"{tag}:{i}:{j}") % 2 == 0 else -1.0
+    return s
+
+
+class RandomProjector:
+    """JL projection stage: ``x → round(x @ S / sqrt(out_dim), dp)``.
+
+    The sign matrix builds once per construction (a few KB — ships in the
+    task spec like LshBucketer's hyperplanes) and each batch is one float64
+    matmul. Coordinates are quantized half-away-from-zero at ``round_dp`` so
+    float summation-order noise cannot leak past the projection — the same
+    cross-engine contract the k-means kernel uses. Projection preserves
+    pairwise distances within (1±ε) w.h.p., making the output a drop-in
+    cheaper input for ANN / clustering stages at 100 TB scale."""
+
+    def __init__(self, dim: int, out_dim: int = 8, tag: str = "jl",
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 out_col: str = "embedding_jl", keep_cols: tuple = (),
+                 round_dp: int = 6):
+        import math
+
+        self.s = jl_sign_matrix(dim, out_dim, tag)
+        self.denom = math.sqrt(out_dim)  # divide (not mul-by-inverse): IEEE-matches SQL's /sqrt(d)
+        self.id_col, self.vec_col, self.out_col = id_col, vec_col, out_col
+        self.keep_cols, self.round_dp = tuple(keep_cols), round_dp
+
+    def project(self, m: np.ndarray) -> np.ndarray:
+        return _round_half_away((m @ self.s) / self.denom, self.round_dp)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = {self.id_col: df[self.id_col].to_numpy()}
+        for c in self.keep_cols:
+            out[c] = df[c].to_numpy()
+        if len(df):
+            p = self.project(_to_matrix(df[self.vec_col]))
+            out[self.out_col] = list(p)
+        else:
+            out[self.out_col] = []
+        return pd.DataFrame(out)
+
+
+def random_projection(ds, dim: int, out_dim: int = 8, tag: str = "jl",
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      out_col: str = "embedding_jl", keep_cols: tuple = (),
+                      round_dp: int = 6):
+    """Project the embedding column to ``out_dim`` dims (JL sign projection).
+    Streaming map_batches — vectors never leave their batch."""
+    return ds.map_batches(
+        RandomProjector(dim, out_dim, tag, id_col, vec_col, out_col,
+                        keep_cols, round_dp),
+        batch_format="pandas")

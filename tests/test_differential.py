@@ -574,3 +574,45 @@ def test_hashed_classifier_matches_duckdb(texts):
     """).df()
     assert out["clf_score"].tolist() == ora["score"].astype("int64").tolist()
     assert (out["clf_label"] == np.where(ora["score"] > 0, "pos", "neg")).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=1, max_value=30), st.integers(min_value=0, max_value=10**6),
+       st.floats(min_value=0.001, max_value=1e6))
+def test_jl_projection_matches_duckdb(n_vecs, seed, scale):
+    """Every quantized JL coordinate replayed in SQL (md5-parity sign matrix,
+    /sqrt(d) scaling, 6dp half-away rounding) on random vectors across six
+    orders of magnitude — the cross-engine contract of RandomProjector."""
+    import pyarrow as pa
+
+    from maritime_activity_reports_cdc_ray.functions.similarity import (
+        RandomProjector,
+        _to_matrix,
+    )
+
+    dim, out_dim = 8, 4
+    rng = np.random.default_rng(seed)
+    vecs = (rng.normal(0, scale, (n_vecs, dim))).astype(np.float32)
+    rp = RandomProjector(dim, out_dim)
+    got = rp.project(_to_matrix([v for v in vecs]))
+
+    con = duckdb.connect()
+    con.register("embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_vecs)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    oracle = con.execute(f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        vd AS (SELECT vec_id, i.i AS dim, e[CAST(i.i AS INT) + 1] AS x
+               FROM v, unnest(range({dim})) i(i)),
+        s AS (SELECT i.i AS dim, j.j AS outd,
+                     CASE WHEN ('0x' || substr(md5('jl:' || i.i || ':' || j.j), 1, 16))::UBIGINT % 2 = 0
+                          THEN 1.0 ELSE -1.0 END AS sgn
+              FROM unnest(range({dim})) i(i), unnest(range({out_dim})) j(j))
+        SELECT vd.vec_id, s.outd, ROUND(SUM(vd.x * s.sgn) / sqrt({out_dim}.0), 6) AS px
+        FROM vd JOIN s ON s.dim = vd.dim
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    want = oracle["px"].to_numpy().reshape(n_vecs, out_dim)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
