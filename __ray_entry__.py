@@ -1238,6 +1238,7 @@ def docs_top_terms(sf_dir: str):
     from maritime_activity_reports_cdc_ray.functions.text import (
         doc_freq,
         make_doc_term_exploder,
+        postings_head,
         top_terms,
     )
 
@@ -1265,6 +1266,10 @@ def docs_top_terms(sf_dir: str):
     top["tfidf_q"] = [int(c) * ((int(n_docs) * 10**6) // int(d))
                       for c, d in zip(top["cnt"], top["doc_freq"])]
     top["tfidf_q"] = top["tfidf_q"].astype("int64")
+    # inverted-index head: the 5 smallest doc ids holding each top term
+    post = postings_head(terms, top["term"].tolist(), k=5)
+    top["postings_head"] = top["term"].map(
+        post.set_index("term")["postings_head"])
     return top
 
 
@@ -2792,12 +2797,22 @@ def oracle_sql() -> dict[str, str]:
                   ON r.row_i = i.i
                  AND r.slot = ('0x' || substr(md5(i.i || ':' || t.term), 1, 16))::UBIGINT
                               % 1024
-                GROUP BY t.term)
+                GROUP BY t.term),
+            post AS (
+                SELECT term, string_agg(CAST(d AS VARCHAR), ',' ORDER BY d)
+                           AS postings_head
+                FROM (SELECT dt.term, dt.d,
+                             ROW_NUMBER() OVER (PARTITION BY dt.term
+                                                ORDER BY dt.d) AS rn
+                      FROM (SELECT DISTINCT t.term, tok.doc_id AS d
+                            FROM top t JOIN tok USING (term)) dt)
+                WHERE rn <= 5 GROUP BY term)
             SELECT top.term, top.cnt, CAST(est.e AS BIGINT) AS cms_estimate,
                    top.df AS doc_freq,
                    CAST(top.cnt * (((SELECT COUNT(*) FROM documents) * 1000000)
-                                   // top.df) AS BIGINT) AS tfidf_q
-            FROM top JOIN est USING (term)
+                                   // top.df) AS BIGINT) AS tfidf_q,
+                   post.postings_head
+            FROM top JOIN est USING (term) JOIN post USING (term)
             ORDER BY top.cnt DESC, top.term
         """,
         "emb_cosine_dupes": f"""

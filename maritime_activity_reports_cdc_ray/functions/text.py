@@ -417,3 +417,36 @@ def doc_freq(terms_ds, id_col: str = "doc_id", num_partitions: int = 16):
 
     return hash_count(terms_ds.map_batches(distinct, batch_format="pandas"),
                       ["term"], num_partitions, count_col="doc_freq")
+
+
+def postings_head(terms_ds, terms: list[str], k: int = 5, id_col: str = "doc_id"):
+    """Inverted-index head for a bounded term set: the k smallest doc ids
+    holding each term, as a comma-joined ascending string.
+
+    Scale shape: the wanted-term set broadcasts in the task spec (bounded —
+    a vocabulary head, not the vocabulary); each batch emits at most k
+    candidate ids per term it contains (a document lives wholly in one input
+    row, so batch-local distinct (term, doc) pairs are globally distinct and
+    the k-smallest of per-batch k-smallest unions is exact); the driver
+    reduces only len(terms)×k-sized candidates. Building full posting lists
+    instead of heads is the same shape with the combiner cap removed and a
+    hash-partition reduce in place of the driver fold."""
+    wanted = set(terms)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["term"].isin(wanted)].drop_duplicates(["term", id_col])
+        if not len(d):
+            return pd.DataFrame({"term": pd.Series(dtype=object),
+                                 id_col: pd.Series(dtype="int64")})
+        return (d.sort_values(id_col).groupby("term", sort=False)
+                .head(k)[["term", id_col]])
+
+    cand = terms_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(cand):
+        return pd.DataFrame({"term": pd.Series(dtype=object),
+                             "postings_head": pd.Series(dtype=object)})
+    head = cand.sort_values(id_col).groupby("term").head(k)
+    return (head.sort_values(["term", id_col])
+            .groupby("term")[id_col]
+            .agg(lambda s: ",".join(str(int(x)) for x in s))
+            .reset_index(name="postings_head"))

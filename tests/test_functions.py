@@ -853,6 +853,25 @@ def test_doc_freq_and_quantized_tfidf(ray_session):
     assert (3 * 10**6) // out["y"] == 3_000_000
 
 
+def test_postings_head_smallest_k_distinct(ray_session):
+    """Inverted-index head: k smallest doc ids per wanted term, one entry per
+    doc even when the term repeats in it, unwanted terms dropped."""
+    from maritime_activity_reports_cdc_ray.functions.text import (
+        make_doc_term_exploder,
+        postings_head,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": [9, 3, 7, 1, 5],
+        "text": ["x x y", "x z", "x", "x", "x w"],
+    })
+    terms = _ds(df).map_batches(make_doc_term_exploder(), batch_format="pandas")
+    out = postings_head(terms, ["x", "z", "absent"], k=3)
+    got = out.set_index("term")["postings_head"].to_dict()
+    # 'x' is in all five docs (twice in doc 9) -> 3 smallest ids, each once
+    assert got == {"x": "1,3,5", "z": "3"}
+
+
 def test_weighted_priority_sample_exact_and_biased(ray_session):
     """Matches the brute-force integer-priority order exactly, and heavier
     rows dominate the head (hash-keyed weighted race)."""
