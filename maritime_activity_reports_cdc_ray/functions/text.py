@@ -450,3 +450,104 @@ def postings_head(terms_ds, terms: list[str], k: int = 5, id_col: str = "doc_id"
             .groupby("term")[id_col]
             .agg(lambda s: ",".join(str(int(x)) for x in s))
             .reset_index(name="postings_head"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909)
+# ---------------------------------------------------------------------------
+def bpe_train(ds, n_merges: int = 10, text_col: str = "text",
+              vocab_limit: int = 65536, num_partitions: int = 16):
+    """Learn a BPE merge table from the corpus.
+
+    Scale shape: the only corpus-scale stage is ONE distributed
+    word-frequency pass (combiner-first :func:`~..dedup.hash_count` — the
+    shuffle moves (word, partial_count) rows, never documents). The merge
+    loop then runs over the bounded frequency-ranked vocabulary head
+    (``vocab_limit`` word types — standard practice: HF tokenizers /
+    SentencePiece train over the word-count table, not the corpus; dropped
+    tail mass only loses counts a 65k-type head wouldn't have merged
+    anyway). Deterministic at any parallelism: best pair = max summed count,
+    tie-break lexicographically smallest (left, right).
+
+    Returns a DataFrame (rank, left, right, pair_count) — the merge table,
+    ready to drive :class:`BpeEncoder`.
+    """
+    from maritime_activity_reports_cdc_ray.functions.dedup import hash_count
+
+    def words(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("").str.lower().str.split(" ").explode()
+        s = s[s.notna() & (s != "")]
+        return pd.DataFrame({"word": s.to_numpy(dtype=object)})
+
+    vocab = (hash_count(ds.map_batches(words, batch_format="pandas"),
+                        ["word"], num_partitions)
+             .to_pandas().sort_values(["cnt", "word"],
+                                      ascending=[False, True],
+                                      kind="mergesort")
+             .head(vocab_limit))
+    seqs = [list(w) + ["</w>"] for w in vocab["word"]]
+    cnts = vocab["cnt"].to_numpy(dtype=np.int64)
+
+    merges = []
+    for rank in range(n_merges):
+        pair_counts: dict = {}
+        for seq, c in zip(seqs, cnts):
+            for p in zip(seq, seq[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + int(c)
+        if not pair_counts:
+            break
+        best_c = max(pair_counts.values())
+        left, right = min(p for p, c in pair_counts.items() if c == best_c)
+        merges.append((rank, left, right, best_c))
+        tok = left + right
+        for si, seq in enumerate(seqs):
+            if len(seq) < 2:
+                continue
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                    out.append(tok)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[si] = out
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"]) \
+        .astype({"rank": "int64", "pair_count": "int64"})
+
+
+class BpeEncoder:
+    """Actor-pool BPE token counter: apply a learned merge table (lowest
+    rank first — GPT-2-style greedy) to each word; emit per-doc BPE token
+    counts. The merge-rank dict builds once per actor; encoded words cache
+    per actor (Zipf reuse makes the cache hit rate high)."""
+
+    def __init__(self, merges: pd.DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.ranks = {(l, r): int(k) for k, l, r in
+                      zip(merges["rank"], merges["left"], merges["right"])}
+        self.id_col, self.text_col = id_col, text_col
+        self._cache: dict = {}
+
+    def encode_word(self, w: str) -> int:
+        n = self._cache.get(w)
+        if n is not None:
+            return n
+        seq = list(w) + ["</w>"]
+        while len(seq) > 1:
+            ranked = [(self.ranks.get(p, 1 << 60), i)
+                      for i, p in enumerate(zip(seq, seq[1:]))]
+            r, i = min(ranked)
+            if r >= 1 << 60:
+                break
+            seq[i:i + 2] = [seq[i] + seq[i + 1]]
+        n = self._cache[w] = len(seq)
+        return n
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(df), dtype=np.int64)
+        for j, t in enumerate(df[self.text_col].fillna("")):
+            counts[j] = sum(self.encode_word(w)
+                            for w in t.lower().split(" ") if w)
+        return pd.DataFrame({self.id_col: df[self.id_col].to_numpy(),
+                             "n_tokens_bpe": counts})

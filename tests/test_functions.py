@@ -978,3 +978,65 @@ def test_hashed_classifier_score_and_actor_state():
     assert out["clf_label"].tolist() == [
         "pos" if 2 * w("alpha") + w("beta") > 0 else "neg", "neg", "neg"]
     assert clf.weights.shape == (128,) and clf.weights.dtype == np.int64
+
+
+def test_bpe_train_sennrich_example(ray_session):
+    """The classic low/lower/newest/widest corpus: merge order is
+    es -> est -> est</w> -> lo -> low (Sennrich et al. 2016 §3.2)."""
+    from maritime_activity_reports_cdc_ray.functions.text import (
+        BpeEncoder,
+        bpe_train,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    m = bpe_train(_ds(pd.DataFrame({"doc_id": [0], "text": [text]})), n_merges=5)
+    assert list(zip(m["left"], m["right"])) == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")]
+    assert m["pair_count"].tolist() == [9, 9, 9, 7, 7]
+    enc = BpeEncoder(m)
+    out = enc(pd.DataFrame({"doc_id": [0, 1], "text": ["low newest", "lowest"]}))
+    # low -> [low, </w>] = 2; newest -> [n, e, w, est</w>] = 4;
+    # lowest -> [low, est</w>] = 2 (every merge applies in rank order)
+    assert out["n_tokens_bpe"].tolist() == [2 + 4, 2]
+    # sanity: deterministic across a fresh encoder
+    assert BpeEncoder(m)(pd.DataFrame({"doc_id": [9], "text": ["low newest"]})
+                         )["n_tokens_bpe"].tolist() == [6]
+
+
+def test_bpe_train_matches_naive_reference(ray_session):
+    """Differential: the vocab-weighted distributed trainer equals a naive
+    reference that rescans every word occurrence each round."""
+    import numpy as np
+
+    from maritime_activity_reports_cdc_ray.functions.text import bpe_train
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "alps", "bet", "beta", "bee", "a", "ab", ""]
+    docs = [" ".join(rng.choice(words, size=rng.integers(1, 30)))
+            for _ in range(40)]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+    # naive reference: token stream, no vocab shortcut
+    stream = [list(w) + ["</w>"] for d in docs for w in d.lower().split(" ") if w]
+    ref = []
+    for rank in range(8):
+        pc = {}
+        for seq in stream:
+            for p in zip(seq, seq[1:]):
+                pc[p] = pc.get(p, 0) + 1
+        if not pc:
+            break
+        best_c = max(pc.values())
+        left, right = min(p for p, c in pc.items() if c == best_c)
+        ref.append((rank, left, right, best_c))
+        for si, seq in enumerate(stream):
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                    out.append(left + right); i += 2
+                else:
+                    out.append(seq[i]); i += 1
+            stream[si] = out
+
+    got = bpe_train(_ds(df), n_merges=8)
+    assert [tuple(r) for r in got.itertuples(index=False)] == ref
