@@ -371,7 +371,32 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float = 0.8, k: int = 5,
     import ray
 
     if broadcast_all_texts:
-        docs = docs_ds.select_columns([id_col, text_col]).to_pandas()
+        # Pre-hash every doc's sorted shingle array in ONE distributed pass
+        # and broadcast the arrays, not the texts. Hashing in the verify UDF
+        # itself serializes the whole corpus's md5 work into the single fused
+        # pairing+verify task (measured: 5.2 s of the 5.5 s face at sf0.1 —
+        # exactly the work the signature stage parallelizes in 0.3 s). The
+        # broadcast is ~8 bytes/char; the caller's byte gate bounds it.
+        def sh_arrays(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                "_sh": [np.sort(_hash_shingles(t, k))
+                        for t in df[text_col].fillna("")]})
+
+        # Break operator fusion AND re-split: fused, the verify runs inside
+        # the single pairing task (256k candidate pairs ≈ 2.9 s serial at
+        # sf0.1), and the pairing task's yielded chunks coalesce into one
+        # block anyway (min-block-size merging). Materialize the small pair
+        # set (bounded by bucket_cap) and re-split it so verify fans out;
+        # with pre-hashed arrays the broadcast is zero-copy per worker, so
+        # the fan-out duplicates no hashing work.
+        sh = docs_ds.map_batches(sh_arrays, batch_format="pandas").to_pandas()
+        lookup_ref = ray.put(dict(zip(sh[id_col], sh["_sh"])))
+        prehashed = True
+        cand_ds = cand_ds.materialize()
+        n_split = min(64, max(1, cand_ds.count() // 4096))
+        if n_split > cand_ds.num_blocks():
+            cand_ds = cand_ds.repartition(n_split)
     else:
         # the candidate Dataset is consumed twice (id extraction below, then
         # the verify map at the end); without this pin Ray re-executes the
@@ -381,7 +406,9 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float = 0.8, k: int = 5,
         # the object store, never on the driver, so this stays scale-safe.
         cand_ds = cand_ds.materialize()
         docs = referenced_docs(cand_ds, docs_ds, id_col=id_col, text_col=text_col)
-    lookup_ref = ray.put(dict(zip(docs[id_col], docs[text_col])))
+        lookup_ref = ray.put(dict(zip(docs[id_col], docs[text_col])))
+        prehashed = False
+    _EMPTY_SH = np.empty(0, dtype=np.uint64)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(lookup_ref)
@@ -391,6 +418,8 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float = 0.8, k: int = 5,
             arrs = _cache_put(ck, {})
 
         def _arr(i) -> np.ndarray:
+            if prehashed:
+                return lookup.get(i, _EMPTY_SH)
             a = arrs.get(i)
             if a is None:
                 a = arrs[i] = np.sort(_hash_shingles(lookup.get(i, ""), k))
@@ -667,7 +696,7 @@ class SimHasher:
 
 def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4,
                        text_col: str = "text", id_col: str = "doc_id",
-                       concurrency=None):
+                       concurrency=None, driver_sigs_limit: int = 200_000):
     """Near-dup candidates with Hamming distance <= max_hamming, using the
     banded pigeonhole trick: split 64 bits into ``bands`` chunks; any pair
     within distance < bands shares at least one exact chunk → bucket groupby.
@@ -675,7 +704,15 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4,
     qualifying pair is found — pigeonhole, not probability), which is how the
     driver query runs it (bands=9, max_hamming=8) so a plain all-pairs
     Hamming filter in SQL is a sound oracle. Task-pool signature stage (see
-    minhash_lsh_candidates)."""
+    minhash_lsh_candidates).
+
+    Size gate: signatures are 16 bytes/doc, so up to ``driver_sigs_limit``
+    docs the banded pair scan runs as ONE driver-side numpy kernel (the
+    hashing stage — the CPU-heavy part — stays distributed; only (id, sig)
+    rows are collected). Past the gate, the partitioned path hash-exchanges
+    (band, chunk) buckets — two small shuffles whose fixed barrier cost the
+    small path exists to avoid. Both paths run the identical bucket kernel
+    (path-equivalence pinned by test)."""
     kw = {} if concurrency is None else {"concurrency": int(np.max(concurrency))}
     sigs = ds.map_batches(SimHasher(text_col=text_col, id_col=id_col),
                           batch_format="pandas", **kw)
@@ -690,8 +727,6 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4,
                                      "simhash": sig.astype("int64"),
                                      "band_id": b, "chunk": chunk.astype("int64")}))
         return pd.concat(out, ignore_index=True)
-
-    banded = sigs.map_batches(explode, batch_format="pandas")
 
     # pair generation: hash-partition (band, chunk) buckets, then ONE
     # vectorized kernel per partition that walks its buckets with numpy —
@@ -738,7 +773,17 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4,
                              "id_b": np.concatenate(out_b).astype("int64"),
                              "hamming": np.concatenate(out_h)})
 
-    cand = (banded.map_batches(add_part, batch_format="pandas")
+    sigs = sigs.materialize()
+    if sigs.count() <= driver_sigs_limit:
+        import ray.data as rd
+
+        pairs = bucket_pairs(explode(sigs.to_pandas()))
+        out = pairs.groupby(["id_a", "id_b"], as_index=False,
+                            sort=False)["hamming"].min()
+        return rd.from_pandas(out)
+
+    cand = (sigs.map_batches(explode, batch_format="pandas")
+            .map_batches(add_part, batch_format="pandas")
             .groupby("_part").map_groups(
                 lambda g: bucket_pairs(g.drop(columns=["_part"])),
                 batch_format="pandas"))

@@ -179,6 +179,23 @@ def test_simhash_candidates(ray_session, docs_df):
     assert out[(out.id_a == 0) & (out.id_b == 3)].hamming.iloc[0] == 0
 
 
+def test_simhash_driver_path_equals_partitioned(ray_session):
+    """The size-gated driver kernel and the partitioned two-shuffle path
+    produce identical pair sets (both run the same bucket kernel)."""
+    rng = np.random.RandomState(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = pd.DataFrame({
+        "doc_id": range(60),
+        "text": [" ".join(rng.choice(words, size=12)) for _ in range(60)],
+    })
+    key = lambda df: (df.astype("int64").sort_values(["id_a", "id_b"])
+                      .reset_index(drop=True))
+    a = key(D.simhash_candidates(_ds(docs), max_hamming=8, bands=9).to_pandas())
+    b = key(D.simhash_candidates(_ds(docs), max_hamming=8, bands=9,
+                                 driver_sigs_limit=0).to_pandas())
+    assert len(a) > 0 and a.equals(b)
+
+
 def test_label_components():
     pairs = pd.DataFrame({"id_a": [0, 1, 5], "id_b": [1, 3, 6]})
     lab = D.label_components(pairs).set_index("id")["component"]
