@@ -97,22 +97,27 @@ def _revenue(t: pa.Table) -> pa.Table:
 # TPC-H-ish relational queries (joins, aggregates, sort/limit)
 # ---------------------------------------------------------------------------
 def q1_pricing_summary(sf_dir: str):
-    """A1/A2-style grouped aggregate (vectorized arrow revenue + groupby)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """A1/A2-style grouped aggregate. Combiner-first (`hash_agg`): per-batch
+    partial sums shrink the exchange to ~6 rows per batch — Ray's sort-based
+    groupby().aggregate() pays a full-table sort for 6 groups (measured
+    ~2.3 s vs ~1 s at sf0.1). Mean folds as sum/count at the driver."""
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
 
     ds = _t(sf_dir, "lineitem",
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
     ds = ds.map_batches(_revenue, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("revenue", alias_name="sum_disc_price"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Count(alias_name="count_order"),
-    ).to_pandas()
+    out = hash_agg(ds, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "sum_base_price": ("l_extendedprice", "sum"),
+        "sum_disc_price": ("revenue", "sum"),
+        "count_order": ("l_quantity", "count"),
+    }).to_pandas()
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
         out[c] = _r(out[c], 2)
-    return out
+    out["count_order"] = out["count_order"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_disc_price", "avg_qty", "count_order"]]
 
 
 def q3_top_orders(sf_dir: str):
@@ -265,9 +270,9 @@ def events_sessionize(sf_dir: str):
 
 
 def events_user_stats(sf_dir: str):
-    """Conditional counts via 0/1 columns + Sum (A1/A3 shape — never collect)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
-
+    """Conditional counts via 0/1 columns + combiner-first sums (A1/A3 shape
+    — never collect; hash_agg partials shrink the exchange to |users| rows
+    per batch)."""
     ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
 
     def flags(t: pa.Table) -> pa.Table:
@@ -275,16 +280,19 @@ def events_user_stats(sf_dir: str):
             t = t.append_column(f"is_{et}", pc.cast(pc.equal(t.column("event_type"), et), pa.int64()))
         return t
 
-    out = ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("user_id").aggregate(
-            Count(alias_name="n_events"),
-            Sum("is_click", alias_name="n_clicks"),
-            Sum("is_purchase", alias_name="n_purchases"),
-            Sum("is_error", alias_name="n_errors"),
-            Sum("value", alias_name="total_value"),
-            Min("ts", alias_name="first_ts"),
-            Max("ts", alias_name="last_ts"),
-        ).to_pandas()
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
+    out = hash_agg(
+        ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", {
+            "n_events": ("event_id", "count"),
+            "n_clicks": ("is_click", "sum"),
+            "n_purchases": ("is_purchase", "sum"),
+            "n_errors": ("is_error", "sum"),
+            "total_value": ("value", "sum"),
+            "first_ts": ("ts", "min"),
+            "last_ts": ("ts", "max"),
+        }).to_pandas()
     out["total_value"] = _r(out["total_value"], 2)
     return out
 
