@@ -35,6 +35,71 @@ from maritime_activity_reports_cdc_ray.hashing import MD5_U64_SQL
 _REV = "l_extendedprice * (1 - l_discount)"
 
 
+def _ql_sql(e: str) -> str:
+    """``qlog2_fp`` (functions/text.py) as a DuckDB expression: fixed-point
+    integer log2, scale 2^20, linear interpolation between powers of two —
+    bit-identical to the engine's numpy kernel for any BIGINT ≥ 1."""
+    return (f"((length(bin({e}))-1)*1048576 + ((({e})*1048576) >> "
+            f"(length(bin({e}))-1)) - 1048576)")
+
+
+def _lm_scored_sql(v: int, backoff: int, tlow_fp: int, thigh_fp: int) -> str:
+    """Per-doc bigram-LM replay over the ``documents`` view → (doc_id,
+    n_tokens, nll_fp, band). Replays the ENTIRE model in SQL: unigram counts,
+    top-``v`` vocabulary (count desc, unsigned hash asc), in-vocab bigram +
+    context counts, the fixed-point qlog2 NLL of EVERY token (stupid backoff
+    constant ``backoff``), exact-integer band tests. Shared by the
+    docs_quality oracle and the differential fuzz test so they cannot drift."""
+    md5_w = MD5_U64_SQL.format(expr="w")
+    ql_tot = _ql_sql("tot.t")
+    ql_uni = _ql_sql("COALESCE(v.c, 1)")
+    ql_ctx = _ql_sql("cx.cs")
+    ql_big = _ql_sql("bg.c")
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                               x -> x <> '') AS ws
+            FROM documents),
+        tok AS (
+            SELECT doc_id, unnest(ws) AS w,
+                   unnest(range(1, len(ws) + 1)) AS pos
+            FROM d),
+        h AS (SELECT doc_id, pos, {md5_w} AS h FROM tok),
+        uni AS (SELECT h, COUNT(*) AS c FROM h GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+        voc AS (SELECT h, c FROM uni ORDER BY c DESC, h ASC LIMIT {v}),
+        big AS (
+            SELECT a.h AS h1, b.h AS h2, COUNT(*) AS c
+            FROM h a JOIN h b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.h IN (SELECT h FROM voc) AND b.h IN (SELECT h FROM voc)
+            GROUP BY 1, 2),
+        ctx AS (SELECT h1, CAST(SUM(c) AS BIGINT) AS cs FROM big GROUP BY 1),
+        sc AS (
+            SELECT cur.doc_id,
+                   CASE WHEN cur.pos = 1
+                        THEN {ql_tot} - {ql_uni}
+                        WHEN bg.c IS NOT NULL
+                        THEN {ql_ctx} - {ql_big}
+                        ELSE {backoff} + {ql_tot} - {ql_uni} END AS nll
+            FROM h cur
+            LEFT JOIN h prev ON prev.doc_id = cur.doc_id AND prev.pos = cur.pos - 1
+            LEFT JOIN big bg ON bg.h1 = prev.h AND bg.h2 = cur.h
+            LEFT JOIN ctx cx ON cx.h1 = prev.h
+            LEFT JOIN voc v ON v.h = cur.h
+            CROSS JOIN tot),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n, CAST(SUM(nll) AS BIGINT) AS s
+            FROM sc GROUP BY 1)
+        SELECT d.doc_id, COALESCE(a.n, 0) AS n_tokens,
+               COALESCE(a.s, 0) AS nll_fp,
+               CASE WHEN COALESCE(a.n, 0) = 0 THEN 'empty'
+                    WHEN a.s < {tlow_fp} * a.n THEN 'low'
+                    WHEN a.s < {thigh_fp} * a.n THEN 'mid'
+                    ELSE 'high' END AS band
+        FROM d LEFT JOIN agg a USING (doc_id)"""
+
+
 def _r(s, d: int):
     """Round half-away-from-zero — matches DuckDB's ROUND(DOUBLE, d) exactly
     (numpy/pandas round half-even, which flips values at .5 boundaries)."""
@@ -833,16 +898,28 @@ def docs_fingerprint(sf_dir: str):
             .sort_values(["kind", "fingerprint"]).reset_index(drop=True))
 
 
+# bigram-LM face parameters: vocab size + band thresholds (bits/token),
+# quantized once to fixed-point by lm_threshold_fp — engine and oracle share
+# the SAME integer constants. Thresholds sit at the sf-corpus p25/p75 of
+# avg-NLL so the bands split non-trivially.
+_LM_V, _LM_TLOW, _LM_THIGH = 128, 4.847, 4.905
+
+
 def docs_quality(sf_dir: str):
-    """Both quality-scoring faces in one attested result: method='heuristic'
-    = the tiered rule ladder (token/char/punct/stopword gates → category);
-    method='classifier' = the fasttext-style hashed-bag-of-words linear
-    scorer (deterministic weights — the SQL oracle replays tokenize → md5
-    feature hash → integer weight sum → label). Faces run concurrently."""
+    """All three quality-scoring faces in one attested result:
+    method='heuristic' = the tiered rule ladder (token/char/punct/stopword
+    gates → category); method='classifier' = the fasttext-style hashed-bag-
+    of-words linear scorer (deterministic weights — the SQL oracle replays
+    tokenize → md5 feature hash → integer weight sum → label); method='lm'
+    = the CCNet-style bigram-LM perplexity filter (train on the corpus,
+    broadcast the O(V²) model, score per doc in fixed-point — the oracle
+    replays the entire model: counts, vocab, backoff NLL of every token).
+    Faces run concurrently."""
     from ray.data.aggregate import Count
 
     from maritime_activity_reports_cdc_ray.functions.text import (
         HashedLinearClassifier,
+        lm_perplexity,
         quality_score,
     )
 
@@ -867,8 +944,18 @@ def docs_quality(sf_dir: str):
         out.insert(0, "method", "classifier")
         return out
 
-    h, c = _par2(heuristic, classifier)
-    return (pd.concat([h, c], ignore_index=True)
+    def lm():
+        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        scored = lm_perplexity(ds, vocab_size=_LM_V,
+                               t_low_bits=_LM_TLOW, t_high_bits=_LM_THIGH)
+        out = scored.groupby("lm_band").aggregate(
+            Count(alias_name="n_docs")).to_pandas()
+        out = out.rename(columns={"lm_band": "category"})
+        out.insert(0, "method", "lm")
+        return out
+
+    (h, c), l = _par2(lambda: _par2(heuristic, classifier), lm)
+    return (pd.concat([h, c, l], ignore_index=True)
             .sort_values(["method", "category"]).reset_index(drop=True))
 
 
@@ -2210,6 +2297,15 @@ def _semdedup_oracle_sql(threshold: float = 0.4, k: int = 16, iters: int = 2,
 
 
 def oracle_sql() -> dict[str, str]:
+    from maritime_activity_reports_cdc_ray.functions.text import (
+        LM_BACKOFF_NLL_FP,
+        lm_threshold_fp,
+    )
+
+    # bigram-LM face constants: imported from the engine so they CANNOT drift
+    LM_SCORED = _lm_scored_sql(_LM_V, LM_BACKOFF_NLL_FP,
+                               lm_threshold_fp(_LM_TLOW),
+                               lm_threshold_fp(_LM_THIGH))
     return {
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -2608,6 +2704,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l.doc_id, COALESCE(SUM(w.wt), 0) AS score
                 FROM l LEFT JOIN w USING (doc_id) GROUP BY l.doc_id)
             GROUP BY 2
+            UNION ALL
+            -- bigram-LM perplexity bands (CCNet-style filter): full model
+            -- replay, see _lm_scored_sql
+            SELECT 'lm' AS method, band AS category, COUNT(*) AS n_docs
+            FROM ({LM_SCORED}) GROUP BY 2
         """,
         "docs_ngram_jaccard_dupes": """
             WITH norm AS (

@@ -551,3 +551,221 @@ class BpeEncoder:
                             for w in t.lower().split(" ") if w)
         return pd.DataFrame({self.id_col: df[self.id_col].to_numpy(),
                              "n_tokens_bpe": counts})
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity (CCNet-style LM quality filter;
+# Wenzek et al. 2020, arXiv:1911.00359). The KenLM filter re-expressed
+# Ray-Data-first: a distributed count pass trains the model (combiner-first
+# hash_count — the shuffle moves (hash, count) rows, never text), the model
+# broadcasts once per actor, and scoring is one vectorized pass. Reference
+# analogue: the tiered quality scorer (utils/data_quality.py:20-99) — this is
+# its statistical sibling for web-scale corpora.
+#
+# All model arithmetic is integer fixed-point so a DuckDB oracle can replay
+# the exact NLL of every token: qlog2_fp is an integer log2 with linear
+# interpolation between powers of two (scale 2^20), mirrored in SQL via
+# bin()/>>; per-doc sums are exact int64; band thresholds compare via integer
+# cross-multiplication (never a float boundary).
+# ---------------------------------------------------------------------------
+LOG2_SCALE = 1 << 20
+#: fixed stupid-backoff penalty ≈ -log2(0.4) · 2^20 (engine-defined constant)
+LM_BACKOFF_NLL_FP = 1386160
+
+
+def lm_threshold_fp(bits: float) -> int:
+    """Quantize a band threshold (in bits/token) to the model's fixed-point
+    scale. Band tests are then exact integer comparisons ``nll_fp_sum <
+    threshold_fp · n_tokens`` on both the engine and SQL sides."""
+    return int(round(float(bits) * LOG2_SCALE))
+
+
+def qlog2_fp(n) -> np.ndarray:
+    """Fixed-point integer log2 (scale 2^20): ``bl·2^20 + (n·2^20 >> bl)
+    - 2^20`` where ``bl = floor(log2 n)``. Exact integer math for n in
+    [1, 2^43); ``np.frexp`` extracts bl exactly for integer-valued doubles.
+    SQL mirror: ``(length(bin(n))-1)*1048576 + ((n*1048576) >>
+    (length(bin(n))-1)) - 1048576``."""
+    n = np.asarray(n, dtype=np.int64)
+    _, e = np.frexp(n.astype(np.float64))
+    bl = (e - 1).astype(np.int64)
+    return (bl << np.int64(20)) + ((n << np.int64(20)) >> bl) - np.int64(LOG2_SCALE)
+
+
+def _lm_tokens(df: pd.DataFrame, id_col: str, text_col: str):
+    """(row_idx, pos_in_doc, md5_u64 hash) for every token. Tokenize =
+    ``lower().split(' ')`` with empties dropped (the WordNgramExploder /
+    repetition_metrics rule — SQL: ``list_filter(string_split(lower(
+    COALESCE(text,'')), ' '), x -> x <> '')``)."""
+    from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
+
+    s = df[text_col].fillna("").str.lower().str.split(" ").reset_index(drop=True)
+    ex = s.explode()
+    ex = ex[ex.notna() & (ex != "")]
+    rows = ex.index.to_numpy(dtype=np.int64)
+    toks = ex.to_numpy(dtype=object)
+    hs = md5_u64_array(toks)
+    if len(rows):
+        starts = np.r_[np.int64(0), np.flatnonzero(rows[1:] != rows[:-1]) + 1]
+        cnt = np.diff(np.r_[starts, np.int64(len(rows))])
+        pos = np.arange(len(rows), dtype=np.int64) - np.repeat(starts, cnt)
+    else:
+        pos = np.zeros(0, dtype=np.int64)
+    return rows, pos, hs
+
+
+def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    if not len(sorted_arr) or not len(vals):
+        return np.zeros(len(vals), dtype=bool)
+    i = np.minimum(np.searchsorted(sorted_arr, vals), len(sorted_arr) - 1)
+    return sorted_arr[i] == vals
+
+
+def train_bigram_lm(ds, vocab_size: int = 128, num_partitions: int = 16,
+                    id_col: str = "doc_id", text_col: str = "text") -> dict:
+    """Train a stupid-backoff bigram LM over a Dataset of documents.
+
+    Two distributed passes: (1) unigram counts via combiner-first hash_count
+    → exact global top-``vocab_size`` vocabulary (count desc, unsigned hash
+    asc tie-break; per-batch partial top-V after the global reduce, so the
+    driver sees ≤ V·num_batches rows); (2) adjacent-pair counts restricted to
+    in-vocab tokens (candidate rows bounded by V² regardless of corpus size).
+    The returned model is O(V²) — broadcastable at any corpus scale."""
+    import uuid
+
+    from maritime_activity_reports_cdc_ray.functions.dedup import hash_count
+
+    def tok_batch(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, hs = _lm_tokens(df, id_col, text_col)
+        return pd.DataFrame({"h": hs.astype(np.uint64)})
+
+    counts = hash_count(ds.map_batches(tok_batch, batch_format="pandas"),
+                        ["h"], num_partitions)
+
+    def part_top(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["cnt", "h"], ascending=[False, True],
+                           kind="mergesort").head(vocab_size).copy()
+        d["_bt"] = df["cnt"].sum()
+        d["_bid"] = uuid.uuid4().hex
+        return d
+
+    parts = counts.map_batches(part_top, batch_format="pandas").to_pandas()
+    if len(parts):
+        total = int(parts.drop_duplicates("_bid")["_bt"].sum())
+        vocab = (parts.sort_values(["cnt", "h"], ascending=[False, True],
+                                   kind="mergesort").head(vocab_size)
+                 [["h", "cnt"]].rename(columns={"cnt": "c"})
+                 .reset_index(drop=True))
+    else:
+        total = 0
+        vocab = pd.DataFrame({"h": np.zeros(0, np.uint64),
+                              "c": np.zeros(0, np.int64)})
+
+    varr = np.sort(vocab["h"].to_numpy(np.uint64))
+
+    def big_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rows, pos, hs = _lm_tokens(df, id_col, text_col)
+        if not len(rows):
+            return pd.DataFrame({"h1": np.zeros(0, np.uint64),
+                                 "h2": np.zeros(0, np.uint64)})
+        adj = pos[1:] > 0  # next token continues the same doc
+        h1, h2 = hs[:-1][adj], hs[1:][adj]
+        m = _in_sorted(varr, h1) & _in_sorted(varr, h2)
+        return pd.DataFrame({"h1": h1[m].astype(np.uint64),
+                             "h2": h2[m].astype(np.uint64)})
+
+    big = hash_count(ds.map_batches(big_batch, batch_format="pandas"),
+                     ["h1", "h2"], num_partitions).to_pandas()
+    if not len(big):
+        big = pd.DataFrame({"h1": np.zeros(0, np.uint64),
+                            "h2": np.zeros(0, np.uint64),
+                            "cnt": np.zeros(0, np.int64)})
+    ctx = (big.groupby("h1", as_index=False)["cnt"].sum()
+           .rename(columns={"cnt": "ctx"}))
+    return {"vocab": vocab, "total": total, "big": big, "ctx": ctx,
+            "vocab_size": vocab_size, "backoff_fp": LM_BACKOFF_NLL_FP}
+
+
+class LmPerplexityScorer:
+    """Actor-pool scoring stage: pass the model (or a ``ray.put`` ObjectRef —
+    resolved ONCE per actor here, never per batch) and score each batch in
+    one vectorized pass: explode tokens → two C-level merges (unigram,
+    bigram+context) → np.where NLL ladder → bincount per-doc sums.
+
+    Per-token NLL (fixed-point, scale 2^20):
+      pos 0          → qlog2(total) - qlog2(c_uni)   (OOV floor c_uni = 1)
+      bigram found   → qlog2(ctx(w1)) - qlog2(c(w1,w2))
+      else           → backoff_fp + unigram NLL      (stupid backoff)
+    Bands compare the exact integer sum against ``t·n_tokens·2^20``."""
+
+    def __init__(self, model, id_col: str = "doc_id", text_col: str = "text",
+                 t_low_bits: float = 9.0, t_high_bits: float = 12.0):
+        import ray
+
+        if isinstance(model, ray.ObjectRef):
+            model = ray.get(model)
+        self.uni = model["vocab"]
+        self.total = int(model["total"])
+        self.big = model["big"]
+        self.ctx = model["ctx"]
+        self.backoff = int(model["backoff_fp"])
+        self.id_col, self.text_col = id_col, text_col
+        # thresholds quantize to fixed-point integers once — band compares
+        # are integer cross-multiplications on both sides (SQL gets the
+        # same constants via lm_threshold_fp)
+        self.t_low_fp = lm_threshold_fp(t_low_bits)
+        self.t_high_fp = lm_threshold_fp(t_high_bits)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        rows, pos, hs = _lm_tokens(df, self.id_col, self.text_col)
+        n_tok = (np.bincount(rows, minlength=n).astype(np.int64)
+                 if len(rows) else np.zeros(n, np.int64))
+        if len(rows) and self.total > 0:
+            tok = pd.DataFrame({"h2": hs.astype(np.uint64)})
+            tok = tok.merge(self.uni, left_on="h2", right_on="h",
+                            how="left", sort=False)
+            c2 = tok["c"].fillna(1).to_numpy(np.int64)
+            nll_uni = qlog2_fp(self.total) - qlog2_fp(c2)
+            h1 = np.r_[np.zeros(1, np.uint64), hs[:-1].astype(np.uint64)]
+            pair = pd.DataFrame({"h1": h1, "h2": hs.astype(np.uint64)})
+            pair = pair.merge(self.big, on=["h1", "h2"], how="left", sort=False)
+            pair = pair.merge(self.ctx, on="h1", how="left", sort=False)
+            cb = pair["cnt"].to_numpy(np.float64)
+            cc = pair["ctx"].to_numpy(np.float64)
+            hasb = ~np.isnan(cb)
+            nll_big = (qlog2_fp(np.where(hasb, cc, 1).astype(np.int64))
+                       - qlog2_fp(np.where(hasb, cb, 1).astype(np.int64)))
+            nll = np.where(pos == 0, nll_uni,
+                           np.where(hasb, nll_big, self.backoff + nll_uni))
+            # exact: per-token nll < 2^26, per-doc sums ≪ 2^53
+            sums = np.bincount(rows, weights=nll.astype(np.float64),
+                               minlength=n).astype(np.int64)
+        else:
+            sums = np.zeros(n, np.int64)
+        lo = np.int64(self.t_low_fp) * n_tok
+        hi = np.int64(self.t_high_fp) * n_tok
+        band = np.select([n_tok == 0, sums < lo, sums < hi],
+                         ["empty", "low", "mid"], default="high")
+        return pd.DataFrame({self.id_col: df[self.id_col].to_numpy(),
+                             "n_tokens": n_tok, "nll_fp": sums,
+                             "lm_band": band})
+
+
+def lm_perplexity(ds, vocab_size: int = 128, num_partitions: int = 16,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  t_low_bits: int = 9, t_high_bits: int = 12,
+                  concurrency: int = 4):
+    """Train the bigram LM on the corpus and score every document with it
+    (per-doc ``nll_fp`` exact integer + quality band). The model is O(V²)
+    and ships once per actor via ``ray.put``."""
+    import ray
+
+    model = train_bigram_lm(ds, vocab_size, num_partitions, id_col, text_col)
+    ref = ray.put(model)
+    return ds.map_batches(
+        LmPerplexityScorer, fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                               "t_low_bits": t_low_bits,
+                               "t_high_bits": t_high_bits},
+        batch_format="pandas", concurrency=concurrency)

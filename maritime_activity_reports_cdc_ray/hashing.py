@@ -46,17 +46,22 @@ MD5_U64_SQL = "('0x' || substr(md5({expr}), 1, 16))::UBIGINT"
 
 
 def md5_u64_array(strings) -> np.ndarray:
-    """Vectorized-ish md5_u64 over an iterable of strings → uint64 array.
-    Caches per-call on distinct values (token/shingle streams repeat heavily)."""
-    cache: dict = {}
-    out = np.empty(len(strings), dtype=np.uint64)
+    """Vectorized md5_u64 over an iterable of strings → uint64 array. Only
+    DISTINCT values are hashed (token/shingle streams repeat heavily —
+    Zipf): a C-level factorize finds the uniques, the Python md5 loop runs
+    once per unique, and a C-level take scatters the results back."""
+    arr = np.asarray(strings, dtype=object)
+    if not len(arr):
+        return np.empty(0, dtype=np.uint64)
+    import pandas as pd
+
+    codes, uniques = pd.factorize(arr, use_na_sentinel=False)
+    uh = np.empty(len(uniques), dtype=np.uint64)
     md5 = hashlib.md5
-    for i, s in enumerate(strings):
-        v = cache.get(s)
-        if v is None:
-            v = cache[s] = int.from_bytes(md5(s.encode("utf-8", "surrogatepass")).digest()[:8], "big")
-        out[i] = v
-    return out
+    for i, s in enumerate(uniques):
+        uh[i] = int.from_bytes(
+            md5(s.encode("utf-8", "surrogatepass")).digest()[:8], "big")
+    return uh[codes]
 
 
 def sha256_hex(s: str | bytes) -> str:

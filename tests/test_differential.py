@@ -616,3 +616,41 @@ def test_jl_projection_matches_duckdb(n_vecs, seed, scale):
     want = oracle["px"].to_numpy().reshape(n_vecs, out_dim)
     assert got.shape == want.shape
     np.testing.assert_array_equal(got, want)
+
+
+def test_qlog2_fp_matches_duckdb():
+    """The fixed-point integer log2 kernel vs its SQL mirror across the whole
+    magnitude range (1 .. 2^42, incl. exact powers of two and off-by-ones)."""
+    ns = [1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 255, 256, 257, 1023, 1024,
+          1025, (1 << 20) - 1, 1 << 20, (1 << 20) + 1, (1 << 42) - 1, 1 << 42]
+    eng = T.qlog2_fp(np.array(ns, dtype=np.int64))
+    con = duckdb.connect()
+    expr = ("(length(bin(n))-1)*1048576 + ((n*1048576) >> (length(bin(n))-1))"
+            " - 1048576")
+    vals = ", ".join(f"({n})" for n in ns)
+    ora = con.execute(
+        f"SELECT {expr} AS q FROM (VALUES {vals}) t(n)").df()["q"]
+    assert eng.tolist() == ora.tolist()
+
+
+@settings(max_examples=20, deadline=None)
+@given(_texts, st.integers(min_value=1, max_value=6))
+def test_lm_perplexity_matches_duckdb(ray_session, texts, vocab_size):
+    """The full bigram-LM pipeline (train on the corpus, score every doc) vs
+    the production oracle SQL (__ray_entry__._lm_scored_sql — the same string
+    the driver runs) on adversarial random corpora and tiny vocabularies."""
+    import ray.data as rd
+
+    import __ray_entry__ as E
+
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    out = (T.lm_perplexity(rd.from_pandas(df), vocab_size=vocab_size,
+                           t_low_bits=2.5, t_high_bits=7.25, concurrency=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = _con(df)
+    sql = E._lm_scored_sql(vocab_size, T.LM_BACKOFF_NLL_FP,
+                           T.lm_threshold_fp(2.5), T.lm_threshold_fp(7.25))
+    ora = con.execute(sql + " ORDER BY doc_id").df()
+    assert out["n_tokens"].tolist() == ora["n_tokens"].tolist()
+    assert out["nll_fp"].tolist() == ora["nll_fp"].tolist()
+    assert out["lm_band"].tolist() == ora["band"].tolist()

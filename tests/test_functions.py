@@ -1057,3 +1057,41 @@ def test_bpe_train_matches_naive_reference(ray_session):
 
     got = bpe_train(_ds(df), n_merges=8)
     assert [tuple(r) for r in got.itertuples(index=False)] == ref
+
+
+def test_bigram_lm_trainer(ray_session):
+    """Model shape + determinism: exact top-V tie-break (count desc, unsigned
+    hash asc), context totals = row sums of the bigram table, empty corpus."""
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.text import (
+        LmPerplexityScorer,
+        train_bigram_lm,
+    )
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["a b a b c", "b a b x y"]})
+    m = train_bigram_lm(rd.from_pandas(df), vocab_size=3)
+    assert m["total"] == 10
+    # counts: b=4, a=3, c=1, x=1, y=1 → vocab keeps b, a and the smaller
+    # unsigned hash among {c, x, y}
+    assert m["vocab"]["c"].tolist()[:2] == [4, 3]
+    assert len(m["vocab"]) == 3
+    # context totals re-derive from the bigram table
+    ctx = dict(zip(m["ctx"]["h1"], m["ctx"]["ctx"]))
+    big_sum: dict = {}
+    for h1, c in zip(m["big"]["h1"], m["big"]["cnt"]):
+        big_sum[h1] = big_sum.get(h1, 0) + int(c)
+    assert ctx == big_sum
+    # determinism across retrains
+    m2 = train_bigram_lm(rd.from_pandas(df), vocab_size=3)
+    pd.testing.assert_frame_equal(m["vocab"], m2["vocab"])
+    pd.testing.assert_frame_equal(
+        m["big"].sort_values(["h1", "h2"]).reset_index(drop=True),
+        m2["big"].sort_values(["h1", "h2"]).reset_index(drop=True))
+    # empty corpus → every doc lands in the 'empty'/zero path
+    empty = pd.DataFrame({"doc_id": [1], "text": [""]})
+    me = train_bigram_lm(rd.from_pandas(empty), vocab_size=3)
+    assert me["total"] == 0
+    out = LmPerplexityScorer(me)(empty)
+    assert out["lm_band"].tolist() == ["empty"]
