@@ -1090,41 +1090,105 @@ def docs_lsh_pairs(sf_dir: str):
             .sort_values(["method", "id_a", "id_b"]).reset_index(drop=True))
 
 
+def _c4_synth(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic page-structure injection for the C4-cleaner face (the
+    raw corpus is single-line word soup): words regroup into lines of
+    ``4 + doc_id % 3`` words; line ``g`` gains ' javascript' when
+    ``(doc_id+g) % 11 == 0`` and a terminal '.'/'?'/nothing by
+    ``(doc_id+g) % 3``; pages gain a 'lorem ipsum.' first line when
+    ``doc_id % 17 == 0`` and a '{' line when ``doc_id % 19 == 0``. The SQL
+    oracle rebuilds the exact same page string."""
+    ids = df["doc_id"].astype("int64").to_numpy()
+    s = df["text"].fillna("").str.split(" ").reset_index(drop=True)
+    ex = s.explode()
+    ex = ex[ex.notna() & (ex != "")]
+    rows = ex.index.to_numpy(dtype=np.int64)
+    toks = ex.to_numpy(dtype=object)
+    page_arr = np.full(len(df), "", dtype=object)
+    if len(rows):
+        starts = np.r_[np.int64(0), np.flatnonzero(rows[1:] != rows[:-1]) + 1]
+        cnt = np.diff(np.r_[starts, np.int64(len(rows))])
+        pos = np.arange(len(rows), dtype=np.int64) - np.repeat(starts, cnt)
+        k = 4 + (ids % 3)
+        grp = pos // k[rows]
+        fr = pd.DataFrame({"r": rows, "g": grp, "w": toks})
+        lines = fr.groupby(["r", "g"], sort=True)["w"].agg(" ".join).reset_index()
+        did = ids[lines["r"].to_numpy()]
+        g = lines["g"].to_numpy()
+        mod3 = (did + g) % 3
+        suf = np.select([mod3 == 0, mod3 == 1], [".", "?"], default="").astype(object)
+        js = np.where((did + g) % 11 == 0, " javascript", "").astype(object)
+        ltxt = lines["w"].to_numpy(dtype=object) + js + suf
+        pages = pd.Series(ltxt, index=lines["r"]).groupby(level=0).agg("\n".join)
+        page_arr[pages.index.to_numpy()] = pages.to_numpy()
+    pre = (np.where(ids % 17 == 0, "lorem ipsum.\n", "").astype(object)
+           + np.where(ids % 19 == 0, "curly { brace.\n", "").astype(object))
+    return pd.DataFrame({"doc_id": ids, "text": pre + page_arr})
+
+
 def docs_pii_redact(sf_dir: str):
-    """PII redaction over a deterministically PII-injected corpus: emails /
-    phones / IPv4s are synthesized from doc_id (the same expressions the SQL
-    oracle uses — the raw docs are synthetic word soup with no PII), then the
-    PiiRedactor actor-pool stage counts and scrubs them. Attested per doc:
-    match counts per pattern + md5 of the redacted text."""
+    """Both page-cleaning faces in one attested result, over deterministically
+    structure-injected corpora (the raw docs are single-line word soup):
+    kind='pii' = PII redaction (emails / phones / IPv4s synthesized from
+    doc_id — the same expressions the SQL oracle uses — then the PiiRedactor
+    actor-pool stage counts and scrubs them; attested per doc: match counts
+    per pattern + md5 of the redacted text). kind='c4' = C4-style boilerplate
+    line filtering (Raffel et al. 2020 §2.2) over pages synthesized by
+    _c4_synth — line/page rule counts + md5 of the cleaned page, every rule
+    replayed in SQL. Faces run concurrently; zero-filled columns keep the
+    union schema aligned."""
     import hashlib
 
-    from maritime_activity_reports_cdc_ray.functions.text import PiiRedactor
+    from maritime_activity_reports_cdc_ray.functions.text import PiiRedactor, c4_clean
 
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    red = PiiRedactor()
+    def pii():
+        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        red = PiiRedactor()
 
-    def q(df: pd.DataFrame) -> pd.DataFrame:
-        i = df["doc_id"].astype("int64")
-        t = df["text"].fillna("")
-        sid = i.astype(str)
-        email = np.where(i % 3 == 0,
-                         " contact user" + sid + "@mail" + (i % 7).astype(str) + ".com", "")
-        phone = np.where(i % 5 == 0,
-                         " call 555-" + (i % 1000).astype(str).str.zfill(3)
-                         + "-" + (i % 10000).astype(str).str.zfill(4), "")
-        ip = np.where(i % 7 == 0,
-                      " host 10." + (i % 256).astype(str) + ".0."
-                      + ((i * 7) % 256).astype(str), "")
-        out = red(pd.DataFrame({"doc_id": i, "text": t + email + phone + ip}))
-        return pd.DataFrame({
-            "doc_id": out["doc_id"],
-            "n_email": out["n_email"], "n_phone": out["n_phone"], "n_ip": out["n_ip"],
-            "redacted_md5": out["text_redacted"].map(
-                lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
-        })
+        def q(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["doc_id"].astype("int64")
+            t = df["text"].fillna("")
+            sid = i.astype(str)
+            email = np.where(i % 3 == 0,
+                             " contact user" + sid + "@mail" + (i % 7).astype(str) + ".com", "")
+            phone = np.where(i % 5 == 0,
+                             " call 555-" + (i % 1000).astype(str).str.zfill(3)
+                             + "-" + (i % 10000).astype(str).str.zfill(4), "")
+            ip = np.where(i % 7 == 0,
+                          " host 10." + (i % 256).astype(str) + ".0."
+                          + ((i * 7) % 256).astype(str), "")
+            out = red(pd.DataFrame({"doc_id": i, "text": t + email + phone + ip}))
+            z = np.zeros(len(df), dtype=np.int64)
+            return pd.DataFrame({
+                "kind": "pii", "doc_id": out["doc_id"],
+                "n_email": out["n_email"], "n_phone": out["n_phone"], "n_ip": out["n_ip"],
+                "n_lines": z, "n_kept_lines": z, "n_sentences": z, "page_kept": z,
+                "out_md5": out["text_redacted"].map(
+                    lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
+            })
 
-    return (ds.map_batches(q, batch_format="pandas").to_pandas()
-            .sort_values("doc_id").reset_index(drop=True))
+        return ds.map_batches(q, batch_format="pandas").to_pandas()
+
+    def c4():
+        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+        def q(df: pd.DataFrame) -> pd.DataFrame:
+            out = c4_clean(_c4_synth(df))
+            z = np.zeros(len(df), dtype=np.int64)
+            return pd.DataFrame({
+                "kind": "c4", "doc_id": out["doc_id"],
+                "n_email": z, "n_phone": z, "n_ip": z,
+                "n_lines": out["n_lines"], "n_kept_lines": out["n_kept_lines"],
+                "n_sentences": out["n_sentences"], "page_kept": out["page_kept"],
+                "out_md5": out["text_clean"].map(
+                    lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
+            })
+
+        return ds.map_batches(q, batch_format="pandas").to_pandas()
+
+    p, c = _par2(pii, c4)
+    return (pd.concat([p, c], ignore_index=True)
+            .sort_values(["kind", "doc_id"]).reset_index(drop=True))
 
 
 def docs_repetition(sf_dir: str):
@@ -2092,6 +2156,69 @@ def _pii_oracle_sql() -> str:
     return sql
 
 
+def _c4_oracle_sql() -> str:
+    """DuckDB replay of the C4 cleaner face: rebuild the exact synthetic page
+    string (_c4_synth — word regrouping, javascript/terminal-mark injection,
+    lorem-ipsum/brace prefix lines), re-split it on NEWLINE, then apply every
+    C4 rule (terminal punctuation, ≥3 words, no 'javascript'; page 'lorem
+    ipsum'/'{{' bans, ≥5 sentences) and attest counts + cleaned-page md5."""
+    return """
+        WITH d0 AS (
+            SELECT doc_id,
+                   list_filter(string_split(COALESCE(text, ''), ' '),
+                               x -> x <> '') AS ws
+            FROM documents),
+        wp AS (
+            SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws))) AS pos
+            FROM d0),
+        lw AS (SELECT doc_id, pos // (4 + doc_id % 3) AS g, w, pos FROM wp),
+        ln AS (
+            SELECT doc_id, g,
+                   string_agg(w, ' ' ORDER BY pos)
+                   || CASE WHEN (doc_id + g) % 11 = 0 THEN ' javascript' ELSE '' END
+                   || CASE WHEN (doc_id + g) % 3 = 0 THEN '.'
+                           WHEN (doc_id + g) % 3 = 1 THEN '?' ELSE '' END AS lt
+            FROM lw GROUP BY 1, 2),
+        pg0 AS (SELECT doc_id, string_agg(lt, chr(10) ORDER BY g) AS body
+                FROM ln GROUP BY 1),
+        pg AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 17 = 0 THEN 'lorem ipsum.' || chr(10) ELSE '' END
+                   || CASE WHEN d.doc_id % 19 = 0 THEN 'curly { brace.' || chr(10) ELSE '' END
+                   || COALESCE(p.body, '') AS page
+            FROM documents d LEFT JOIN pg0 p USING (doc_id)),
+        lines AS (
+            SELECT doc_id, page,
+                   unnest(string_split(page, chr(10))) AS l,
+                   unnest(range(1, len(string_split(page, chr(10))) + 1)) AS li
+            FROM pg),
+        lr AS (
+            SELECT doc_id, l, li,
+                   (regexp_matches(l, '[.!?"]$')
+                    AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= 3
+                    AND NOT contains(l, 'javascript')) AS kept,
+                   length(l) - length(regexp_replace(l, '[.!?"]', '', 'g')) AS nsent
+            FROM lines),
+        agg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+                   CAST(SUM(CASE WHEN kept THEN nsent ELSE 0 END) AS BIGINT) AS n_sentences,
+                   COALESCE(string_agg(CASE WHEN kept THEN l END, chr(10) ORDER BY li),
+                            '') AS clean0
+            FROM lr GROUP BY 1)
+        SELECT a.doc_id, a.n_lines, a.n_kept_lines, a.n_sentences,
+               CAST(CASE WHEN NOT contains(p.page, 'lorem ipsum')
+                              AND NOT contains(p.page, '{')
+                              AND a.n_sentences >= 5
+                         THEN 1 ELSE 0 END AS BIGINT) AS page_kept,
+               md5(CASE WHEN NOT contains(p.page, 'lorem ipsum')
+                             AND NOT contains(p.page, '{')
+                             AND a.n_sentences >= 5
+                        THEN a.clean0 ELSE '' END) AS out_md5
+        FROM agg a JOIN pg p USING (doc_id)
+    """
+
+
 def _repetition_oracle_sql(top_word_max: float = 0.125,
                            dup_2gram_max: float = 0.06,
                            seg_tokens: int = 10) -> str:
@@ -2818,7 +2945,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'simhash' AS method, id_a, id_b, CAST(hamming AS DOUBLE) AS score
             FROM ({_simhash_oracle_sql()})
         """,
-        "docs_pii_redact": _pii_oracle_sql(),
+        "docs_pii_redact": f"""
+            SELECT 'pii' AS kind, doc_id, n_email, n_phone, n_ip,
+                   CAST(0 AS BIGINT) AS n_lines, CAST(0 AS BIGINT) AS n_kept_lines,
+                   CAST(0 AS BIGINT) AS n_sentences, CAST(0 AS BIGINT) AS page_kept,
+                   redacted_md5 AS out_md5
+            FROM ({_pii_oracle_sql()})
+            UNION ALL
+            SELECT 'c4' AS kind, doc_id, CAST(0 AS BIGINT) AS n_email,
+                   CAST(0 AS BIGINT) AS n_phone, CAST(0 AS BIGINT) AS n_ip,
+                   n_lines, n_kept_lines, n_sentences, page_kept, out_md5
+            FROM ({_c4_oracle_sql()})
+        """,
         "emb_kmeans": _kmeans_oracle_sql(),
         "docs_repetition": _repetition_oracle_sql(),
         "docs_ngram_contamination": _contamination_oracle_sql(),

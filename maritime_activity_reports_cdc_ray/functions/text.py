@@ -769,3 +769,61 @@ def lm_perplexity(ds, vocab_size: int = 128, num_partitions: int = 16,
                                "t_low_bits": t_low_bits,
                                "t_high_bits": t_high_bits},
         batch_format="pandas", concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# C4-style page cleaning (Raffel et al. 2020 §2.2 — the classic web-corpus
+# boilerplate filter). Line rules: keep lines ending in terminal punctuation,
+# with ≥ min_words words, not containing 'javascript'; page rules: drop pages
+# containing 'lorem ipsum' or '{', or with fewer than min_sentences terminal
+# marks across kept lines. Fully vectorized (one line explode per batch);
+# every rule is replayed verbatim by the SQL oracle.
+# ---------------------------------------------------------------------------
+_C4_TERMINAL_RE = r'[.!?"]$'
+_C4_SENT_RE = r'[.!?"]'
+
+
+def c4_clean(df: pd.DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", min_words: int = 3,
+             min_sentences: int = 5) -> pd.DataFrame:
+    """Per-page C4 cleaning → (id, n_lines, n_kept_lines, n_sentences,
+    page_kept, text_clean). ``text_clean`` is the kept lines re-joined with
+    NEWLINE ('' when the page is dropped). Word count per line uses the
+    house tokenizer rule (split(' '), empties dropped)."""
+    n = len(df)
+    s = df[text_col].fillna("")
+    page_bad = (s.str.contains("lorem ipsum", regex=False)
+                | s.str.contains("{", regex=False))
+    lines = s.str.split("\n").reset_index(drop=True)
+    ex = lines.explode()
+    ex = ex[ex.notna()]
+    rows = ex.index.to_numpy(dtype=np.int64)
+    lv = ex.astype(str)
+    n_lines = np.bincount(rows, minlength=n).astype(np.int64) if len(rows) \
+        else np.zeros(n, np.int64)
+    if len(rows):
+        ends = lv.str.contains(_C4_TERMINAL_RE, regex=True).to_numpy()
+        n_words = lv.str.count(r"[^ ]+").to_numpy()
+        no_js = ~lv.str.contains("javascript", regex=False).to_numpy()
+        keep = ends & (n_words >= min_words) & no_js
+        n_kept = np.bincount(rows[keep], minlength=n).astype(np.int64)
+        sent_per_line = lv.str.count(_C4_SENT_RE).to_numpy()
+        n_sent = np.bincount(rows[keep], weights=sent_per_line[keep],
+                             minlength=n).astype(np.int64)
+        kept_join = (pd.Series(lv.to_numpy()[keep],
+                               index=rows[keep]).groupby(level=0)
+                     .agg("\n".join) if keep.any() else pd.Series(dtype=object))
+        joined = np.full(n, "", dtype=object)
+        if len(kept_join):
+            joined[kept_join.index.to_numpy()] = kept_join.to_numpy()
+    else:
+        n_kept = np.zeros(n, np.int64)
+        n_sent = np.zeros(n, np.int64)
+        joined = np.full(n, "", dtype=object)
+    page_kept = (~page_bad.to_numpy()) & (n_sent >= min_sentences)
+    return pd.DataFrame({
+        id_col: df[id_col].to_numpy(),
+        "n_lines": n_lines, "n_kept_lines": n_kept, "n_sentences": n_sent,
+        "page_kept": page_kept.astype(np.int64),
+        "text_clean": np.where(page_kept, joined, ""),
+    })

@@ -654,3 +654,25 @@ def test_lm_perplexity_matches_duckdb(ray_session, texts, vocab_size):
     assert out["n_tokens"].tolist() == ora["n_tokens"].tolist()
     assert out["nll_fp"].tolist() == ora["nll_fp"].tolist()
     assert out["lm_band"].tolist() == ora["band"].tolist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(_texts, st.integers(min_value=0, max_value=100))
+def test_c4_clean_matches_duckdb(texts, id0):
+    """The C4 cleaner face (synthetic page structure + every line/page rule)
+    vs the production oracle SQL (__ray_entry__._c4_oracle_sql) on random
+    word soup and id offsets (which steer the injection patterns)."""
+    import __ray_entry__ as E
+    from maritime_activity_reports_cdc_ray.functions.text import c4_clean
+
+    df = pd.DataFrame({"doc_id": np.arange(id0, id0 + len(texts)),
+                       "text": texts})
+    out = c4_clean(E._c4_synth(df)).sort_values("doc_id").reset_index(drop=True)
+    import hashlib
+    out["out_md5"] = out["text_clean"].map(
+        lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+    con = _con(df)
+    ora = con.execute(E._c4_oracle_sql() + " ORDER BY doc_id").df()
+    for c in ["n_lines", "n_kept_lines", "n_sentences", "page_kept"]:
+        assert out[c].tolist() == ora[c].tolist(), c
+    assert out["out_md5"].tolist() == ora["out_md5"].tolist()

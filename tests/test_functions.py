@@ -1095,3 +1095,30 @@ def test_bigram_lm_trainer(ray_session):
     assert me["total"] == 0
     out = LmPerplexityScorer(me)(empty)
     assert out["lm_band"].tolist() == ["empty"]
+
+
+def test_c4_clean_rules():
+    """Direct rule checks: terminal punctuation, ≥3 words, javascript ban,
+    lorem-ipsum / brace page bans, ≥5-sentence page rule."""
+    from maritime_activity_reports_cdc_ray.functions.text import c4_clean
+
+    good = "\n".join(["one two three.", "four five six!", "seven eight nine?",
+                      'ten eleven twelve."', "a b c d.", "e f g h."])
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6], "text": [
+        good,                                  # all lines kept, 6 sentences
+        "no terminal here\nalso not here",     # nothing kept
+        "too few.\nwords here.",               # < 3 words per line
+        good + "\nuses javascript now.",       # js line dropped, page kept
+        "lorem ipsum\n" + good,                # page banned
+        good.replace("five", "{five}"),        # brace ban
+    ]})
+    out = c4_clean(df)
+    assert out["page_kept"].tolist() == [1, 0, 0, 1, 0, 0]
+    assert out["n_kept_lines"].tolist()[0] == 6
+    assert out["n_kept_lines"].tolist()[1] == 0
+    assert out["n_kept_lines"].tolist()[2] == 0
+    # js line dropped from doc 4 but the 6 good lines remain
+    assert out["n_kept_lines"].tolist()[3] == 6
+    assert out["text_clean"].tolist()[1] == ""
+    assert out["text_clean"].tolist()[4] == ""  # banned page → empty output
+    assert out["text_clean"].tolist()[0] == good
