@@ -826,24 +826,30 @@ def cdc_silver_asof(sf_dir: str):
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
 def docs_token_stats(sf_dir: str):
-    """Token counting per language — BOTH tokenizers in one pass: whitespace
-    tokens and the BPE-ish (words|digits|punct regex) count, each vectorized
-    str.count per batch; the oracle mirrors both regexes in DuckDB."""
+    """Token counting per language — BOTH tokenizers in one pass (whitespace
+    tokens and the BPE-ish words|digits|punct count, each a vectorized
+    str.count per batch) plus the unigram token-entropy signal
+    (token_entropy_fp — exact fixed-point integer, so the per-lang SUM is
+    order-independent); the oracle mirrors both regexes and the entropy
+    formula in DuckDB."""
     from ray.data.aggregate import Count, Sum
 
     from maritime_activity_reports_cdc_ray.functions.text import (
         bpe_token_count,
         token_count,
+        token_entropy_fp,
     )
 
     ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
 
     def m(df: pd.DataFrame) -> pd.DataFrame:
+        ent = token_entropy_fp(df)
         return pd.DataFrame({
             "lang": df["lang"],
             "n_tokens": token_count(df["text"]),
             "n_chars": df["text"].fillna("").str.len().astype("int64"),
             "n_bpe_tokens": bpe_token_count(df["text"]),
+            "entropy_fp": ent["entropy_fp"],
         })
 
     out = ds.map_batches(m, batch_format="pandas").groupby("lang").aggregate(
@@ -851,15 +857,19 @@ def docs_token_stats(sf_dir: str):
         Sum("n_tokens", alias_name="total_tokens"),
         Sum("n_chars", alias_name="total_chars"),
         Sum("n_bpe_tokens", alias_name="total_bpe_tokens"),
+        Sum("entropy_fp", alias_name="total_entropy_fp"),
     ).to_pandas()
+    out["total_entropy_fp"] = out["total_entropy_fp"].astype("int64")
     return out
 
 
 def docs_fingerprint(sf_dir: str):
-    """Both fingerprint families in one attested result: kind='md5' = exact
+    """Three fingerprint faces in one attested result: kind='md5' = exact
     whole-doc fingerprints (normalized-text md5), kind='rolling' = winnowing
     window-min rolling-hash fingerprints (codepoint polynomials mod 2^64),
-    each rolled up to (fingerprint, n_docs, first_doc_id)."""
+    kind='chunk' = token-window chunk fingerprints (make_chunker size=16
+    stride=8 — the RAG/pretraining chunking operator, rolled up to
+    chunk-level dup counts), each as (fingerprint, n_docs, first_doc_id)."""
     from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
     from maritime_activity_reports_cdc_ray.functions.text import (
         RollingFingerprint,
@@ -893,8 +903,30 @@ def docs_fingerprint(sf_dir: str):
                              "n_docs": ro["n_docs"].astype("int64"),
                              "first_doc_id": ro["first_doc_id"].astype("int64")})
 
-    md, ro = _par2(md5_side, rolling_side)
-    return (pd.concat([md, ro], ignore_index=True)
+    def chunk_side() -> pd.DataFrame:
+        import hashlib
+
+        from maritime_activity_reports_cdc_ray.functions.text import make_chunker
+
+        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        ch = make_chunker(size=16, stride=8)
+
+        def fp(df: pd.DataFrame) -> pd.DataFrame:
+            c = ch(df)
+            return pd.DataFrame({
+                "fingerprint": c["chunk_text"].map(
+                    lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
+                "doc_id": c["doc_id"]})
+
+        out = hash_agg(ds.map_batches(fp, batch_format="pandas"), "fingerprint",
+                       {"n_docs": ("doc_id", "count"),
+                        "first_doc_id": ("doc_id", "min")}).to_pandas()
+        out = out.astype({"n_docs": "int64", "first_doc_id": "int64"})
+        out.insert(0, "kind", "chunk")
+        return out
+
+    (md, ro), chk = _par2(lambda: _par2(md5_side, rolling_side), chunk_side)
+    return (pd.concat([md, ro, chk], ignore_index=True)
             .sort_values(["kind", "fingerprint"]).reset_index(drop=True))
 
 
@@ -2764,15 +2796,28 @@ def oracle_sql() -> dict[str, str]:
                    JOIN totals ON w.user_id = totals.user_id
             GROUP BY w.user_id
         """,
-        "docs_token_stats": """
+        "docs_token_stats": f"""
+            WITH et AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                                          x -> x <> '')) AS w
+                FROM documents),
+            ec AS (SELECT doc_id, w, COUNT(*) AS c FROM et GROUP BY 1, 2),
+            en AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM ec GROUP BY 1),
+            ed AS (
+                SELECT ec.doc_id,
+                       CAST(SUM(ec.c * ({_ql_sql('en.n')} - {_ql_sql('ec.c')}))
+                            AS BIGINT) AS s
+                FROM ec JOIN en USING (doc_id) GROUP BY 1)
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(CASE WHEN trim(text) = '' THEN 0
                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
                        AS BIGINT) AS total_tokens,
                    CAST(SUM(length(text)) AS BIGINT) AS total_chars,
                    CAST(SUM(len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens
-            FROM documents GROUP BY lang
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
+                   CAST(SUM(COALESCE(ed.s, 0)) AS BIGINT) AS total_entropy_fp
+            FROM documents LEFT JOIN ed USING (doc_id) GROUP BY lang
         """,
         "docs_fingerprint": f"""
             SELECT 'md5' AS kind,
@@ -2783,6 +2828,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'rolling' AS kind, CAST(fp AS VARCHAR) AS fingerprint,
                    COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
             FROM ({_rolling_fp_oracle_sql()}) GROUP BY 2
+            UNION ALL
+            -- token-window chunk fingerprints: chunk k covers words
+            -- [k*8, k*8+16); chunks start while k*8 < n_words
+            SELECT 'chunk' AS kind, fingerprint,
+                   COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
+            FROM (
+                WITH d0 AS (
+                    SELECT doc_id,
+                           list_filter(string_split(COALESCE(text, ''), ' '),
+                                       x -> x <> '') AS ws
+                    FROM documents),
+                ks AS (
+                    SELECT doc_id, ws,
+                           unnest(range(0, (len(ws) + 7) // 8)) AS k
+                    FROM d0 WHERE len(ws) > 0)
+                SELECT doc_id,
+                       md5(array_to_string(
+                           list_slice(ws, k * 8 + 1, LEAST(k * 8 + 16, len(ws))),
+                           ' ')) AS fingerprint
+                FROM ks)
+            GROUP BY 2
         """,
         "docs_quality": f"""
             WITH m AS (

@@ -827,3 +827,73 @@ def c4_clean(df: pd.DataFrame, id_col: str = "doc_id",
         "page_kept": page_kept.astype(np.int64),
         "text_clean": np.where(page_kept, joined, ""),
     })
+
+
+def token_entropy_fp(df: pd.DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> pd.DataFrame:
+    """Per-doc unigram token entropy in fixed-point bits (scale 2^20):
+    ``S = Σ_t c_t · (qlog2(n) − qlog2(c_t))`` over the doc's distinct-token
+    counts — an exact integer at any summation order (entropy_bits =
+    S / (n·2^20)). A compressibility quality signal: low entropy = repetitive
+    boilerplate. House tokenizer rule; SQL mirror groups (doc, word)."""
+    n = len(df)
+    rows, _, hs = _lm_tokens(df, id_col, text_col)
+    n_tok = (np.bincount(rows, minlength=n).astype(np.int64)
+             if len(rows) else np.zeros(n, np.int64))
+    ent = np.zeros(n, np.int64)
+    if len(rows):
+        fr = pd.DataFrame({"r": rows, "h": hs})
+        g = fr.groupby(["r", "h"], sort=False).size().reset_index(name="c")
+        r = g["r"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        qn = qlog2_fp(n_tok[r])
+        term = (c * (qn - qlog2_fp(c))).astype(np.float64)
+        ent = np.bincount(r, weights=term, minlength=n).astype(np.int64)
+    return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                         "n_tokens": n_tok, "entropy_fp": ent})
+
+
+def make_chunker(size: int = 16, stride: int = 8, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Document chunking into fixed token windows (RAG / training-window
+    prep): chunk ``k`` covers tokens ``[k·stride, k·stride + size)``; chunks
+    start while ``k·stride < n_tokens``. ``size`` must be a multiple of
+    ``stride`` (each token then belongs to exactly ``size//stride`` chunks —
+    vectorized as that many phase passes, no per-row loop). Emits
+    (id, chunk_id, chunk_text, n_chunk_tokens) rows."""
+    if size % stride:
+        raise ValueError("size must be a multiple of stride")
+    phases = size // stride
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("").str.split(" ").reset_index(drop=True)
+        ex = s.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        rows = ex.index.to_numpy(dtype=np.int64)
+        toks = ex.to_numpy(dtype=object)
+        if not len(rows):
+            return pd.DataFrame({id_col: np.zeros(0, np.int64),
+                                 "chunk_id": np.zeros(0, np.int64),
+                                 "chunk_text": np.zeros(0, object),
+                                 "n_chunk_tokens": np.zeros(0, np.int64)})
+        starts = np.r_[np.int64(0), np.flatnonzero(rows[1:] != rows[:-1]) + 1]
+        cnt = np.diff(np.r_[starts, np.int64(len(rows))])
+        pos = np.arange(len(rows), dtype=np.int64) - np.repeat(starts, cnt)
+        ids = df[id_col].to_numpy()
+        parts = []
+        for j in range(phases):
+            k = pos // stride - j
+            m = k >= 0
+            parts.append(pd.DataFrame({"r": rows[m], "k": k[m],
+                                       "p": pos[m], "w": toks[m]}))
+        fr = pd.concat(parts, ignore_index=True)
+        g = (fr.sort_values(["r", "k", "p"], kind="mergesort")
+             .groupby(["r", "k"], sort=True))
+        out = g["w"].agg(" ".join).reset_index()
+        out["n"] = g.size().to_numpy()
+        return pd.DataFrame({id_col: ids[out["r"].to_numpy()],
+                             "chunk_id": out["k"].astype("int64"),
+                             "chunk_text": out["w"],
+                             "n_chunk_tokens": out["n"].astype("int64")})
+
+    return chunk

@@ -676,3 +676,33 @@ def test_c4_clean_matches_duckdb(texts, id0):
     for c in ["n_lines", "n_kept_lines", "n_sentences", "page_kept"]:
         assert out[c].tolist() == ora[c].tolist(), c
     assert out["out_md5"].tolist() == ora["out_md5"].tolist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(_texts)
+def test_token_entropy_matches_duckdb(texts):
+    """token_entropy_fp (fixed-point unigram entropy) vs the SQL formula the
+    docs_token_stats oracle embeds."""
+    import __ray_entry__ as E
+
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    out = T.token_entropy_fp(df)
+    con = _con(df)
+    ora = con.execute(f"""
+        WITH et AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents),
+        ec AS (SELECT doc_id, w, COUNT(*) AS c FROM et GROUP BY 1, 2),
+        en AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM ec GROUP BY 1),
+        ed AS (
+            SELECT ec.doc_id,
+                   CAST(SUM(ec.c * ({E._ql_sql('en.n')} - {E._ql_sql('ec.c')}))
+                        AS BIGINT) AS s
+            FROM ec JOIN en USING (doc_id) GROUP BY 1)
+        SELECT d.doc_id, COALESCE(ed.s, 0) AS s, COALESCE(en.n, 0) AS n
+        FROM documents d LEFT JOIN ed USING (doc_id) LEFT JOIN en USING (doc_id)
+        ORDER BY d.doc_id""").df()
+    assert out["entropy_fp"].tolist() == ora["s"].tolist()
+    assert out["n_tokens"].tolist() == ora["n"].tolist()

@@ -1122,3 +1122,22 @@ def test_c4_clean_rules():
     assert out["text_clean"].tolist()[1] == ""
     assert out["text_clean"].tolist()[4] == ""  # banned page → empty output
     assert out["text_clean"].tolist()[0] == good
+
+
+def test_make_chunker_windows():
+    """Overlapping token windows: chunk k covers [k·stride, k·stride+size);
+    chunks exist while k·stride < n; empty docs emit nothing."""
+    from maritime_activity_reports_cdc_ray.functions.text import make_chunker
+
+    df = pd.DataFrame({"doc_id": [7, 8], "text": ["a b c d e f g h i j k", ""]})
+    out = make_chunker(size=4, stride=2)(df)
+    assert out["doc_id"].tolist() == [7] * 6
+    assert out["chunk_text"].tolist() == [
+        "a b c d", "c d e f", "e f g h", "g h i j", "i j k", "k"]
+    assert out["n_chunk_tokens"].tolist() == [4, 4, 4, 4, 3, 1]
+    # non-overlapping degenerate
+    out2 = make_chunker(size=4, stride=4)(df)
+    assert out2["chunk_text"].tolist() == ["a b c d", "e f g h", "i j k"]
+    import pytest
+    with pytest.raises(ValueError):
+        make_chunker(size=5, stride=2)
