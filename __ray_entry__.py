@@ -1396,17 +1396,36 @@ def docs_sampling(sf_dir: str):
 
 
 def emb_kmeans(sf_dir: str):
-    """Deterministic distributed k-means over the embeddings table (Lloyd,
-    2 iterations, id-stride init) — per-cluster sizes + inertia from the
-    final assignment. EXACT SQL oracle: every distance and every centroid
-    coordinate is quantized to 6dp at each step, so DuckDB replays the whole
-    iteration bit-for-bit (unnest dims → rounded Σ(v-c)² → argmin with
-    smallest-centroid tie-break → rounded AVG update → repeat)."""
-    from maritime_activity_reports_cdc_ray.functions.similarity import kmeans_fit
+    """Two clustering faces in one attested result. method='fit':
+    deterministic distributed k-means (Lloyd, 2 iterations, id-stride init)
+    — per-cluster sizes + inertia from the final assignment; EXACT SQL
+    oracle (every distance and centroid coordinate quantized to 6dp at each
+    step, argmin with smallest-centroid tie-break). method='prune':
+    prototypicality pruning (kmeans_prune — the 10% least prototypical
+    vectors per cluster by final distance-to-centroid; n_vecs = pruned
+    count, inertia = pruned distance mass); the oracle runs one extra
+    assignment round and replays the window rank. Faces run concurrently."""
+    from maritime_activity_reports_cdc_ray.functions.similarity import (
+        kmeans_fit,
+        kmeans_prune,
+    )
 
-    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    _, stats = kmeans_fit(ds, k=16, iters=2, centroid_id_stride=29)
-    return stats.sort_values("cluster").reset_index(drop=True)
+    def fit():
+        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        _, stats = kmeans_fit(ds, k=16, iters=2, centroid_id_stride=29)
+        stats.insert(0, "method", "fit")
+        return stats
+
+    def prune():
+        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        out = kmeans_prune(ds, q_pct=10, k=16, iters=2, centroid_id_stride=29)
+        return pd.DataFrame({"method": "prune", "cluster": out["cluster"],
+                             "n_vecs": out["n_pruned"],
+                             "inertia": out["pruned_inertia"]})
+
+    f, p = _par2(fit, prune)
+    return (pd.concat([f, p], ignore_index=True)
+            .sort_values(["method", "cluster"]).reset_index(drop=True))
 
 
 def docs_top_terms(sf_dir: str):
@@ -2437,6 +2456,28 @@ def _kmeans_oracle_sql(k: int = 16, iters: int = 2, dim: int = 64,
     """
 
 
+def _kmeans_prune_oracle_sql(q_pct: int = 10, k: int = 16, iters: int = 2,
+                             dim: int = 64, stride: int = 29) -> str:
+    """DuckDB replay of kmeans_prune (functions/similarity.py): one extra
+    assignment round against the FINAL centroids (a{{iters+1}}, exactly what
+    the engine's assign pass does), then per cluster the top
+    ``(n_c·q_pct + 99) // 100`` rows by (d2 DESC, vec_id) — the pruned slice
+    — rolled up to counts + pruned distance mass."""
+    a_final = f"a{iters + 1}"
+    return _kmeans_cte_sql(k, iters + 1, dim, stride) + f"""
+        SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(SUM(d2), 2) AS inertia
+        FROM (
+            SELECT cid, vec_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY cid
+                                      ORDER BY d2 DESC, vec_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY cid) AS nc
+            FROM {a_final})
+        WHERE rn <= (nc * {q_pct} + 99) // 100
+        GROUP BY cid
+    """
+
+
 def _semdedup_oracle_sql(threshold: float = 0.4, k: int = 16, iters: int = 2,
                          dim: int = 64, stride: int = 29) -> str:
     """DuckDB replay of semantic_dedup (functions/similarity.py): the Lloyd
@@ -3023,7 +3064,13 @@ def oracle_sql() -> dict[str, str]:
                    n_lines, n_kept_lines, n_sentences, page_kept, out_md5
             FROM ({_c4_oracle_sql()})
         """,
-        "emb_kmeans": _kmeans_oracle_sql(),
+        "emb_kmeans": f"""
+            SELECT 'fit' AS method, cluster, n_vecs, inertia
+            FROM ({_kmeans_oracle_sql()})
+            UNION ALL
+            SELECT 'prune' AS method, cluster, n_vecs, inertia
+            FROM ({_kmeans_prune_oracle_sql()})
+        """,
         "docs_repetition": _repetition_oracle_sql(),
         "docs_ngram_contamination": _contamination_oracle_sql(),
         "events_approx_distinct_users": _hll_oracle_sql(),

@@ -713,3 +713,71 @@ def random_projection(ds, dim: int, out_dim: int = 8, tag: str = "jl",
         RandomProjector(dim, out_dim, tag, id_col, vec_col, out_col,
                         keep_cols, round_dp),
         batch_format="pandas")
+
+
+def kmeans_prune(ds, q_pct: int = 10, k: int = 16, iters: int = 2,
+                 centroid_id_stride: int = 29, id_col: str = "vec_id",
+                 vec_col: str = "embedding", round_dp: int = 6,
+                 num_partitions: int = 16):
+    """Prototypicality pruning (Sorscher et al. 2022, "Beyond neural scaling
+    laws", arXiv:2206.14486 — the SSL-Prune metric; SemDeDup's sibling):
+    cluster the embedding space, then flag the ``q_pct``% LEAST prototypical
+    vectors per cluster — largest rounded distance-to-centroid, ties broken
+    by smaller id — the slice you'd drop first when downsizing a corpus.
+
+    Shape: one :func:`kmeans_fit` (combiner partials, driver reduces k rows);
+    ONE assignment pass against the broadcast final centroids; hash partition
+    by cluster so per-partition ranks ARE global per-cluster ranks (all of a
+    cluster's rows co-locate); per-partition vectorized rank + rollup. The
+    driver sees only k rollup rows. Prune count per cluster is the exact
+    integer ``(n_c·q_pct + 99) // 100`` — no float quantile boundary.
+
+    Returns a per-cluster DataFrame (cluster, n_pruned, pruned_inertia)."""
+    import ray
+
+    from maritime_activity_reports_cdc_ray.functions.dedup import _hash_part
+
+    cent, _ = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+                         centroid_id_stride=centroid_id_stride,
+                         round_dp=round_dp)
+    cref = ray.put(cent)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cid": pd.Series(dtype="int64"),
+                                 "d2": pd.Series(dtype="float64"),
+                                 "_part": pd.Series(dtype="int64")})
+        c = ray.get(cref)
+        m = _to_matrix(df[vec_col])
+        d2 = _round_half_away(
+            ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), round_dp)
+        a = d2.argmin(axis=1).astype(np.int64)
+        out = pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                            "cid": a,
+                            "d2": d2[np.arange(len(a)), a]})
+        out["_part"] = _hash_part(out, ["cid"], num_partitions)
+        return out
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cid", "d2", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        cid = g["cid"].to_numpy()
+        starts = np.r_[np.int64(0), np.flatnonzero(cid[1:] != cid[:-1]) + 1]
+        cnt = np.diff(np.r_[starts, np.int64(len(cid))])
+        rn = np.arange(len(cid), dtype=np.int64) - np.repeat(starts, cnt)
+        nc = np.repeat(cnt, cnt)
+        keep = rn < (nc * q_pct + 99) // 100
+        kept = g[keep]
+        out = kept.groupby("cid", as_index=False).agg(
+            n_pruned=(id_col, "size"), pruned_inertia=("d2", "sum"))
+        return pd.DataFrame({"cluster": out["cid"].astype("int64"),
+                             "n_pruned": out["n_pruned"].astype("int64"),
+                             "pruned_inertia": out["pruned_inertia"]})
+
+    res = (ds.map_batches(assign, batch_format="pandas")
+           .groupby("_part").map_groups(prune, batch_format="pandas")
+           .to_pandas())
+    res["pruned_inertia"] = _round_half_away(
+        res["pruned_inertia"].to_numpy(np.float64), 2)
+    return res.sort_values("cluster").reset_index(drop=True)

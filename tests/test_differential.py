@@ -706,3 +706,35 @@ def test_token_entropy_matches_duckdb(texts):
         ORDER BY d.doc_id""").df()
     assert out["entropy_fp"].tolist() == ora["s"].tolist()
     assert out["n_tokens"].tolist() == ora["n"].tolist()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=8, max_value=60), st.integers(min_value=0, max_value=9),
+       st.integers(min_value=5, max_value=50))
+def test_kmeans_prune_matches_duckdb_replay(ray_session, n_vecs, seed, q_pct):
+    """Prototypicality pruning vs the SQL window-rank replay on random
+    embeddings and prune fractions (tie-breaks: d2 DESC, vec_id ASC; prune
+    count = (n_c·q + 99)//100 — exact integers on both sides)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.similarity import kmeans_prune
+
+    dim, k, stride = 8, 4, 5
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(0, 1, (n_vecs, dim)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n_vecs),
+                       "embedding": [v for v in vecs]})
+    out = kmeans_prune(rd.from_pandas(df), q_pct=q_pct, k=k, iters=2,
+                       centroid_id_stride=stride)
+    con = duckdb.connect()
+    con.register("embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_vecs)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    ora = con.execute(_entry_mod()._kmeans_prune_oracle_sql(
+        q_pct=q_pct, k=k, iters=2, dim=dim, stride=stride)).df() \
+        .sort_values("cluster").reset_index(drop=True)
+    assert out["cluster"].tolist() == ora["cluster"].tolist()
+    assert out["n_pruned"].tolist() == ora["n_vecs"].tolist()
+    assert out["pruned_inertia"].tolist() == ora["inertia"].tolist()
