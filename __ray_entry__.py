@@ -1063,25 +1063,53 @@ def docs_minhash_pairs(sf_dir: str):
 
 def docs_dup_groups(sf_dir: str):
     """Full dedup pipeline end: exact Jaccard join → connected components
-    (min-label propagation) → one keeper per duplicate group (rows-only:
-    the grouping itself is checked by the exact-join oracle upstream)."""
+    (min-label propagation) → TWO canonical-selection policies per duplicate
+    group: keep_doc_id = smallest id (the cheap default) and
+    keep_best_doc_id = highest tiered quality score, smaller id on ties (the
+    policy a real curation pipeline applies before dropping dups). Scale
+    shape: quality scores stream per batch; the component↔score join goes
+    through auto_join's size gates; the per-group argmax runs after a hash
+    partition on component (all of a group's rows co-locate — one vectorized
+    first-per-group per partition; the driver sees only group rollups)."""
     from maritime_activity_reports_cdc_ray.functions.dedup import (
+        _hash_part,
         jaccard_similarity_join,
         label_components_distributed,
     )
-    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+    from maritime_activity_reports_cdc_ray.functions.join import auto_join
+    from maritime_activity_reports_cdc_ray.functions.text import quality_score
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     pairs = jaccard_similarity_join(docs, threshold=0.5, k=8)
     lab = label_components_distributed(pairs)
-    out = hash_agg(lab, "component", {"n_docs": ("id", "count"),
-                                      "keep_doc_id": ("id", "min")}).to_pandas()
+    scores = docs.map_batches(
+        lambda df: quality_score(df)[["doc_id", "doc_quality_score"]],
+        batch_format="pandas")
+    j = auto_join(lab, scores, on=["id"], right_on=["doc_id"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = _hash_part(df, ["component"], 8)
+        return df
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["component", "doc_quality_score", "id"],
+                          ascending=[True, False, True], kind="mergesort")
+        best = g.drop_duplicates("component")[["component", "id"]] \
+            .rename(columns={"id": "keep_best_doc_id"})
+        agg = g.groupby("component", as_index=False).agg(
+            n_docs=("id", "size"), keep_doc_id=("id", "min"))
+        return agg.merge(best, on="component", sort=False)
+
+    out = (j.map_batches(part, batch_format="pandas")
+           .groupby("_part").map_groups(rollup, batch_format="pandas")
+           .to_pandas())
     if not len(out):
-        return pd.DataFrame({"component": pd.Series(dtype="int64"),
-                             "n_docs": pd.Series(dtype="int64"),
-                             "keep_doc_id": pd.Series(dtype="int64")})
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ["component", "n_docs", "keep_doc_id",
+                              "keep_best_doc_id"]})
     out = out.astype("int64").sort_values("component").reset_index(drop=True)
-    return out[["component", "n_docs", "keep_doc_id"]]
+    return out[["component", "n_docs", "keep_doc_id", "keep_best_doc_id"]]
 
 
 def docs_simhash_pairs(sf_dir: str):
@@ -2967,8 +2995,30 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sz sb ON sb.doc_id = id_b
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
         """,
-        "docs_dup_groups": """
-            WITH RECURSIVE norm AS (
+        "docs_dup_groups": f"""
+            WITH RECURSIVE qm AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                       length(text) AS n_chars,
+                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                       len(list_filter(regexp_split_to_array(lower(text), '[^a-z'']+'),
+                                       x -> x IN ({_STOP_LIST}))) AS stop_hits
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id,
+                       CASE ((CASE WHEN n_tokens >= 20 THEN 0 ELSE 1 END)
+                           + (CASE WHEN n_chars <= 100000 THEN 0 ELSE 1 END)
+                           + (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars < 0.30
+                                   THEN 0 ELSE 1 END)
+                           + (CASE WHEN n_tokens > 0 AND CAST(stop_hits AS DOUBLE) / n_tokens > 0.02
+                                   THEN 0 ELSE 1 END))
+                            WHEN 0 THEN 1.0 WHEN 1 THEN 0.8 WHEN 2 THEN 0.6
+                            WHEN 3 THEN 0.4 ELSE 0.0 END AS score
+                FROM qm
+            ),
+            norm AS (
                 SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
                 FROM documents
             ),
@@ -3000,9 +3050,19 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
             ),
-            comp AS (SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src)
-            SELECT component, COUNT(*) AS n_docs, MIN(id) AS keep_doc_id
-            FROM comp GROUP BY component
+            comp AS (SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src),
+            best AS (
+                SELECT component, id AS keep_best_doc_id FROM (
+                    SELECT comp.component, comp.id,
+                           ROW_NUMBER() OVER (PARTITION BY comp.component
+                                              ORDER BY q.score DESC, comp.id) AS rn
+                    FROM comp JOIN q ON q.doc_id = comp.id)
+                WHERE rn = 1
+            )
+            SELECT c.component, c.n_docs, c.keep_doc_id, b.keep_best_doc_id
+            FROM (SELECT component, COUNT(*) AS n_docs, MIN(id) AS keep_doc_id
+                  FROM comp GROUP BY component) c
+            JOIN best b USING (component)
         """,
         "events_asof_last_click": """
             WITH l AS (SELECT event_id, user_id, ts FROM events
