@@ -43,18 +43,27 @@ def _ql_sql(e: str) -> str:
             f"(length(bin({e}))-1)) - 1048576)")
 
 
-def _lm_scored_sql(v: int, backoff: int, tlow_fp: int, thigh_fp: int) -> str:
+def _lm_scored_sql(v: int, backoff: int, tlow_fp: int, thigh_fp: int,
+                   train_hex_gate: int = 16) -> str:
     """Per-doc bigram-LM replay over the ``documents`` view → (doc_id,
     n_tokens, nll_fp, band). Replays the ENTIRE model in SQL: unigram counts,
     top-``v`` vocabulary (count desc, unsigned hash asc), in-vocab bigram +
     context counts, the fixed-point qlog2 NLL of EVERY token (stupid backoff
-    constant ``backoff``), exact-integer band tests. Shared by the
+    constant ``backoff``), exact-integer band tests. ``train_hex_gate`` < 16
+    trains the model on the md5-gated doc sample (the engine's
+    train_bigram_lm rule) while still scoring every doc. Shared by the
     docs_quality oracle and the differential fuzz test so they cannot drift."""
     md5_w = MD5_U64_SQL.format(expr="w")
     ql_tot = _ql_sql("tot.t")
     ql_uni = _ql_sql("COALESCE(v.c, 1)")
     ql_ctx = _ql_sql("cx.cs")
     ql_big = _ql_sql("bg.c")
+    if train_hex_gate >= 16:
+        tr_where = ""
+    else:
+        hexes = ", ".join(f"'{c}'" for c in "0123456789abcdef"[:train_hex_gate])
+        tr_where = (f"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
+                    f"IN ({hexes})")
     return f"""
         WITH d AS (
             SELECT doc_id,
@@ -66,12 +75,14 @@ def _lm_scored_sql(v: int, backoff: int, tlow_fp: int, thigh_fp: int) -> str:
                    unnest(range(1, len(ws) + 1)) AS pos
             FROM d),
         h AS (SELECT doc_id, pos, {md5_w} AS h FROM tok),
-        uni AS (SELECT h, COUNT(*) AS c FROM h GROUP BY 1),
+        htr AS (SELECT h.* FROM h JOIN (SELECT doc_id FROM documents
+                                        {tr_where}) g USING (doc_id)),
+        uni AS (SELECT h, COUNT(*) AS c FROM htr GROUP BY 1),
         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
         voc AS (SELECT h, c FROM uni ORDER BY c DESC, h ASC LIMIT {v}),
         big AS (
             SELECT a.h AS h1, b.h AS h2, COUNT(*) AS c
-            FROM h a JOIN h b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            FROM htr a JOIN htr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             WHERE a.h IN (SELECT h FROM voc) AND b.h IN (SELECT h FROM voc)
             GROUP BY 1, 2),
         ctx AS (SELECT h1, CAST(SUM(c) AS BIGINT) AS cs FROM big GROUP BY 1),
@@ -94,8 +105,8 @@ def _lm_scored_sql(v: int, backoff: int, tlow_fp: int, thigh_fp: int) -> str:
         SELECT d.doc_id, COALESCE(a.n, 0) AS n_tokens,
                COALESCE(a.s, 0) AS nll_fp,
                CASE WHEN COALESCE(a.n, 0) = 0 THEN 'empty'
-                    WHEN a.s < {tlow_fp} * a.n THEN 'low'
-                    WHEN a.s < {thigh_fp} * a.n THEN 'mid'
+                    WHEN COALESCE(a.s, 0) < {tlow_fp} * a.n THEN 'low'
+                    WHEN COALESCE(a.s, 0) < {thigh_fp} * a.n THEN 'mid'
                     ELSE 'high' END AS band
         FROM d LEFT JOIN agg a USING (doc_id)"""
 
@@ -934,7 +945,7 @@ def docs_fingerprint(sf_dir: str):
 # quantized once to fixed-point by lm_threshold_fp — engine and oracle share
 # the SAME integer constants. Thresholds sit at the sf-corpus p25/p75 of
 # avg-NLL so the bands split non-trivially.
-_LM_V, _LM_TLOW, _LM_THIGH = 128, 4.847, 4.905
+_LM_V, _LM_TLOW, _LM_THIGH, _LM_GATE = 128, 4.847, 4.905, 8
 
 
 def docs_quality(sf_dir: str):
@@ -979,7 +990,8 @@ def docs_quality(sf_dir: str):
     def lm():
         ds = _t(sf_dir, "documents", ["doc_id", "text"])
         scored = lm_perplexity(ds, vocab_size=_LM_V,
-                               t_low_bits=_LM_TLOW, t_high_bits=_LM_THIGH)
+                               t_low_bits=_LM_TLOW, t_high_bits=_LM_THIGH,
+                               train_hex_gate=_LM_GATE)
         out = scored.groupby("lm_band").aggregate(
             Count(alias_name="n_docs")).to_pandas()
         out = out.rename(columns={"lm_band": "category"})
@@ -2533,7 +2545,8 @@ def oracle_sql() -> dict[str, str]:
     # bigram-LM face constants: imported from the engine so they CANNOT drift
     LM_SCORED = _lm_scored_sql(_LM_V, LM_BACKOFF_NLL_FP,
                                lm_threshold_fp(_LM_TLOW),
-                               lm_threshold_fp(_LM_THIGH))
+                               lm_threshold_fp(_LM_THIGH),
+                               train_hex_gate=_LM_GATE)
     return {
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,

@@ -622,7 +622,8 @@ def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
 
 
 def train_bigram_lm(ds, vocab_size: int = 128, num_partitions: int = 16,
-                    id_col: str = "doc_id", text_col: str = "text") -> dict:
+                    id_col: str = "doc_id", text_col: str = "text",
+                    train_hex_gate: int = 16) -> dict:
     """Train a stupid-backoff bigram LM over a Dataset of documents.
 
     Two distributed passes: (1) unigram counts via combiner-first hash_count
@@ -630,13 +631,29 @@ def train_bigram_lm(ds, vocab_size: int = 128, num_partitions: int = 16,
     asc tie-break; per-batch partial top-V after the global reduce, so the
     driver sees ≤ V·num_batches rows); (2) adjacent-pair counts restricted to
     in-vocab tokens (candidate rows bounded by V² regardless of corpus size).
-    The returned model is O(V²) — broadcastable at any corpus scale."""
+    The returned model is O(V²) — broadcastable at any corpus scale.
+
+    ``train_hex_gate`` < 16 trains on a deterministic hash sample of the
+    corpus — docs whose ``md5(str(id))`` first hex digit is below the gate
+    (the house md5 sampling rule; CCNet trains its KenLM on a reference
+    corpus, not the corpus being scored). 16 = train on everything."""
     import uuid
 
     from maritime_activity_reports_cdc_ray.functions.dedup import hash_count
 
+    gate_hexes = set("0123456789abcdef"[:int(train_hex_gate)])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        if train_hex_gate >= 16 or not len(df):
+            return df
+        import hashlib
+
+        keep = df[id_col].astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()[0] in gate_hexes)
+        return df[keep.to_numpy()]
+
     def tok_batch(df: pd.DataFrame) -> pd.DataFrame:
-        _, _, hs = _lm_tokens(df, id_col, text_col)
+        _, _, hs = _lm_tokens(gate(df), id_col, text_col)
         return pd.DataFrame({"h": hs.astype(np.uint64)})
 
     counts = hash_count(ds.map_batches(tok_batch, batch_format="pandas"),
@@ -664,7 +681,7 @@ def train_bigram_lm(ds, vocab_size: int = 128, num_partitions: int = 16,
     varr = np.sort(vocab["h"].to_numpy(np.uint64))
 
     def big_batch(df: pd.DataFrame) -> pd.DataFrame:
-        rows, pos, hs = _lm_tokens(df, id_col, text_col)
+        rows, pos, hs = _lm_tokens(gate(df), id_col, text_col)
         if not len(rows):
             return pd.DataFrame({"h1": np.zeros(0, np.uint64),
                                  "h2": np.zeros(0, np.uint64)})
@@ -754,14 +771,16 @@ class LmPerplexityScorer:
 
 def lm_perplexity(ds, vocab_size: int = 128, num_partitions: int = 16,
                   id_col: str = "doc_id", text_col: str = "text",
-                  t_low_bits: int = 9, t_high_bits: int = 12,
-                  concurrency: int = 4):
-    """Train the bigram LM on the corpus and score every document with it
-    (per-doc ``nll_fp`` exact integer + quality band). The model is O(V²)
-    and ships once per actor via ``ray.put``."""
+                  t_low_bits: float = 9.0, t_high_bits: float = 12.0,
+                  concurrency: int = 4, train_hex_gate: int = 16):
+    """Train the bigram LM on the corpus (or its hash-gated training sample —
+    see train_bigram_lm) and score EVERY document with it (per-doc ``nll_fp``
+    exact integer + quality band). The model is O(V²) and ships once per
+    actor via ``ray.put``."""
     import ray
 
-    model = train_bigram_lm(ds, vocab_size, num_partitions, id_col, text_col)
+    model = train_bigram_lm(ds, vocab_size, num_partitions, id_col, text_col,
+                            train_hex_gate=train_hex_gate)
     ref = ray.put(model)
     return ds.map_batches(
         LmPerplexityScorer, fn_constructor_args=(ref,),

@@ -634,8 +634,9 @@ def test_qlog2_fp_matches_duckdb():
 
 
 @settings(max_examples=20, deadline=None)
-@given(_texts, st.integers(min_value=1, max_value=6))
-def test_lm_perplexity_matches_duckdb(ray_session, texts, vocab_size):
+@given(_texts, st.integers(min_value=1, max_value=6),
+       st.sampled_from([4, 8, 16]))
+def test_lm_perplexity_matches_duckdb(ray_session, texts, vocab_size, gate):
     """The full bigram-LM pipeline (train on the corpus, score every doc) vs
     the production oracle SQL (__ray_entry__._lm_scored_sql — the same string
     the driver runs) on adversarial random corpora and tiny vocabularies."""
@@ -645,11 +646,13 @@ def test_lm_perplexity_matches_duckdb(ray_session, texts, vocab_size):
 
     df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
     out = (T.lm_perplexity(rd.from_pandas(df), vocab_size=vocab_size,
-                           t_low_bits=2.5, t_high_bits=7.25, concurrency=1)
+                           t_low_bits=2.5, t_high_bits=7.25, concurrency=1,
+                           train_hex_gate=gate)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     con = _con(df)
     sql = E._lm_scored_sql(vocab_size, T.LM_BACKOFF_NLL_FP,
-                           T.lm_threshold_fp(2.5), T.lm_threshold_fp(7.25))
+                           T.lm_threshold_fp(2.5), T.lm_threshold_fp(7.25),
+                           train_hex_gate=gate)
     ora = con.execute(sql + " ORDER BY doc_id").df()
     assert out["n_tokens"].tolist() == ora["n_tokens"].tolist()
     assert out["nll_fp"].tolist() == ora["nll_fp"].tolist()
