@@ -641,16 +641,14 @@ def train_bigram_lm(ds, vocab_size: int = 128, num_partitions: int = 16,
 
     from maritime_activity_reports_cdc_ray.functions.dedup import hash_count
 
-    gate_hexes = set("0123456789abcdef"[:int(train_hex_gate)])
-
     def gate(df: pd.DataFrame) -> pd.DataFrame:
         if train_hex_gate >= 16 or not len(df):
             return df
-        import hashlib
+        from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
 
-        keep = df[id_col].astype(str).map(
-            lambda s: hashlib.md5(s.encode()).hexdigest()[0] in gate_hexes)
-        return df[keep.to_numpy()]
+        # top 4 bits of md5_u64 == the md5 hexdigest's first hex digit
+        h = md5_u64_array(df[id_col].astype(str).to_numpy(dtype=object))
+        return df[(h >> np.uint64(60)) < np.uint64(train_hex_gate)]
 
     def tok_batch(df: pd.DataFrame) -> pd.DataFrame:
         _, _, hs = _lm_tokens(gate(df), id_col, text_col)
