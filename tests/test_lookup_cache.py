@@ -92,3 +92,71 @@ def test_replay_maintains_cache(ray_session, tmp_path):
 def test_cache_schema_requires_keys(tmp_path):
     with pytest.raises(AssertionError):
         LookupCache.create(str(tmp_path / "x"), ["missing"], SCHEMA)
+
+
+def test_cross_epoch_content_dedup_via_lookup_cache(ray_session, tmp_path):
+    """Streaming corpus dedup at ingest: keying the lookup cache by
+    ``content_sha256`` turns it into an incremental content-fingerprint
+    index — after each epoch, access_count > 1 identifies content already
+    seen anywhere earlier in the stream (cross-KEY, cross-EPOCH), and
+    first_seen_epoch is the dedup watermark. No new code path: the MERGE
+    cache + the stamped bronze column compose."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from maritime_activity_reports_cdc_ray import EngineConfig
+    from maritime_activity_reports_cdc_ray.generate import generate_events
+    from maritime_activity_reports_cdc_ray.pipelines import CDCReplay
+
+    events = tmp_path / "events"
+    generate_events(str(events), n_events=1200, n_repos=6, n_epochs=2, seed=7)
+    f0, f1 = sorted(str(p) for p in events.iterdir())
+    # engineer cross-key duplicate content: epoch-1 rows 0..19 reuse epoch-0
+    # content under different (repo, path)
+    d0 = pq.read_table(f0).to_pandas()
+    d1 = pq.read_table(f1).to_pandas()
+    src = d0["content"].head(20).tolist()
+    d1.loc[: len(src) - 1, "content"] = src
+    d1.loc[: len(src) - 1, "path"] = [f"dup/copy_{i}.txt" for i in range(len(src))]
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pandas(d1, preserve_index=False), f1)
+
+    cfg = EngineConfig(num_partitions=4,
+                       lookup_cache_keys=("content_sha256",))
+    r = CDCReplay(str(tmp_path / "lake"), cfg)
+    r.setup()
+    r.run(str(events))
+
+    cache = r.cache().read().to_pandas()
+    # dict oracle over the raw files. MERGE semantics: keys are DISTINCTed
+    # per epoch before the upsert (the reference's .distinct() before MERGE),
+    # so access_count = number of EPOCHS the content appeared in.
+    from maritime_activity_reports_cdc_ray.schemas import TOMBSTONE
+
+    sha = lambda s: hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest()
+    seen: dict = {}
+    for e, d in enumerate([d0, d1]):
+        live = d[~((d["content"] == TOMBSTONE)
+                   & (d["lang"].fillna("") == ""))]
+        for h in {sha(c) for c in live["content"]}:
+            if h in seen:
+                seen[h][0] += 1
+            else:
+                seen[h] = [1, e]
+    kcol = cache.columns[0]
+    live_cache = cache[cache[kcol].notna()]
+    got = {getattr(r_, kcol): (int(r_.access_count), int(r_.first_seen_epoch))
+           for r_ in live_cache.itertuples()}
+    assert len(got) == len(seen)
+    dups = {h for h, (n, _) in seen.items() if n > 1}
+    assert dups, "engineered duplicates must exist"
+    for h, (n, e) in seen.items():
+        assert got[h] == (n, e), h
+    # exactly-once under replay: the counters never double-bump
+    r.run(str(events))
+    cache2 = r.cache().read().to_pandas()
+    pd.testing.assert_frame_equal(
+        cache.sort_values(cache.columns[0]).reset_index(drop=True),
+        cache2.sort_values(cache.columns[0]).reset_index(drop=True))
