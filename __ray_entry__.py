@@ -991,7 +991,8 @@ def docs_quality(sf_dir: str):
         ds = _t(sf_dir, "documents", ["doc_id", "text"])
         scored = lm_perplexity(ds, vocab_size=_LM_V,
                                t_low_bits=_LM_TLOW, t_high_bits=_LM_THIGH,
-                               train_hex_gate=_LM_GATE)
+                               train_hex_gate=_LM_GATE,
+                               materialize_train=True)
         out = scored.groupby("lm_band").aggregate(
             Count(alias_name="n_docs")).to_pandas()
         out = out.rename(columns={"lm_band": "category"})

@@ -623,7 +623,8 @@ def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
 
 def train_bigram_lm(ds, vocab_size: int = 128, num_partitions: int = 16,
                     id_col: str = "doc_id", text_col: str = "text",
-                    train_hex_gate: int = 16) -> dict:
+                    train_hex_gate: int = 16,
+                    materialize_train: bool = False) -> dict:
     """Train a stupid-backoff bigram LM over a Dataset of documents.
 
     Two distributed passes: (1) unigram counts via combiner-first hash_count
@@ -636,7 +637,13 @@ def train_bigram_lm(ds, vocab_size: int = 128, num_partitions: int = 16,
     ``train_hex_gate`` < 16 trains on a deterministic hash sample of the
     corpus — docs whose ``md5(str(id))`` first hex digit is below the gate
     (the house md5 sampling rule; CCNet trains its KenLM on a reference
-    corpus, not the corpus being scored). 16 = train on everything."""
+    corpus, not the corpus being scored). 16 = train on everything.
+
+    ``materialize_train`` pins the gated training projection in the object
+    store so the two count passes share ONE source read instead of re-reading
+    parquet each (docs_quality: train 2.4 s → ~1 s at sf0.1). Trade memory
+    for read cost — appropriate when the gated sample fits the object store
+    (it spills otherwise); leave False to stream both passes from storage."""
     import uuid
 
     from maritime_activity_reports_cdc_ray.functions.dedup import hash_count
@@ -650,11 +657,17 @@ def train_bigram_lm(ds, vocab_size: int = 128, num_partitions: int = 16,
         h = md5_u64_array(df[id_col].astype(str).to_numpy(dtype=object))
         return df[(h >> np.uint64(60)) < np.uint64(train_hex_gate)]
 
+    if materialize_train:
+        src = ds.map_batches(gate, batch_format="pandas").materialize()
+        gate = lambda df: df  # noqa: E731 — already gated upstream
+    else:
+        src = ds
+
     def tok_batch(df: pd.DataFrame) -> pd.DataFrame:
         _, _, hs = _lm_tokens(gate(df), id_col, text_col)
         return pd.DataFrame({"h": hs.astype(np.uint64)})
 
-    counts = hash_count(ds.map_batches(tok_batch, batch_format="pandas"),
+    counts = hash_count(src.map_batches(tok_batch, batch_format="pandas"),
                         ["h"], num_partitions)
 
     def part_top(df: pd.DataFrame) -> pd.DataFrame:
@@ -689,7 +702,7 @@ def train_bigram_lm(ds, vocab_size: int = 128, num_partitions: int = 16,
         return pd.DataFrame({"h1": h1[m].astype(np.uint64),
                              "h2": h2[m].astype(np.uint64)})
 
-    big = hash_count(ds.map_batches(big_batch, batch_format="pandas"),
+    big = hash_count(src.map_batches(big_batch, batch_format="pandas"),
                      ["h1", "h2"], num_partitions).to_pandas()
     if not len(big):
         big = pd.DataFrame({"h1": np.zeros(0, np.uint64),
@@ -770,7 +783,8 @@ class LmPerplexityScorer:
 def lm_perplexity(ds, vocab_size: int = 128, num_partitions: int = 16,
                   id_col: str = "doc_id", text_col: str = "text",
                   t_low_bits: float = 9.0, t_high_bits: float = 12.0,
-                  concurrency: int = 4, train_hex_gate: int = 16):
+                  concurrency: int = 4, train_hex_gate: int = 16,
+                  materialize_train: bool = False):
     """Train the bigram LM on the corpus (or its hash-gated training sample —
     see train_bigram_lm) and score EVERY document with it (per-doc ``nll_fp``
     exact integer + quality band). The model is O(V²) and ships once per
@@ -778,7 +792,8 @@ def lm_perplexity(ds, vocab_size: int = 128, num_partitions: int = 16,
     import ray
 
     model = train_bigram_lm(ds, vocab_size, num_partitions, id_col, text_col,
-                            train_hex_gate=train_hex_gate)
+                            train_hex_gate=train_hex_gate,
+                            materialize_train=materialize_train)
     ref = ray.put(model)
     return ds.map_batches(
         LmPerplexityScorer, fn_constructor_args=(ref,),

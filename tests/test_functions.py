@@ -1083,8 +1083,10 @@ def test_bigram_lm_trainer(ray_session):
     for h1, c in zip(m["big"]["h1"], m["big"]["cnt"]):
         big_sum[h1] = big_sum.get(h1, 0) + int(c)
     assert ctx == big_sum
-    # determinism across retrains
-    m2 = train_bigram_lm(rd.from_pandas(df), vocab_size=3)
+    # determinism across retrains — and the materialized-train path is
+    # byte-identical to the streamed path
+    m2 = train_bigram_lm(rd.from_pandas(df), vocab_size=3,
+                         materialize_train=True)
     pd.testing.assert_frame_equal(m["vocab"], m2["vocab"])
     pd.testing.assert_frame_equal(
         m["big"].sort_values(["h1", "h2"]).reset_index(drop=True),
