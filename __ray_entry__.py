@@ -43,6 +43,36 @@ def _ql_sql(e: str) -> str:
             f"(length(bin({e}))-1)) - 1048576)")
 
 
+def _quality_fails_sql() -> str:
+    """Per-doc tiered quality ladder (engine: functions/text.quality_score)
+    → (doc_id, fails). The SINGLE source for every oracle embedding the
+    ladder (docs_quality heuristic face, docs_dup_groups keeper policy) so
+    a threshold change cannot desynchronize them. COALESCE mirrors the
+    engine's fillna('') on NULL text."""
+    return f"""
+        SELECT doc_id,
+               (CASE WHEN n_tokens >= 20 THEN 0 ELSE 1 END)
+             + (CASE WHEN n_chars <= 100000 THEN 0 ELSE 1 END)
+             + (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars < 0.30
+                     THEN 0 ELSE 1 END)
+             + (CASE WHEN n_tokens > 0 AND CAST(stop_hits AS DOUBLE) / n_tokens > 0.02
+                     THEN 0 ELSE 1 END) AS fails
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(COALESCE(text, '')),
+                                                       '\\s+')) END AS n_tokens,
+                   length(COALESCE(text, '')) AS n_chars,
+                   length(COALESCE(text, ''))
+                   - length(regexp_replace(COALESCE(text, ''),
+                                           '[^\\w\\s]', '', 'g')) AS n_punct,
+                   len(list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                                         '[^a-z'']+'),
+                                   x -> x IN ({_STOP_LIST}))) AS stop_hits
+            FROM documents)
+    """
+
+
 def _lm_scored_sql(v: int, backoff: int, tlow_fp: int, thigh_fp: int,
                    train_hex_gate: int = 16) -> str:
     """Per-doc bigram-LM replay over the ``documents`` view → (doc_id,
@@ -1089,13 +1119,16 @@ def docs_dup_groups(sf_dir: str):
         jaccard_similarity_join,
         label_components_distributed,
     )
-    from maritime_activity_reports_cdc_ray.functions.join import auto_join
+    from maritime_activity_reports_cdc_ray.functions.join import auto_join, semi_join
     from maritime_activity_reports_cdc_ray.functions.text import quality_score
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     pairs = jaccard_similarity_join(docs, threshold=0.5, k=8)
-    lab = label_components_distributed(pairs)
-    scores = docs.map_batches(
+    lab = label_components_distributed(pairs).materialize()
+    # score ONLY dup-group members (usually a tiny fraction of the corpus):
+    # gated semi-join first, then the per-batch quality ladder
+    members = semi_join(docs, lab, on="doc_id", keys_on="id")
+    scores = members.map_batches(
         lambda df: quality_score(df)[["doc_id", "doc_quality_score"]],
         batch_format="pandas")
     j = auto_join(lab, scores, on=["id"], right_on=["doc_id"])
@@ -1179,9 +1212,9 @@ def _c4_synth(df: pd.DataFrame) -> pd.DataFrame:
     toks = ex.to_numpy(dtype=object)
     page_arr = np.full(len(df), "", dtype=object)
     if len(rows):
-        starts = np.r_[np.int64(0), np.flatnonzero(rows[1:] != rows[:-1]) + 1]
-        cnt = np.diff(np.r_[starts, np.int64(len(rows))])
-        pos = np.arange(len(rows), dtype=np.int64) - np.repeat(starts, cnt)
+        from maritime_activity_reports_cdc_ray.functions.kernels import group_positions
+
+        _, _, pos = group_positions(rows)
         k = 4 + (ids % 3)
         grp = pos // k[rows]
         fr = pd.DataFrame({"r": rows, "g": grp, "w": toks})
@@ -1451,21 +1484,17 @@ def emb_kmeans(sf_dir: str):
         kmeans_prune,
     )
 
-    def fit():
-        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-        _, stats = kmeans_fit(ds, k=16, iters=2, centroid_id_stride=29)
-        stats.insert(0, "method", "fit")
-        return stats
-
-    def prune():
-        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-        out = kmeans_prune(ds, q_pct=10, k=16, iters=2, centroid_id_stride=29)
-        return pd.DataFrame({"method": "prune", "cluster": out["cluster"],
-                             "n_vecs": out["n_pruned"],
-                             "inertia": out["pruned_inertia"]})
-
-    f, p = _par2(fit, prune)
-    return (pd.concat([f, p], ignore_index=True)
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # ONE Lloyd fit shared by both faces — prune runs only the assignment
+    # + rank passes on top of the same centroids
+    cent, stats = kmeans_fit(ds, k=16, iters=2, centroid_id_stride=29)
+    stats.insert(0, "method", "fit")
+    out = kmeans_prune(ds, q_pct=10, k=16, iters=2, centroid_id_stride=29,
+                       centroids=cent)
+    p = pd.DataFrame({"method": "prune", "cluster": out["cluster"],
+                      "n_vecs": out["n_pruned"],
+                      "inertia": out["pruned_inertia"]})
+    return (pd.concat([stats, p], ignore_index=True)
             .sort_values(["method", "cluster"]).reset_index(drop=True))
 
 
@@ -2934,23 +2963,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 2
         """,
         "docs_quality": f"""
-            WITH m AS (
-                SELECT CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-                       length(text) AS n_chars,
-                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
-                       len(list_filter(regexp_split_to_array(lower(text), '[^a-z'']+'),
-                                       x -> x IN ({_STOP_LIST}))) AS stop_hits
-                FROM documents
-            ), f AS (
-                SELECT (CASE WHEN n_tokens >= 20 THEN 0 ELSE 1 END)
-                     + (CASE WHEN n_chars <= 100000 THEN 0 ELSE 1 END)
-                     + (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars < 0.30
-                             THEN 0 ELSE 1 END)
-                     + (CASE WHEN n_tokens > 0 AND CAST(stop_hits AS DOUBLE) / n_tokens > 0.02
-                             THEN 0 ELSE 1 END) AS fails
-                FROM m
-            )
+            WITH f AS ({_quality_fails_sql()})
             SELECT 'heuristic' AS method,
                    CASE fails WHEN 0 THEN 'EXCELLENT' WHEN 1 THEN 'GOOD'
                               WHEN 2 THEN 'FAIR' WHEN 3 THEN 'POOR'
@@ -3010,27 +3023,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
         """,
         "docs_dup_groups": f"""
-            WITH RECURSIVE qm AS (
+            WITH RECURSIVE q AS (
                 SELECT doc_id,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-                       length(text) AS n_chars,
-                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
-                       len(list_filter(regexp_split_to_array(lower(text), '[^a-z'']+'),
-                                       x -> x IN ({_STOP_LIST}))) AS stop_hits
-                FROM documents
-            ),
-            q AS (
-                SELECT doc_id,
-                       CASE ((CASE WHEN n_tokens >= 20 THEN 0 ELSE 1 END)
-                           + (CASE WHEN n_chars <= 100000 THEN 0 ELSE 1 END)
-                           + (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars < 0.30
-                                   THEN 0 ELSE 1 END)
-                           + (CASE WHEN n_tokens > 0 AND CAST(stop_hits AS DOUBLE) / n_tokens > 0.02
-                                   THEN 0 ELSE 1 END))
-                            WHEN 0 THEN 1.0 WHEN 1 THEN 0.8 WHEN 2 THEN 0.6
-                            WHEN 3 THEN 0.4 ELSE 0.0 END AS score
-                FROM qm
+                       CASE fails WHEN 0 THEN 1.0 WHEN 1 THEN 0.8 WHEN 2 THEN 0.6
+                                  WHEN 3 THEN 0.4 ELSE 0.0 END AS score
+                FROM ({_quality_fails_sql()})
             ),
             norm AS (
                 SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t

@@ -718,7 +718,7 @@ def random_projection(ds, dim: int, out_dim: int = 8, tag: str = "jl",
 def kmeans_prune(ds, q_pct: int = 10, k: int = 16, iters: int = 2,
                  centroid_id_stride: int = 29, id_col: str = "vec_id",
                  vec_col: str = "embedding", round_dp: int = 6,
-                 num_partitions: int = 16):
+                 num_partitions: int = 16, centroids=None):
     """Prototypicality pruning (Sorscher et al. 2022, "Beyond neural scaling
     laws", arXiv:2206.14486 — the SSL-Prune metric; SemDeDup's sibling):
     cluster the embedding space, then flag the ``q_pct``% LEAST prototypical
@@ -732,14 +732,22 @@ def kmeans_prune(ds, q_pct: int = 10, k: int = 16, iters: int = 2,
     driver sees only k rollup rows. Prune count per cluster is the exact
     integer ``(n_c·q_pct + 99) // 100`` — no float quantile boundary.
 
-    Returns a per-cluster DataFrame (cluster, n_pruned, pruned_inertia)."""
+    Returns a per-cluster DataFrame (cluster, n_pruned, pruned_inertia).
+
+    Pass ``centroids`` (the array kmeans_fit returns) to reuse an existing
+    fit instead of re-clustering — the assignment + rank passes are all that
+    run then.
+    """
     import ray
 
     from maritime_activity_reports_cdc_ray.functions.dedup import _hash_part
 
-    cent, _ = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-                         centroid_id_stride=centroid_id_stride,
-                         round_dp=round_dp)
+    if centroids is None:
+        centroids, _ = kmeans_fit(ds, k=k, iters=iters, id_col=id_col,
+                                  vec_col=vec_col,
+                                  centroid_id_stride=centroid_id_stride,
+                                  round_dp=round_dp)
+    cent = np.asarray(centroids)
     cref = ray.put(cent)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
@@ -760,12 +768,14 @@ def kmeans_prune(ds, q_pct: int = 10, k: int = 16, iters: int = 2,
         return out
 
     def prune(g: pd.DataFrame) -> pd.DataFrame:
+        from maritime_activity_reports_cdc_ray.functions.kernels import (
+            group_positions,
+        )
+
         g = g.sort_values(["cid", "d2", id_col],
                           ascending=[True, False, True], kind="mergesort")
         cid = g["cid"].to_numpy()
-        starts = np.r_[np.int64(0), np.flatnonzero(cid[1:] != cid[:-1]) + 1]
-        cnt = np.diff(np.r_[starts, np.int64(len(cid))])
-        rn = np.arange(len(cid), dtype=np.int64) - np.repeat(starts, cnt)
+        _, cnt, rn = group_positions(cid)
         nc = np.repeat(cnt, cnt)
         keep = rn < (nc * q_pct + 99) // 100
         kept = g[keep]

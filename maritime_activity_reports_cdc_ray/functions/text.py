@@ -605,12 +605,9 @@ def _lm_tokens(df: pd.DataFrame, id_col: str, text_col: str):
     rows = ex.index.to_numpy(dtype=np.int64)
     toks = ex.to_numpy(dtype=object)
     hs = md5_u64_array(toks)
-    if len(rows):
-        starts = np.r_[np.int64(0), np.flatnonzero(rows[1:] != rows[:-1]) + 1]
-        cnt = np.diff(np.r_[starts, np.int64(len(rows))])
-        pos = np.arange(len(rows), dtype=np.int64) - np.repeat(starts, cnt)
-    else:
-        pos = np.zeros(0, dtype=np.int64)
+    from maritime_activity_reports_cdc_ray.functions.kernels import group_positions
+
+    _, _, pos = group_positions(rows)
     return rows, pos, hs
 
 
@@ -869,12 +866,17 @@ def token_entropy_fp(df: pd.DataFrame, id_col: str = "doc_id",
     S / (n·2^20)). A compressibility quality signal: low entropy = repetitive
     boilerplate. House tokenizer rule; SQL mirror groups (doc, word)."""
     n = len(df)
-    rows, _, hs = _lm_tokens(df, id_col, text_col)
+    s = df[text_col].fillna("").str.lower().str.split(" ").reset_index(drop=True)
+    ex = s.explode()
+    ex = ex[ex.notna() & (ex != "")]
+    rows = ex.index.to_numpy(dtype=np.int64)
     n_tok = (np.bincount(rows, minlength=n).astype(np.int64)
              if len(rows) else np.zeros(n, np.int64))
     ent = np.zeros(n, np.int64)
     if len(rows):
-        fr = pd.DataFrame({"r": rows, "h": hs})
+        # batch-local token identity only — factorize codes, no hashing
+        codes, _ = pd.factorize(ex.to_numpy(dtype=object), use_na_sentinel=False)
+        fr = pd.DataFrame({"r": rows, "h": codes})
         g = fr.groupby(["r", "h"], sort=False).size().reset_index(name="c")
         r = g["r"].to_numpy(np.int64)
         c = g["c"].to_numpy(np.int64)
@@ -908,9 +910,11 @@ def make_chunker(size: int = 16, stride: int = 8, id_col: str = "doc_id",
                                  "chunk_id": np.zeros(0, np.int64),
                                  "chunk_text": np.zeros(0, object),
                                  "n_chunk_tokens": np.zeros(0, np.int64)})
-        starts = np.r_[np.int64(0), np.flatnonzero(rows[1:] != rows[:-1]) + 1]
-        cnt = np.diff(np.r_[starts, np.int64(len(rows))])
-        pos = np.arange(len(rows), dtype=np.int64) - np.repeat(starts, cnt)
+        from maritime_activity_reports_cdc_ray.functions.kernels import (
+            group_positions,
+        )
+
+        _, _, pos = group_positions(rows)
         ids = df[id_col].to_numpy()
         parts = []
         for j in range(phases):
