@@ -872,11 +872,14 @@ def docs_token_stats(sf_dir: str):
     str.count per batch) plus the unigram token-entropy signal
     (token_entropy_fp — exact fixed-point integer, so the per-lang SUM is
     order-independent); the oracle mirrors both regexes and the entropy
-    formula in DuckDB."""
+    formula in DuckDB. Also attests SEQUENCE PACKING: n_pack_bins = next-fit
+    token-bin count (capacity 256, doc_id order) per lang — the oracle
+    replays the sequential fold with a recursive CTE."""
     from ray.data.aggregate import Count, Sum
 
     from maritime_activity_reports_cdc_ray.functions.text import (
         bpe_token_count,
+        next_fit_pack,
         token_count,
         token_entropy_fp,
     )
@@ -893,14 +896,42 @@ def docs_token_stats(sf_dir: str):
             "entropy_fp": ent["entropy_fp"],
         })
 
-    out = ds.map_batches(m, batch_format="pandas").groupby("lang").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_tokens", alias_name="total_tokens"),
-        Sum("n_chars", alias_name="total_chars"),
-        Sum("n_bpe_tokens", alias_name="total_bpe_tokens"),
-        Sum("entropy_fp", alias_name="total_entropy_fp"),
-    ).to_pandas()
-    out["total_entropy_fp"] = out["total_entropy_fp"].astype("int64")
+    def m2(df: pd.DataFrame) -> pd.DataFrame:
+        r = m(df)
+        r.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return r
+
+    metrics = ds.map_batches(m2, batch_format="pandas")
+
+    def agg_side():
+        out = metrics.drop_columns(["doc_id"]).groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="total_tokens"),
+            Sum("n_chars", alias_name="total_chars"),
+            Sum("n_bpe_tokens", alias_name="total_bpe_tokens"),
+            Sum("entropy_fp", alias_name="total_entropy_fp"),
+        ).to_pandas()
+        out["total_entropy_fp"] = out["total_entropy_fp"].astype("int64")
+        return out
+
+    def pack_side():
+        # sequence packing (next-fit, capacity 256, doc_id order) per lang —
+        # the groupby shuffle co-locates each lang; packing is the one
+        # inherently sequential pass, partition-local by construction
+        def pack(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("doc_id", kind="mergesort")
+            bins = next_fit_pack(g["n_tokens"].to_numpy(), 256)
+            return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                                 "n_pack_bins": [int(bins[-1]) + 1 if len(bins)
+                                                 else 0]})
+
+        return (metrics.select_columns(["doc_id", "lang", "n_tokens"])
+                .groupby("lang").map_groups(pack, batch_format="pandas")
+                .to_pandas())
+
+    a, p = _par2(agg_side, pack_side)
+    out = a.merge(p, on="lang", sort=False)
+    out["n_pack_bins"] = out["n_pack_bins"].astype("int64")
     return out
 
 
@@ -2909,7 +2940,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w.user_id
         """,
         "docs_token_stats": f"""
-            WITH et AS (
+            WITH RECURSIVE tn AS (
+                SELECT doc_id, lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                            END AS nt,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                FROM documents),
+            pk AS (
+                SELECT lang, rn, nt AS acc, 0 AS bin FROM tn WHERE rn = 1
+                UNION ALL
+                SELECT t.lang, t.rn,
+                       CASE WHEN p.acc + t.nt > 256 THEN t.nt
+                            ELSE p.acc + t.nt END,
+                       CASE WHEN p.acc + t.nt > 256 THEN p.bin + 1
+                            ELSE p.bin END
+                FROM pk p JOIN tn t ON t.lang = p.lang AND t.rn = p.rn + 1),
+            pb AS (SELECT lang, CAST(MAX(bin) + 1 AS BIGINT) AS n_pack_bins
+                   FROM pk GROUP BY 1),
+            et AS (
                 SELECT doc_id,
                        unnest(list_filter(string_split(lower(COALESCE(text, '')), ' '),
                                           x -> x <> '')) AS w
@@ -2928,8 +2977,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(text)) AS BIGINT) AS total_chars,
                    CAST(SUM(len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
-                   CAST(SUM(COALESCE(ed.s, 0)) AS BIGINT) AS total_entropy_fp
-            FROM documents LEFT JOIN ed USING (doc_id) GROUP BY lang
+                   CAST(SUM(COALESCE(ed.s, 0)) AS BIGINT) AS total_entropy_fp,
+                   MIN(pb.n_pack_bins) AS n_pack_bins
+            FROM documents LEFT JOIN ed USING (doc_id)
+                           LEFT JOIN pb USING (lang)
+            GROUP BY lang
         """,
         "docs_fingerprint": f"""
             SELECT 'md5' AS kind,

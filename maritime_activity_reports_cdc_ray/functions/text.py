@@ -933,3 +933,25 @@ def make_chunker(size: int = 16, stride: int = 8, id_col: str = "doc_id",
                              "n_chunk_tokens": out["n"].astype("int64")})
 
     return chunk
+
+
+def next_fit_pack(n_tokens: np.ndarray, capacity: int) -> np.ndarray:
+    """Sequence packing (pretraining batch prep): next-fit bin assignment for
+    documents in the GIVEN order — a doc goes into the current bin unless it
+    would overflow ``capacity``, which opens a new bin (an oversized doc
+    occupies a bin alone). Inherently sequential per group — the scale shape
+    is partition-local packing (pack within (group, shard); bins never cross
+    partitions), exactly how packing shards out in practice. Returns the
+    0-based bin id per doc."""
+    n_tokens = np.asarray(n_tokens, dtype=np.int64)
+    bins = np.empty(len(n_tokens), dtype=np.int64)
+    acc = 0
+    b = -1
+    for i, t in enumerate(n_tokens):
+        if b < 0 or acc + t > capacity:
+            b += 1
+            acc = int(t)
+        else:
+            acc += int(t)
+        bins[i] = b
+    return bins

@@ -741,3 +741,25 @@ def test_kmeans_prune_matches_duckdb_replay(ray_session, n_vecs, seed, q_pct):
     assert out["cluster"].tolist() == ora["cluster"].tolist()
     assert out["n_pruned"].tolist() == ora["n_vecs"].tolist()
     assert out["pruned_inertia"].tolist() == ora["inertia"].tolist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+       st.integers(min_value=1, max_value=60))
+def test_next_fit_pack_matches_duckdb_recursion(sizes, cap):
+    """The sequential next-fit fold vs the recursive-CTE replay the
+    docs_token_stats oracle uses."""
+    eng = T.next_fit_pack(np.array(sizes), cap)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"rn": np.arange(1, len(sizes) + 1),
+                                    "nt": sizes}))
+    ora = con.execute(f"""
+        WITH RECURSIVE pk AS (
+            SELECT rn, nt AS acc, 0 AS bin FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.rn,
+                   CASE WHEN p.acc + t.nt > {cap} THEN t.nt ELSE p.acc + t.nt END,
+                   CASE WHEN p.acc + t.nt > {cap} THEN p.bin + 1 ELSE p.bin END
+            FROM pk p JOIN t ON t.rn = p.rn + 1)
+        SELECT bin FROM pk ORDER BY rn""").df()["bin"]
+    assert eng.tolist() == ora.tolist()

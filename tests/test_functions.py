@@ -1143,3 +1143,13 @@ def test_make_chunker_windows():
     import pytest
     with pytest.raises(ValueError):
         make_chunker(size=5, stride=2)
+
+
+def test_next_fit_pack():
+    from maritime_activity_reports_cdc_ray.functions.text import next_fit_pack
+
+    assert next_fit_pack([100, 100, 100, 300, 10, 250, 5], 256).tolist() == \
+        [0, 0, 1, 2, 3, 4, 4]
+    assert next_fit_pack([], 256).tolist() == []
+    assert next_fit_pack([257], 256).tolist() == [0]  # oversized doc: own bin
+    assert next_fit_pack([256, 1], 256).tolist() == [0, 1]  # exact fit closes
