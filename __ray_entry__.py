@@ -1468,9 +1468,12 @@ def docs_sampling(sf_dir: str):
     hash-keyed Efraimidis-Spirakis race in exact integer arithmetic.
     ``temperature`` = α=0.5 temperature rebalancing (keep rate √(N_min/N_g)
     per language — the mBERT/XLM-R multilingual thinning rule) via the
-    integer gate md5_u64(id) % N_g < isqrt(N_g·N_min)."""
+    integer gate md5_u64(id) % N_g < isqrt(N_g·N_min).
+    ``shuffle`` = deterministic corpus shuffle head (first 20 ids in
+    md5_u64 order — reproducible, resumable training order)."""
     from maritime_activity_reports_cdc_ray.functions.sample import (
         md5_hash_sample,
+        shuffle_head,
         stratified_hash_sample,
         temperature_hash_sample,
         weighted_priority_sample,
@@ -1495,7 +1498,11 @@ def docs_sampling(sf_dir: str):
     w["method"] = "weighted"
     tp = temperature_hash_sample(ds, "doc_id", "lang").to_pandas()
     tp["method"] = "temperature"
-    out = pd.concat([h, s, t, w, tp], ignore_index=True)
+    # sixth face: deterministic corpus shuffle head (training-order prefix;
+    # global order = md5_u64(id) asc — seeded-random_shuffle analogue)
+    sh = shuffle_head(ds, "doc_id", k=20)
+    sh["method"] = "shuffle"
+    out = pd.concat([h, s, t, w, tp, sh], ignore_index=True)
     return (out[["method", "doc_id", "lang", "n_chars"]]
             .sort_values(["method", "doc_id"]).reset_index(drop=True))
 
@@ -3253,6 +3260,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d JOIN tq USING (lang)
                 WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
                       % CAST(tq.nl AS UBIGINT) < CAST(tq.kl AS UBIGINT))
+            UNION ALL
+            -- deterministic corpus shuffle head: first 20 ids in md5_u64
+            -- order (seeded-random_shuffle analogue)
+            SELECT 'shuffle' AS method, doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       ROW_NUMBER() OVER (ORDER BY
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+                           doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 20
         """,
         "docs_top_terms": f"""
             WITH tok AS (

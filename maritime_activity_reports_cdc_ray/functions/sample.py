@@ -128,3 +128,24 @@ def weighted_priority_sample(ds, id_col: str, weight_col: str, k: int = 20):
     out = ds.map_batches(local_head, batch_format="pandas").to_pandas()
     return (out.sort_values(["_q", id_col]).head(k)
             .drop(columns=["_q"]).reset_index(drop=True))
+
+
+def shuffle_head(ds, id_col: str, k: int = 20):
+    """Deterministic corpus shuffle, head-``k``: global training order =
+    ascending ``(md5_u64(str(id)), id)`` — the no-RNG analogue of a seeded
+    ``random_shuffle`` (reproducible across engines AND resumable: the order
+    is a pure function of ids, so a restarted run continues at the same
+    permutation). Same combiner shape as weighted_priority_sample: batch-
+    local smallest-``k``, driver reduces ≤ k rows per block."""
+    from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
+
+    def local_head(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(_q=pd.Series(dtype="uint64"))
+        h = md5_u64_array(df[id_col].astype(str).to_numpy(dtype=object))
+        df = df.assign(_q=h)
+        return df.sort_values(["_q", id_col]).head(k)
+
+    out = ds.map_batches(local_head, batch_format="pandas").to_pandas()
+    return (out.sort_values(["_q", id_col]).head(k)
+            .drop(columns=["_q"]).reset_index(drop=True))
