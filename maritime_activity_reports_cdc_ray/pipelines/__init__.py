@@ -1,3 +1,6 @@
 from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
 
 __all__ = ["CDCReplay"]
+from maritime_activity_reports_cdc_ray.pipelines.curation import curate_documents
+
+__all__ = ["CDCReplay", "curate_documents"]

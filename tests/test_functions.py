@@ -1153,3 +1153,50 @@ def test_next_fit_pack():
     assert next_fit_pack([], 256).tolist() == []
     assert next_fit_pack([257], 256).tolist() == [0]  # oversized doc: own bin
     assert next_fit_pack([256, 1], 256).tolist() == [0, 1]  # exact fit closes
+
+
+def test_curate_documents_end_to_end(ray_session):
+    """The full curation composition over structured pages: C4 clean →
+    lang-ID → quality gate → LM perplexity filter → exact dedup → packing.
+    Asserts monotone survival, schema, dedup, and valid per-lang bins."""
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as E
+    from maritime_activity_reports_cdc_ray.pipelines.curation import (
+        curate_documents,
+    )
+
+    raw = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+    pages = E._c4_synth(raw)  # word soup → realistic multi-line pages
+    # engineer exact dups: two extra docs copying page 0's text
+    import pandas as pd
+    extra = pd.DataFrame({"doc_id": [100001, 100002],
+                          "text": [pages["text"].iloc[0]] * 2})
+    pages = pd.concat([pages, extra], ignore_index=True)
+
+    kept, stats = curate_documents(
+        rd.from_pandas(pages), min_quality_score=0.4,
+        lm_t_low_bits=2.0, lm_t_high_bits=50.0)  # generous: nothing 'high'
+    df = kept.to_pandas()
+
+    assert stats["rows_in"] == len(pages)
+    assert stats["rows_in"] >= stats["rows_quality_kept"] >= stats["rows_final"]
+    assert stats["rows_final"] > 0
+    assert {"doc_id", "text", "lang_pred", "doc_quality_score",
+            "n_tokens", "nll_fp", "lm_band", "pack_bin"} <= set(df.columns)
+    # exact dedup held: texts unique, and the copy of page 0 lost to the
+    # original (first-by-id wins)
+    assert df["text"].is_unique
+    assert not {100001, 100002} & set(df["doc_id"])
+    assert (df["lm_band"] != "high").all()
+    # packing: per lang, bins are 0..max contiguous and never over capacity
+    # (except oversized single docs)
+    for lang, g in df.groupby("lang_pred"):
+        bins = sorted(g["pack_bin"].unique())
+        assert bins == list(range(len(bins)))
+        per_bin = g.groupby("pack_bin")["n_tokens"].agg(["sum", "size"])
+        over = per_bin[per_bin["sum"] > 256]
+        assert (over["size"] == 1).all()  # only oversized solo docs overflow
