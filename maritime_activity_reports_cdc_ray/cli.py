@@ -111,6 +111,19 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--epoch", type=int, required=True)
 
+    sp = sub.add_parser("curate", help="run the end-to-end corpus curation pipeline "
+                        "over a documents parquet and write the kept docs as "
+                        "resumable lang-partitioned parquet")
+    sp.add_argument("--input", required=True, help="parquet file/dir with (doc_id, text)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--no-c4", action="store_true",
+                    help="skip the boilerplate line filter (single-line corpora)")
+    sp.add_argument("--min-quality", type=float, default=0.6)
+    sp.add_argument("--lm-low", type=float, default=5.0)
+    sp.add_argument("--lm-high", type=float, default=20.0,
+                    help="drop docs above this avg NLL (bits/token)")
+    sp.add_argument("--pack-capacity", type=int, default=256)
+
     sp = sub.add_parser("simulate", help="generate a deterministic synthetic change stream")
     sp.add_argument("--out", required=True)
     sp.add_argument("--events", type=int, default=10_000)
@@ -120,6 +133,27 @@ def main(argv=None):
     sp.add_argument("--dirty", type=float, default=0.0)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "curate":
+        _ray_up(args.num_cpus)
+        import ray.data as rd
+
+        from maritime_activity_reports_cdc_ray.pipelines.curation import (
+            curate_documents,
+        )
+        from maritime_activity_reports_cdc_ray.sources.writers import (
+            write_partitioned,
+        )
+
+        ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+        kept, stats = curate_documents(ds, apply_c4=not args.no_c4,
+                                       min_quality_score=args.min_quality,
+                                       lm_t_low_bits=args.lm_low,
+                                       lm_t_high_bits=args.lm_high,
+                                       pack_capacity=args.pack_capacity)
+        w = write_partitioned(kept, args.out, by="lang_pred")
+        print(json.dumps({**stats, **w, "out": args.out}))
+        return 0
 
     if args.cmd == "simulate":
         from maritime_activity_reports_cdc_ray.generate import generate_events

@@ -50,8 +50,8 @@ def curate_documents(ds, id_col: str = "doc_id", text_col: str = "text",
                      apply_c4: bool = True,
                      min_quality_score: float = 0.6,
                      lm_vocab_size: int = 128,
-                     lm_t_low_bits: float = 4.847,
-                     lm_t_high_bits: float = 4.905,
+                     lm_t_low_bits: float = 5.0,
+                     lm_t_high_bits: float = 20.0,
                      pack_capacity: int = 256,
                      num_partitions: int = 16):
     """Run the full curation pipeline over a Dataset of raw documents.

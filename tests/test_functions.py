@@ -1200,3 +1200,38 @@ def test_curate_documents_end_to_end(ray_session):
         per_bin = g.groupby("pack_bin")["n_tokens"].agg(["sum", "size"])
         over = per_bin[per_bin["sum"] > 256]
         assert (over["size"] == 1).all()  # only oversized solo docs overflow
+
+
+def test_curate_cli_resumable(tmp_path):
+    """CLI `curate` verb: runs the full pipeline in a fresh process, writes
+    lang-partitioned parquet through the resumable sink; a rerun skips every
+    finished partition."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    raw = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' LIMIT 200"
+    ).df()
+    inp = tmp_path / "pages.parquet"
+    pq.write_table(pa.Table.from_pandas(E._c4_synth(raw), preserve_index=False),
+                   str(inp))
+    out = tmp_path / "curated"
+    cmd = [sys.executable, "-m", "maritime_activity_reports_cdc_ray.cli",
+           "--num-cpus", "4", "curate", "--input", str(inp), "--out", str(out),
+           "--min-quality", "0.4"]
+    r1 = json.loads(subprocess.run(cmd, capture_output=True, text=True,
+                                   check=True).stdout.strip().splitlines()[-1])
+    assert r1["rows_final"] > 0 and r1["partitions_written"] > 0
+    r2 = json.loads(subprocess.run(cmd, capture_output=True, text=True,
+                                   check=True).stdout.strip().splitlines()[-1])
+    assert r2["partitions_written"] == 0
+    assert r2["partitions_skipped"] == r1["partitions_written"]
+    back = duckdb.sql(f"SELECT COUNT(*) n FROM '{out}/*/*.parquet'").fetchone()[0]
+    assert back == r1["rows_final"]
