@@ -763,3 +763,36 @@ def test_next_fit_pack_matches_duckdb_recursion(sizes, cap):
             FROM pk p JOIN t ON t.rn = p.rn + 1)
         SELECT bin FROM pk ORDER BY rn""").df()["bin"]
     assert eng.tolist() == ora.tolist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(_texts)
+def test_chunk_fingerprints_match_duckdb(texts):
+    """make_chunker windows vs the docs_fingerprint chunk-face SQL
+    (list_slice rebuild) on adversarial random docs — pure pandas + DuckDB,
+    no Ray."""
+    import hashlib
+
+    from maritime_activity_reports_cdc_ray.functions.text import make_chunker
+
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    c = make_chunker(size=16, stride=8)(df)
+    eng = (pd.Series([hashlib.md5(s.encode("utf-8")).hexdigest()
+                      for s in c["chunk_text"]])
+           .value_counts().sort_index())
+    con = _con(df)
+    ora = con.execute("""
+        WITH d0 AS (
+            SELECT doc_id,
+                   list_filter(string_split(COALESCE(text, ''), ' '),
+                               x -> x <> '') AS ws
+            FROM documents),
+        ks AS (
+            SELECT doc_id, ws, unnest(range(0, (len(ws) + 7) // 8)) AS k
+            FROM d0 WHERE len(ws) > 0)
+        SELECT md5(array_to_string(
+                   list_slice(ws, k * 8 + 1, LEAST(k * 8 + 16, len(ws))),
+                   ' ')) AS fp, COUNT(*) AS n
+        FROM ks GROUP BY 1 ORDER BY 1""").df()
+    assert eng.index.tolist() == ora["fp"].tolist()
+    assert eng.tolist() == ora["n"].tolist()
