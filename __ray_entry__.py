@@ -1470,8 +1470,13 @@ def docs_sampling(sf_dir: str):
     per language — the mBERT/XLM-R multilingual thinning rule) via the
     integer gate md5_u64(id) % N_g < isqrt(N_g·N_min).
     ``shuffle`` = deterministic corpus shuffle head (first 20 ids in
-    md5_u64 order — reproducible, resumable training order)."""
+    md5_u64 order — reproducible, resumable training order).
+    ``dsir`` = DSIR importance selection (Xie et al. 2023): the 50 docs
+    whose hashed-uni+bigram distribution best matches the lang='en' target
+    slice, scored in fixed-point integer log-space (sample.dsir_select) —
+    the oracle replays both hashed-n-gram models and every doc's score."""
     from maritime_activity_reports_cdc_ray.functions.sample import (
+        dsir_select,
         md5_hash_sample,
         shuffle_head,
         stratified_hash_sample,
@@ -1502,7 +1507,13 @@ def docs_sampling(sf_dir: str):
     # global order = md5_u64(id) asc — seeded-random_shuffle analogue)
     sh = shuffle_head(ds, "doc_id", k=20)
     sh["method"] = "shuffle"
-    out = pd.concat([h, s, t, w, tp, sh], ignore_index=True)
+    # seventh face: DSIR selection toward the lang='en' target slice (needs
+    # text, so it reads its own column set)
+    dz = dsir_select(_t(sf_dir, "documents",
+                        ["doc_id", "text", "lang", "n_chars"]),
+                     m=2048, k=50).drop(columns=["score_fp"])
+    dz["method"] = "dsir"
+    out = pd.concat([h, s, t, w, tp, sh, dz], ignore_index=True)
     return (out[["method", "doc_id", "lang", "n_chars"]]
             .sort_values(["method", "doc_id"]).reset_index(drop=True))
 
@@ -3215,7 +3226,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pq' AS method, query_id, neighbor_id, rank
             FROM ({_knn_pq_oracle_sql()})
         """,
-        "docs_sampling": """
+        "docs_sampling": f"""
             SELECT 'hash' AS method, doc_id, lang, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
             UNION ALL
@@ -3270,6 +3281,42 @@ def oracle_sql() -> dict[str, str]:
                            doc_id) AS rn
                 FROM documents)
             WHERE rn <= 20
+            UNION ALL
+            -- DSIR (Xie et al. 2023): both hashed-uni+bigram models (2048
+            -- buckets, add-one smoothing) and every doc's fixed-point score
+            -- replayed; top-50 by (score desc, doc_id)
+            SELECT 'dsir' AS method, dd.doc_id, dd.lang, dd.n_chars FROM (
+                WITH d0 AS (
+                    SELECT doc_id,
+                           list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                                       x -> x <> '') AS ws
+                    FROM documents),
+                feats AS (
+                    SELECT doc_id,
+                           CAST(('0x' || substr(md5(ng), 1, 16))::UBIGINT
+                                % 2048 AS BIGINT) AS b
+                    FROM (
+                        SELECT doc_id, unnest(ws) AS ng FROM d0
+                        UNION ALL
+                        SELECT doc_id, ws[kk] || ' ' || ws[kk + 1] AS ng
+                        FROM d0, unnest(range(1, len(ws))) AS u(kk))),
+                cnt AS (
+                    SELECT b, CAST(COUNT(*) AS BIGINT) AS rc,
+                           CAST(COUNT(*) FILTER (WHERE d.lang = 'en')
+                                AS BIGINT) AS tc
+                    FROM feats f JOIN documents d USING (doc_id) GROUP BY b),
+                tot AS (SELECT CAST(SUM(tc) + 2048 AS BIGINT) AS tn,
+                               CAST(SUM(rc) + 2048 AS BIGINT) AS rn
+                        FROM cnt),
+                model AS (
+                    SELECT b, ({_ql_sql('tc + 1')} - {_ql_sql('tn')})
+                            - ({_ql_sql('rc + 1')} - {_ql_sql('rn')}) AS lw
+                    FROM cnt, tot),
+                sc AS (
+                    SELECT doc_id, SUM(lw) AS s
+                    FROM feats JOIN model USING (b) GROUP BY doc_id)
+                SELECT doc_id FROM sc ORDER BY s DESC, doc_id LIMIT 50) q
+            JOIN documents dd USING (doc_id)
         """,
         "docs_top_terms": f"""
             WITH tok AS (

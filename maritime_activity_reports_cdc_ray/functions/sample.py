@@ -149,3 +149,127 @@ def shuffle_head(ds, id_col: str, k: int = 20):
     out = ds.map_batches(local_head, batch_format="pandas").to_pandas()
     return (out.sort_values(["_q", id_col]).head(k)
             .drop(columns=["_q"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+# Select the raw documents whose hashed-n-gram distribution looks most like a
+# TARGET slice (the paper's "select web data that resembles Wikipedia" move;
+# here the target is a column predicate, e.g. lang = 'en'). Per-doc log
+# importance weight under two bag-of-hashed-ngrams unigram models:
+#
+#     log w(doc) = Σ_f c_f · (log p̂_target(f) − log p̂_raw(f))
+#
+# with add-one smoothing over m hash buckets. All arithmetic is integer
+# fixed-point (qlog2_fp, scale 2^20) so a SQL oracle replays every score
+# bit-for-bit; selection is the deterministic top-k by (score desc, id asc)
+# (the ranking variant of the paper's Gumbel resampling — no RNG, resumable).
+#
+# Scale shape (the reason this fits a 100 TB corpus): the MODEL is two
+# m-length int64 count vectors — O(m), constant in corpus size. Pass 1
+# computes per-batch bincount partials and the driver reduces ≤ m small rows
+# per block (numbers, never text); pass 2 broadcasts the m-length weight
+# table inside the batch fn (16 KB at m=2048) and scores each doc in one
+# vectorized scatter-add; selection reuses the batch-local-head combiner
+# (top-k is a semilattice), so the driver sees ≤ k rows per block.
+# Reference analogue: the tiered quality scorer family
+# (utils/data_quality.py) — this is its distribution-matching sibling.
+
+
+def _dsir_buckets(texts: pd.Series, m: int):
+    """(row_ordinal, hash_bucket) pairs for every uni+bigram occurrence.
+
+    Tokenize = ``lower().split(' ')`` with empties dropped (the repo-wide
+    WordNgramExploder rule); features = md5_u64 of the token and of
+    ``w1 || ' ' || w2`` for adjacent pairs, mod ``m``. Distinct-only md5
+    hashing (hashing.md5_u64_array) gives the Zipf benefit on both."""
+    import numpy as np
+
+    from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
+
+    s = texts.fillna("").str.lower().str.split(" ").reset_index(drop=True)
+    ex = s.explode()
+    ex = ex[ex.notna() & (ex != "")]
+    rows = ex.index.to_numpy(dtype=np.int64)
+    toks = ex.to_numpy(dtype=object)
+    hu = md5_u64_array(toks)
+    if len(rows) > 1:
+        adj = rows[:-1] == rows[1:]
+        bigs = (pd.Series(toks[:-1][adj], dtype=object) + " "
+                + pd.Series(toks[1:][adj], dtype=object)).to_numpy(dtype=object)
+        hb = md5_u64_array(bigs)
+        rows_b = rows[:-1][adj]
+    else:
+        hb = np.empty(0, dtype=np.uint64)
+        rows_b = np.empty(0, dtype=np.int64)
+    rows_all = np.concatenate([rows, rows_b])
+    b_all = (np.concatenate([hu, hb]) % np.uint64(m)).astype(np.int64)
+    return rows_all, b_all
+
+
+def dsir_model(tc, rc, m: int):
+    """Fixed-point log-weight table from the two bucket-count vectors:
+    ``lw_f = (qlog2(tc_f+1) − qlog2(T+m)) − (qlog2(rc_f+1) − qlog2(R+m))``
+    — exact int64; SQL mirror is four ``_ql_sql`` terms."""
+    import numpy as np
+
+    from maritime_activity_reports_cdc_ray.functions.text import qlog2_fp
+
+    tc = np.asarray(tc, dtype=np.int64)
+    rc = np.asarray(rc, dtype=np.int64)
+    t_norm = qlog2_fp(int(tc.sum()) + m)
+    r_norm = qlog2_fp(int(rc.sum()) + m)
+    return (qlog2_fp(tc + 1) - t_norm) - (qlog2_fp(rc + 1) - r_norm)
+
+
+def dsir_select(ds, id_col: str = "doc_id", text_col: str = "text",
+                target_col: str = "lang", target_value: str = "en",
+                m: int = 2048, k: int = 50,
+                keep_cols: tuple[str, ...] = ("lang", "n_chars")) -> pd.DataFrame:
+    """DSIR selection: the ``k`` docs with the highest fixed-point importance
+    score toward the target slice (ties by id). Two streaming passes over a
+    shared materialized source; docs with zero features are not candidates
+    (they have no score under either model). Returns a ≤ k-row DataFrame
+    ``(id, *keep_cols, score_fp)``."""
+    import numpy as np
+
+    src = ds.materialize()
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"b": pd.Series(dtype="int64"),
+                                 "tc": pd.Series(dtype="int64"),
+                                 "rc": pd.Series(dtype="int64")})
+        rows, b = _dsir_buckets(df[text_col], m)
+        tgt = (df[target_col] == target_value).to_numpy()
+        rc = np.bincount(b, minlength=m)
+        tc = np.bincount(b[tgt[rows]], minlength=m)
+        nz = np.nonzero(rc)[0]
+        return pd.DataFrame({"b": nz, "tc": tc[nz], "rc": rc[nz]})
+
+    cnt = src.map_batches(partial_counts, batch_format="pandas").to_pandas()
+    tc = np.zeros(m, dtype=np.int64)
+    rc = np.zeros(m, dtype=np.int64)
+    if len(cnt):
+        g = cnt.groupby("b", sort=False).sum()
+        tc[g.index.to_numpy()] = g["tc"].to_numpy()
+        rc[g.index.to_numpy()] = g["rc"].to_numpy()
+    lw = dsir_model(tc, rc, m)  # m×8 B — shipped once per task via closure
+
+    def score_head(df: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, *keep_cols]
+        if not len(df):
+            return df[cols].assign(score_fp=pd.Series(dtype="int64"))
+        rows, b = _dsir_buckets(df[text_col], m)
+        s = np.zeros(len(df), dtype=np.int64)
+        np.add.at(s, rows, lw[b])
+        nf = np.bincount(rows, minlength=len(df))
+        out = df[cols].assign(score_fp=s)
+        out = out[nf > 0]
+        return out.sort_values(["score_fp", id_col],
+                               ascending=[False, True]).head(k)
+
+    out = src.map_batches(score_head, batch_format="pandas").to_pandas()
+    return (out.sort_values(["score_fp", id_col], ascending=[False, True])
+            .head(k).reset_index(drop=True))

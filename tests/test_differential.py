@@ -796,3 +796,64 @@ def test_chunk_fingerprints_match_duckdb(texts):
         FROM ks GROUP BY 1 ORDER BY 1""").df()
     assert eng.index.tolist() == ora["fp"].tolist()
     assert eng.tolist() == ora["n"].tolist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(_texts, st.lists(st.booleans(), min_size=1, max_size=8))
+def test_dsir_scores_match_duckdb(texts, tflags):
+    """DSIR per-doc fixed-point scores (hashed uni+bigram models, add-one
+    smoothing, qlog2_fp log-space) vs a DuckDB replay of both models on
+    adversarial random docs — m=64 to force bucket collisions. Pure
+    pandas + DuckDB, no Ray."""
+    from maritime_activity_reports_cdc_ray.functions.sample import (
+        _dsir_buckets,
+        dsir_model,
+    )
+
+    m = 64
+    tgt = np.resize(np.array(tflags, dtype=bool), len(texts))
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts,
+                       "lang": np.where(tgt, "en", "fr")})
+    rows, b = _dsir_buckets(df["text"], m)
+    rc = np.bincount(b, minlength=m)
+    tc = np.bincount(b[tgt[rows]], minlength=m)
+    lw = dsir_model(tc, rc, m)
+    s = np.zeros(len(df), dtype=np.int64)
+    np.add.at(s, rows, lw[b])
+    nf = np.bincount(rows, minlength=len(df))
+    eng = (df.assign(score_fp=s)[nf > 0][["doc_id", "score_fp"]]
+           .sort_values("doc_id").reset_index(drop=True))
+
+    ql = lambda e: (f"((length(bin({e}))-1)*1048576 + ((({e})*1048576) >> "
+                    f"(length(bin({e}))-1)) - 1048576)")
+    con = _con(df)
+    ora = con.execute(f"""
+        WITH d0 AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                               x -> x <> '') AS ws
+            FROM documents),
+        feats AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(ng), 1, 16))::UBIGINT
+                        % {m} AS BIGINT) AS b
+            FROM (
+                SELECT doc_id, unnest(ws) AS ng FROM d0
+                UNION ALL
+                SELECT doc_id, ws[kk] || ' ' || ws[kk + 1] AS ng
+                FROM d0, unnest(range(1, len(ws))) AS u(kk))),
+        cnt AS (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS rc,
+                   CAST(COUNT(*) FILTER (WHERE d.lang = 'en') AS BIGINT) AS tc
+            FROM feats f JOIN documents d USING (doc_id) GROUP BY b),
+        tot AS (SELECT CAST(SUM(tc) + {m} AS BIGINT) AS tn,
+                       CAST(SUM(rc) + {m} AS BIGINT) AS rn FROM cnt),
+        model AS (
+            SELECT b, ({ql('tc + 1')} - {ql('tn')})
+                    - ({ql('rc + 1')} - {ql('rn')}) AS lw
+            FROM cnt, tot)
+        SELECT doc_id, CAST(SUM(lw) AS BIGINT) AS score_fp
+        FROM feats JOIN model USING (b) GROUP BY doc_id ORDER BY doc_id
+        """).df()
+    assert eng["doc_id"].tolist() == ora["doc_id"].tolist()
+    assert eng["score_fp"].tolist() == ora["score_fp"].tolist()

@@ -1235,3 +1235,30 @@ def test_curate_cli_resumable(tmp_path):
     assert r2["partitions_skipped"] == r1["partitions_written"]
     back = duckdb.sql(f"SELECT COUNT(*) n FROM '{out}/*/*.parquet'").fetchone()[0]
     assert back == r1["rows_final"]
+
+
+def test_dsir_selects_target_like_docs(ray_session):
+    """DSIR selection: docs sharing the target slice's vocabulary outrank
+    distribution-distant ones, and the result is identical across
+    repartitionings (two streaming passes + top-k combiner are
+    order-independent)."""
+    from maritime_activity_reports_cdc_ray.functions.sample import dsir_select
+
+    n = 120
+    # target slice (lang='en') speaks vocab A; half the raw docs speak A,
+    # half speak vocab B — DSIR must pick the A-speakers
+    a_doc = "the quick brown fox jumps over the lazy dog again and again"
+    b_doc = "zzq wvx qqy plk mnb vcx zxw qpo iuy tre zzq wvx"
+    lang = np.where(np.arange(n) % 3 == 0, "en", "xx")
+    text = np.where(lang == "en", a_doc,
+                    np.where(np.arange(n) % 2 == 0, a_doc, b_doc))
+    df = pd.DataFrame({"doc_id": np.arange(n), "text": text, "lang": lang,
+                       "n_chars": [len(t) for t in text]})
+    out = dsir_select(_ds(df), m=256, k=20, target_value="en")
+    assert len(out) == 20
+    sel = df.set_index("doc_id").loc[out["doc_id"]]
+    assert (sel["text"] == a_doc).all()  # every pick speaks the target vocab
+
+    out2 = dsir_select(_ds(df).repartition(7), m=256, k=20, target_value="en")
+    assert out["doc_id"].tolist() == out2["doc_id"].tolist()
+    assert out["score_fp"].tolist() == out2["score_fp"].tolist()
