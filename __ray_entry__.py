@@ -1334,8 +1334,14 @@ def docs_repetition(sf_dir: str):
     duplicate-2-gram fraction, distinct-token count, repetitive flag) and
     (b) CROSS-doc segment-level dedup (CCNet/RefinedWeb line dedup; unit =
     non-overlapping 10-token chunk) — segments removed, dup fraction and the
-    md5 of the rebuilt text, each attested by the SQL replay."""
-    from maritime_activity_reports_cdc_ray.functions.dedup import segment_dedup
+    md5 of the rebuilt text, each attested by the SQL replay; and
+    (c) duplicate-SPAN detection (Lee et al. 2021 exact-substring signal at
+    8-token-window granularity, dedup.dup_span_stats) — duplicated windows,
+    covered token positions, merged span count."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import (
+        dup_span_stats,
+        segment_dedup,
+    )
     from maritime_activity_reports_cdc_ray.functions.text import repetition_metrics
 
     def _within():
@@ -1344,10 +1350,15 @@ def docs_repetition(sf_dir: str):
 
     def _cross():
         ds = _t(sf_dir, "documents", ["doc_id", "text"])
-        return segment_dedup(ds).to_pandas()
+        seg = segment_dedup(ds).to_pandas()
+        spans = dup_span_stats(_t(sf_dir, "documents", ["doc_id", "text"]),
+                               w=8).to_pandas()
+        return seg.merge(spans, on="doc_id", how="left")
 
     rep, seg = _par2(_within, _cross)
     out = rep.merge(seg, on="doc_id", how="left")
+    for c in ("dup_windows", "dup_tokens", "dup_spans"):
+        out[c] = out[c].fillna(0).astype("int64")
     out["top_word_frac"] = _r(out["top_word_frac"], 6)
     out["dup_2gram_frac"] = _r(out["dup_2gram_frac"], 6)
     out["seg_dup_frac"] = _r(out["seg_dup_frac"], 6)
@@ -2391,7 +2402,7 @@ def _c4_oracle_sql() -> str:
 
 def _repetition_oracle_sql(top_word_max: float = 0.125,
                            dup_2gram_max: float = 0.06,
-                           seg_tokens: int = 10) -> str:
+                           seg_tokens: int = 10, span_w: int = 8) -> str:
     """DuckDB replay of the repetition/duplication suite. Within-doc
     (Gopher): identical tokenization (string_split on ' ', empty tokens
     dropped), per-doc token-frequency max, consecutive-2-gram
@@ -2399,7 +2410,12 @@ def _repetition_oracle_sql(top_word_max: float = 0.125,
     comparisons. Cross-doc (CCNet segment dedup): the same non-overlapping
     ``seg_tokens``-token segmentation, md5_u64 segment hashes, corpus-wide
     occurrence counts, and the md5 of the kept-segments rebuild — string_agg
-    ordered by segment ordinal reproduces the engine's space-join exactly."""
+    ordered by segment ordinal reproduces the engine's space-join exactly.
+    Dup spans (Lee et al. exact-substring signal, dedup.dup_span_stats):
+    every ``span_w``-token window hashed positionally, duplicated iff seen
+    in >= 2 distinct docs; covered tokens = Σ LEAST(Δp, w) and span starts
+    = (Δp IS NULL OR Δp >= w) over the LAG-sorted positions — the same
+    closed form the engine's diff kernel uses."""
     return f"""
         WITH l AS (
             SELECT doc_id,
@@ -2440,7 +2456,26 @@ def _repetition_oracle_sql(top_word_max: float = 0.125,
                         AS BIGINT) AS n_tokens_kept,
                    md5(COALESCE(string_agg(CASE WHEN sc.cnt <= 1 THEN seg END,
                                            ' ' ORDER BY seg_no), '')) AS clean_md5
-            FROM hs JOIN sc USING (h) GROUP BY hs.doc_id)
+            FROM hs JOIN sc USING (h) GROUP BY hs.doc_id),
+        pg AS (
+            SELECT doc_id, CAST(kk AS BIGINT) AS p,
+                   ('0x' || substr(md5(array_to_string(
+                        toks[kk : kk + {span_w - 1}], ' ')), 1, 16))::UBIGINT AS h
+            FROM l, unnest(range(1, len(toks) - {span_w - 2})) u(kk)
+            WHERE len(toks) >= {span_w}),
+        pdup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS cd
+                                FROM pg GROUP BY h) WHERE cd >= 2),
+        pd1 AS (SELECT doc_id, p,
+                       p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS dp
+                FROM pg JOIN pdup USING (h)),
+        spd AS (SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS dup_windows,
+                       CAST(SUM(CASE WHEN dp IS NULL THEN {span_w}
+                                     ELSE LEAST(dp, {span_w}) END) AS BIGINT)
+                           AS dup_tokens,
+                       CAST(COUNT(*) FILTER (WHERE dp IS NULL OR dp >= {span_w})
+                            AS BIGINT) AS dup_spans
+                FROM pd1 GROUP BY doc_id)
         SELECT d.doc_id,
                COALESCE(m.n_tokens, 0) AS n_tokens,
                COALESCE(m.n_distinct, 0) AS n_distinct,
@@ -2459,9 +2494,12 @@ def _repetition_oracle_sql(top_word_max: float = 0.125,
                COALESCE(sd.n_dup_segs, 0) AS n_dup_segs,
                COALESCE(sd.seg_dup_frac, 0.0) AS seg_dup_frac,
                COALESCE(sd.n_tokens_kept, 0) AS n_tokens_kept,
-               COALESCE(sd.clean_md5, md5('')) AS clean_md5
+               COALESCE(sd.clean_md5, md5('')) AS clean_md5,
+               COALESCE(spd.dup_windows, 0) AS dup_windows,
+               COALESCE(spd.dup_tokens, 0) AS dup_tokens,
+               COALESCE(spd.dup_spans, 0) AS dup_spans
         FROM documents d LEFT JOIN m USING (doc_id) LEFT JOIN gm USING (doc_id)
-             LEFT JOIN sd USING (doc_id)
+             LEFT JOIN sd USING (doc_id) LEFT JOIN spd USING (doc_id)
     """
 
 

@@ -1299,3 +1299,107 @@ def segment_dedup(ds, seg_tokens: int = 10, max_count: int = 1,
         })
 
     return ds.map_batches(rebuild, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span detection (exact substring dedup at window granularity)
+# ---------------------------------------------------------------------------
+class PositionalNgramExploder:
+    """(doc_id, p, h) for every FULL ``w``-token window of every doc —
+    the positional sibling of :class:`WordNgramExploder` (same tokenize
+    rule, same md5_u64 gram hash), keeping the 1-based start position and
+    every occurrence (no per-doc dedup: coverage needs positions). Docs
+    with fewer than ``w`` tokens emit nothing."""
+
+    def __init__(self, w: int = 8, id_col: str = "doc_id", text_col: str = "text"):
+        self.w, self.id_col, self.text_col = w, id_col, text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from maritime_activity_reports_cdc_ray.functions.kernels import group_positions
+        from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
+
+        w = self.w
+        empty = pd.DataFrame({self.id_col: pd.Series(dtype="int64"),
+                              "p": pd.Series(dtype="int64"),
+                              "h": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        s = df[self.text_col].fillna("").str.lower().str.split(" ").reset_index(drop=True)
+        ids = df[self.id_col].to_numpy()
+        ex = s.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        rows = ex.index.to_numpy(dtype=np.int64)
+        toks = ex.to_numpy(dtype=object)
+        m = len(rows)
+        if m < w:
+            return empty
+        # window at flat slot i is valid iff slot i+w-1 is the same doc
+        ok = rows[: m - w + 1] == rows[w - 1:]
+        if not ok.any():
+            return empty
+        g = toks[: m - w + 1].copy()
+        for j in range(1, w):
+            g = g + " "
+            g = g + toks[j: m - w + 1 + j]
+        _, _, pos = group_positions(rows)
+        return pd.DataFrame({
+            self.id_col: ids[rows[: m - w + 1][ok]],
+            "p": pos[: m - w + 1][ok] + 1,
+            "h": md5_u64_array(g[ok]).astype(np.int64),
+        })
+
+
+def dup_span_stats(ds, w: int = 8, id_col: str = "doc_id",
+                   text_col: str = "text", num_partitions: int = 16):
+    """Exact substring-duplication signal per doc (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", at word-
+    window granularity): a ``w``-token window is DUPLICATED iff its gram
+    hash occurs in >= 2 distinct documents; per doc, report how many
+    windows are duplicated, how many token positions they cover
+    (union of [p, p+w) intervals), and how many maximal spans they merge
+    into. Docs with < w tokens or no duplicated windows are absent (callers
+    left-join + fill 0).
+
+    Scale shape: the positional gram explode is O(tokens) rows of ints
+    (text never leaves the first stage); duplicate detection is
+    hash_distinct + combiner-first hash_count over (h, doc); the dup-hash
+    set flows back through semi_join's row/byte gates (broadcast small,
+    partitioned hash join large); coverage co-locates each doc's few dup
+    windows by doc-hash and runs one vectorized diff kernel per partition.
+    Since windows are sorted and fixed-width, covered tokens = Σ min(w, Δp)
+    and span starts are Δp >= w — no interval unnesting anywhere."""
+    from maritime_activity_reports_cdc_ray.functions.join import semi_join
+
+    grams = ds.map_batches(PositionalNgramExploder(w, id_col, text_col),
+                           batch_format="pandas").materialize()
+    hd = hash_distinct(grams, ["h", id_col], num_partitions)
+    freq = hash_count(hd, ["h"], num_partitions, count_col="n_docs")
+    dup = freq.map_batches(lambda df: df[df["n_docs"] >= 2][["h"]],
+                           batch_format="pandas")
+    dg = semi_join(grams, dup, on="h", num_partitions=num_partitions)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[id_col, "p"]].copy()
+        d["_part"] = _hash_part(d, [id_col], num_partitions)
+        return d
+
+    def coverage(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "p"])
+        ids = g[id_col].to_numpy()
+        p = g["p"].to_numpy(dtype=np.int64)
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = ids[1:] != ids[:-1]
+        dp = np.empty(len(g), dtype=np.int64)
+        dp[0] = w
+        dp[1:] = p[1:] - p[:-1]
+        dp[first] = w  # doc-initial window contributes a full w
+        cov = np.minimum(dp, w)
+        starts = (dp >= w).astype(np.int64)
+        r = pd.DataFrame({id_col: ids, "dup_tokens": cov, "dup_spans": starts})
+        out = r.groupby(id_col, as_index=False, sort=False).sum()
+        out["dup_windows"] = r.groupby(id_col, sort=False).size().to_numpy()
+        return out[[id_col, "dup_windows", "dup_tokens", "dup_spans"]]
+
+    return (dg.map_batches(local, batch_format="pandas")
+            .groupby("_part").map_groups(coverage, batch_format="pandas"))

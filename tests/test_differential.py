@@ -857,3 +857,70 @@ def test_dsir_scores_match_duckdb(texts, tflags):
         """).df()
     assert eng["doc_id"].tolist() == ora["doc_id"].tolist()
     assert eng["score_fp"].tolist() == ora["score_fp"].tolist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=80),
+                min_size=2, max_size=10))
+def test_dup_span_stats_match_duckdb(texts):
+    """Duplicate-span arithmetic (PositionalNgramExploder + the closed-form
+    Σ min(w, Δp) coverage) vs the docs_repetition span-CTE SQL on random
+    docs over a 3-letter alphabet (tiny vocab → windows collide constantly,
+    w=3 so short docs still produce windows). Pure pandas + DuckDB."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import (
+        PositionalNgramExploder,
+    )
+
+    w = 3
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    g = PositionalNgramExploder(w)(df)
+    dup = (g.drop_duplicates(["h", "doc_id"]).groupby("h").size()
+           .loc[lambda s: s >= 2].index)
+    dg = g[g["h"].isin(dup)].sort_values(["doc_id", "p"])
+    ids = dg["doc_id"].to_numpy()
+    p = dg["p"].to_numpy(dtype=np.int64)
+    eng_rows = {}
+    if len(dg):
+        first = np.empty(len(dg), dtype=bool)
+        first[0] = True
+        first[1:] = ids[1:] != ids[:-1]
+        dp = np.empty(len(dg), dtype=np.int64)
+        dp[0] = w
+        dp[1:] = p[1:] - p[:-1]
+        dp[first] = w
+        r = pd.DataFrame({"doc_id": ids,
+                          "dup_tokens": np.minimum(dp, w),
+                          "dup_spans": (dp >= w).astype(np.int64)})
+        agg = r.groupby("doc_id").agg(dup_windows=("doc_id", "size"),
+                                      dup_tokens=("dup_tokens", "sum"),
+                                      dup_spans=("dup_spans", "sum"))
+        eng_rows = {int(i): tuple(v) for i, v in agg.iterrows()}
+
+    con = _con(df)
+    ora = con.execute(f"""
+        WITH l AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                               x -> x <> '') AS toks
+            FROM documents),
+        pg AS (
+            SELECT doc_id, CAST(kk AS BIGINT) AS p,
+                   ('0x' || substr(md5(array_to_string(
+                        toks[kk : kk + {w - 1}], ' ')), 1, 16))::UBIGINT AS h
+            FROM l, unnest(range(1, len(toks) - {w - 2})) u(kk)
+            WHERE len(toks) >= {w}),
+        pdup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS cd
+                                FROM pg GROUP BY h) WHERE cd >= 2),
+        pd1 AS (SELECT doc_id, p,
+                       p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS dp
+                FROM pg JOIN pdup USING (h))
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS dup_windows,
+               CAST(SUM(CASE WHEN dp IS NULL THEN {w}
+                             ELSE LEAST(dp, {w}) END) AS BIGINT) AS dup_tokens,
+               CAST(COUNT(*) FILTER (WHERE dp IS NULL OR dp >= {w})
+                    AS BIGINT) AS dup_spans
+        FROM pd1 GROUP BY doc_id ORDER BY doc_id""").df()
+    ora_rows = {int(r.doc_id): (int(r.dup_windows), int(r.dup_tokens),
+                                int(r.dup_spans)) for r in ora.itertuples()}
+    assert eng_rows == ora_rows

@@ -1262,3 +1262,29 @@ def test_dsir_selects_target_like_docs(ray_session):
     out2 = dsir_select(_ds(df).repartition(7), m=256, k=20, target_value="en")
     assert out["doc_id"].tolist() == out2["doc_id"].tolist()
     assert out["score_fp"].tolist() == out2["score_fp"].tolist()
+
+
+def test_dup_span_stats_planted(ray_session):
+    """Planted shared run: two docs share a 12-token span (w=8 -> 5
+    duplicated windows covering 12 tokens in ONE merged span each); a third
+    doc is unique and must be absent. Identical across repartitionings."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import dup_span_stats
+
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [shared + " tail1a tail1b tail1c",
+                 "head2a head2b " + shared,
+                 "totally different words that repeat nothing at all here ok"],
+    })
+    out = dup_span_stats(_ds(df), w=8).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2]
+    # 12-token shared run -> 12-8+1 = 5 duplicated windows, 12 covered
+    # tokens, merged into one span, in both docs
+    assert out["dup_windows"].tolist() == [5, 5]
+    assert out["dup_tokens"].tolist() == [12, 12]
+    assert out["dup_spans"].tolist() == [1, 1]
+
+    out2 = dup_span_stats(_ds(df).repartition(5), w=8).to_pandas() \
+        .sort_values("doc_id")
+    assert out.reset_index(drop=True).equals(out2.reset_index(drop=True))
