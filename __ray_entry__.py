@@ -846,21 +846,39 @@ def cdc_gold_rollup(sf_dir: str):
 
 
 def cdc_silver_asof(sf_dir: str):
-    """Epoch-pinned time travel through the real engine (reference: Delta
-    ``VERSION AS OF`` / CDF ``startingVersion``, silver/cdf_processor.py:41):
-    silver current state AS OF epoch 2 of the 4-epoch adapted replay — the
-    LWW winners among the first three event-stream quartiles only, resolved
-    from the historical manifest chain (not recomputed). SQL oracle: latest
-    event per key over rows with event_id order-rank < 3*n//4 (the adapter's
-    exact epoch split)."""
+    """Durable-state READ APIs through the real engine, two faces.
+    method='asof' (reference: Delta ``VERSION AS OF`` / CDF
+    ``startingVersion``, silver/cdf_processor.py:41): silver current state
+    AS OF epoch 2 of the 4-epoch adapted replay — the LWW winners among the
+    first three event-stream quartiles, resolved from the historical
+    manifest chain (not recomputed). method='changes' (reference: Delta
+    ``table_changes`` / readChangeFeed): the net per-key CDF between epoch
+    1 and epoch 3 via ``CDCReplay.table_changes`` — inserts for keys first
+    seen in the second half, pre+post images for keys whose winner changed.
+    SQL oracle: LWW winners over the adapter's exact epoch splits (rank <
+    2n/4 vs all) outer-joined and classified."""
     r = _replay_events_as_cdc(sf_dir)
     sil = r.read_silver(columns=["repo", "path", "content"],
                         as_of_epoch=2).to_pandas()
-    return pd.DataFrame({
+    a = pd.DataFrame({
+        "method": "asof",
         "user_id": sil.repo.str.slice(1).astype("int64"),
         "event_type": sil.path,
         "last_event_id": sil.content.astype("int64"),
-    }).sort_values(["user_id", "event_type"]).reset_index(drop=True)
+        "change_type": "state",
+    })
+    ch = r.table_changes(1, 3, columns=["repo", "path", "commit"]).to_pandas()
+    c = pd.DataFrame({
+        "method": "changes",
+        "user_id": ch.repo.str.slice(1).astype("int64"),
+        "event_type": ch.path,
+        # the adapter's commit embeds the event id in its last 8 digits
+        "last_event_id": ch.commit.str.slice(-8).astype("int64"),
+        "change_type": ch["_change_type"],
+    })
+    return (pd.concat([a, c], ignore_index=True)
+            .sort_values(["method", "user_id", "event_type", "change_type"])
+            .reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
@@ -3218,11 +3236,35 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, ts, user_id, event_type,
                        ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn,
                        COUNT(*) OVER () AS n
-                FROM events)
-            SELECT user_id, event_type, event_id AS last_event_id
+                FROM events),
+            a AS (
+                SELECT user_id, event_type, event_id
+                FROM ranked WHERE rn < 2 * n // 4
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts DESC, event_id DESC) = 1),
+            b AS (
+                SELECT user_id, event_type, event_id
+                FROM ranked
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts DESC, event_id DESC) = 1),
+            j AS (
+                SELECT b.user_id, b.event_type, b.event_id AS new_id,
+                       a.event_id AS old_id
+                FROM b LEFT JOIN a USING (user_id, event_type))
+            SELECT 'asof' AS method, user_id, event_type,
+                   event_id AS last_event_id, 'state' AS change_type
             FROM ranked WHERE rn < 3 * n // 4
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                        ORDER BY ts DESC, event_id DESC) = 1
+            UNION ALL
+            SELECT 'changes', user_id, event_type, new_id, 'insert'
+            FROM j WHERE old_id IS NULL
+            UNION ALL
+            SELECT 'changes', user_id, event_type, old_id, 'update_preimage'
+            FROM j WHERE old_id IS NOT NULL AND old_id <> new_id
+            UNION ALL
+            SELECT 'changes', user_id, event_type, new_id, 'update_postimage'
+            FROM j WHERE old_id IS NOT NULL AND old_id <> new_id
         """,
         "docs_lsh_pairs": f"""
             SELECT 'minhash' AS method, id_a, id_b, jaccard AS score

@@ -1537,6 +1537,106 @@ class CDCReplay:
 
         return joined.map_batches(finish, batch_format="pyarrow")
 
+    def table_changes(self, from_epoch: int | None, to_epoch: int | None = None,
+                      columns: list[str] | None = None):
+        """Net per-key change feed between two committed epochs — the CDF
+        *read* side (reference: Delta ``table_changes`` / readChangeFeed,
+        the source ``silver/cdf_processor.py:41`` consumes). One row per key
+        whose current state differs between the manifest as of ``from_epoch``
+        and as of ``to_epoch`` (default latest), Delta CDF column convention:
+        ``_change_type`` in {'insert', 'update_preimage', 'update_postimage',
+        'delete'}; updates emit both images. ``from_epoch=None`` = table
+        start (everything live at ``to_epoch`` is an insert). Net semantics:
+        a key updated five times in the range emits one pre/post pair;
+        per-version granularity remains available via ``read_history``.
+
+        Scale shape: pids whose current-fragment path sets are IDENTICAL in
+        the two manifests cannot have changed and are pruned before any file
+        opens (an epoch touches few pids); the surviving fragments are
+        metadata-only column-pruned reads (content never moves); the diff is
+        one vectorized outer-merge kernel per hash partition of the key."""
+        import pandas as pd
+        import ray.data as rd
+
+        from maritime_activity_reports_cdc_ray.functions.dedup import _hash_part
+
+        base_cols = ["repo", "path", "commit", "lang", "content_sha256",
+                     "content_bytes"]
+        out_cols = list(columns) if columns is not None else base_cols
+        need = list(dict.fromkeys(["repo", "path", "commit", "is_deleted"]
+                                  + out_cols))
+        sm_t = (self.silver.latest_manifest() if to_epoch is None
+                else self.silver.manifest_as_of(to_epoch))
+        sm_f = (None if from_epoch is None or from_epoch < 0
+                else self.silver.manifest_as_of(from_epoch))
+
+        def by_pid(m):
+            d: dict[int, list] = {}
+            if m is not None:
+                for f in m.fragments:
+                    if f.kind == "current":
+                        d.setdefault(f.pid, []).append(f)
+            return d
+        old_p, new_p = by_pid(sm_f), by_pid(sm_t)
+        changed = [pid for pid in set(old_p) | set(new_p)
+                   if sorted(f.path for f in old_p.get(pid, []))
+                   != sorted(f.path for f in new_p.get(pid, []))]
+        schema = pa.schema([sm_t.schema.field(c) if c in sm_t.schema.names
+                            else pa.field(c, pa.string()) for c in out_cols]
+                           + [pa.field("_change_type", pa.string())])
+        empty = rd.from_arrow(pa.Table.from_pylist([], schema=schema))
+        if not changed:
+            return empty
+
+        def side(pmap, tag):
+            paths = [self.silver.abspath(f.path) for pid in changed
+                     for f in pmap.get(pid, [])]
+            if not paths:
+                return None
+            ds = rd.read_parquet(paths, columns=need)
+            return ds.map_batches(
+                lambda df: df.assign(_side=np.int8(tag)),
+                batch_format="pandas")
+        P = sm_t.num_partitions
+        sides = [s for s in (side(old_p, 0), side(new_p, 1)) if s is not None]
+        un = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
+        un = un.map_batches(
+            lambda df: df.assign(_part=_hash_part(df, ["repo", "path"], P)),
+            batch_format="pandas")
+
+        def diff(g: pd.DataFrame) -> pd.DataFrame:
+            old = g[g["_side"] == 0]
+            new = g[g["_side"] == 1]
+            j = old.merge(new, on=["repo", "path"], how="outer",
+                          suffixes=("_o", "_n"), indicator=True)
+            # absent side ⇒ is_deleted_* is NaN, and NaN.eq(False) is False —
+            # exactly "not live" — so no fillna/downcast dance is needed
+            old_live = (j["_merge"] != "right_only") & j["is_deleted_o"].eq(False)
+            new_live = (j["_merge"] != "left_only") & j["is_deleted_n"].eq(False)
+
+            def pick(mask, suf, ctype):
+                sel = j[mask]
+                d = {c: sel[c] if c in ("repo", "path") else sel[f"{c}{suf}"]
+                     for c in out_cols}
+                out = pd.DataFrame(d)
+                out["_change_type"] = ctype
+                return out
+            changed_commit = old_live & new_live & (j["commit_o"] != j["commit_n"])
+            parts = [pick(~old_live & new_live, "_n", "insert"),
+                     pick(changed_commit, "_o", "update_preimage"),
+                     pick(changed_commit, "_n", "update_postimage"),
+                     pick(old_live & ~new_live, "_o", "delete")]
+            out = pd.concat(parts, ignore_index=True)
+            for c in out_cols:  # outer-merge NaN promotion → restore dtypes
+                f = schema.field(c)
+                if pa.types.is_integer(f.type):
+                    out[c] = out[c].astype("int64")
+                elif pa.types.is_boolean(f.type):
+                    out[c] = out[c].astype(bool)
+            return out
+
+        return un.groupby("_part").map_groups(diff, batch_format="pandas")
+
     def read_gold(self, as_of_epoch: int | None = None,
                   predicate: tuple | None = None):
         import ray.data as rd

@@ -697,3 +697,40 @@ def test_quarantine_repair_and_replay(ray_session, tmp_path):
     a = key(lake.read_silver().to_pandas())[["repo", "path", "commit", "content_sha256"]]
     b = key(ref.read_silver().to_pandas())[["repo", "path", "commit", "content_sha256"]]
     assert a.equals(b)
+
+
+def test_table_changes_matches_prefix_oracles(ray_session, stream, tmp_path):
+    """CDF read (net change feed): table_changes(1, 3) must equal the diff
+    of the dict-oracle states after epoch 1 and epoch 3 — inserts for keys
+    newly live, deletes for keys that went dead (tombstones), one
+    pre/post-image pair per key whose winning commit changed, nothing for
+    untouched keys. Also: the full-range feed equals the live state as
+    inserts, and an empty range is empty."""
+    src, files, oracle = stream
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(src)
+
+    l1 = replay_files(files[:2]).expected_silver()  # live keys as of epoch 1
+    l3 = oracle.expected_silver()                   # live keys as of epoch 3
+    exp = {}
+    for k in l3.keys() - l1.keys():
+        exp[(*k, "insert")] = l3[k]["commit"]
+    for k in l1.keys() - l3.keys():
+        exp[(*k, "delete")] = l1[k]["commit"]
+    for k in l3.keys() & l1.keys():
+        if l1[k]["commit"] != l3[k]["commit"]:
+            exp[(*k, "update_preimage")] = l1[k]["commit"]
+            exp[(*k, "update_postimage")] = l3[k]["commit"]
+
+    ch = r.table_changes(1, 3).to_pandas()
+    got = dict(zip(zip(ch["repo"], ch["path"], ch["_change_type"]),
+                   ch["commit"]))
+    assert got == exp
+    assert len(ch) == len(exp)  # no duplicate rows
+
+    full = r.table_changes(None).to_pandas()
+    assert set(full["_change_type"]) <= {"insert"}
+    assert dict(zip(zip(full["repo"], full["path"]), full["commit"])) == \
+        {k: v["commit"] for k, v in l3.items()}
+    assert r.table_changes(3, 3).to_pandas().empty
