@@ -25,7 +25,8 @@ owned by the CLI / bench / test harness.
 """
 
 from maritime_activity_reports_cdc_ray.config import EngineConfig
+from maritime_activity_reports_cdc_ray.state.table import ConcurrentCommitError
 
 __version__ = "0.1.0"
 
-__all__ = ["EngineConfig", "__version__"]
+__all__ = ["ConcurrentCommitError", "EngineConfig", "__version__"]

@@ -94,9 +94,13 @@ def main(argv=None):
     sp = sub.add_parser("read", help="read silver/gold/history — optionally AS OF an epoch "
                                      "(time travel; Delta VERSION AS OF analogue)")
     common(sp)
-    sp.add_argument("--table", choices=["silver", "gold", "history", "quarantine"],
+    sp.add_argument("--table", choices=["silver", "gold", "history", "quarantine",
+                                        "changes"],
                     default="silver")
     sp.add_argument("--as-of-epoch", type=int, default=None)
+    sp.add_argument("--from-epoch", type=int, default=None,
+                    help="changes only: feed covers (from-epoch, as-of-epoch] "
+                         "(Delta table_changes analogue; omit = table start)")
     sp.add_argument("--columns", default=None, help="comma-separated projection")
     sp.add_argument("--where", default=None, metavar="COL=VALUE",
                     help="pushed-down equality filter (comma-separated values "
@@ -234,6 +238,9 @@ def main(argv=None):
                 ds = r.read_gold(as_of_epoch=args.as_of_epoch, predicate=pred)
             elif args.table == "quarantine":
                 ds = r.read_quarantine()
+            elif args.table == "changes":
+                ds = r.table_changes(args.from_epoch, args.as_of_epoch,
+                                     columns=cols)
             else:
                 ds = r.read_history(as_of_epoch=args.as_of_epoch, predicate=pred)
             rows = ds.limit(args.limit).to_pandas()

@@ -47,6 +47,12 @@ _MANIFEST_RE = re.compile(r"^manifest-(\d{10})\.json$")
 FORMAT_VERSION = 2  # current on-disk format (content-pointer silver)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the manifest version this transaction
+    targeted (optimistic concurrency — the Delta commit-conflict analogue).
+    The caller should re-read ``latest_manifest()`` and retry on top of it."""
+
+
 @dataclass
 class Fragment:
     path: str  # relative to table root
@@ -242,30 +248,46 @@ class LakeTable:
         ``replaced``: relpaths of fragments superseded by this epoch (e.g. the
         previous 'current' fragment of each touched (pid, salt)). Idempotent:
         committing an epoch <= the manifest's epoch is a no-op.
+
+        Concurrency (the Delta OCC model): losing the manifest-version race
+        raises :class:`ConcurrentCommitError` from the put-if-absent write.
+        APPEND-only commits (no ``replaced`` set — e.g. concurrent bronze
+        ingest writers on distinct epochs) auto-REBASE: the transaction is
+        rebuilt on the new latest manifest and retried, because disjoint
+        fragment additions commute. Replace-commits (merges) propagate the
+        error — their fragments were computed AGAINST a specific base state,
+        so the caller must re-merge, not blind-rebase.
         """
-        m = self.latest_manifest()
-        assert m is not None, "table not created"
-        if epoch <= m.epoch:
-            return m  # already committed — exactly-once replay
-        keep = [f for f in m.fragments if not (replaced and f.path in replaced)]
-        m2 = Manifest(
-            version=m.version + 1,
-            epoch=epoch,
-            name=m.name,
-            num_partitions=m.num_partitions,
-            schema_b64=schema_to_b64(schema) if schema is not None else m.schema_b64,
-            fragments=keep + list(new_fragments),
-            salt_map=dict(salt_map) if salt_map is not None else m.salt_map,
-            stats=_merge_stats(m.stats, stats_delta),
-            format_version=m.format_version,
-        )
+        assert self.latest_manifest() is not None, "table not created"
         if lineage is not None:
             lp = os.path.join(self.root, "_lineage", f"epoch-{epoch}.json")
             with open(lp + ".tmp", "w") as f:
                 json.dump(lineage, f)
             os.replace(lp + ".tmp", lp)
-        self._write_manifest(m2)
-        return m2
+        for _attempt in range(64):  # bound only against pathological races
+            m = self.latest_manifest()
+            if epoch <= m.epoch:
+                return m  # already committed — exactly-once replay
+            keep = [f for f in m.fragments if not (replaced and f.path in replaced)]
+            m2 = Manifest(
+                version=m.version + 1,
+                epoch=epoch,
+                name=m.name,
+                num_partitions=m.num_partitions,
+                schema_b64=schema_to_b64(schema) if schema is not None else m.schema_b64,
+                fragments=keep + list(new_fragments),
+                salt_map=dict(salt_map) if salt_map is not None else m.salt_map,
+                stats=_merge_stats(m.stats, stats_delta),
+                format_version=m.format_version,
+            )
+            try:
+                self._write_manifest(m2)
+                return m2
+            except ConcurrentCommitError:
+                if replaced:
+                    raise  # merge commits must re-merge against the new state
+        raise ConcurrentCommitError(
+            f"append commit of epoch {epoch} lost 64 consecutive version races")
 
     def restore(self, epoch: int) -> Manifest:
         """Delta ``RESTORE TABLE ... TO VERSION AS OF`` analogue: publish a
@@ -375,15 +397,37 @@ class LakeTable:
         return m2
 
     def _write_manifest(self, m: Manifest) -> None:
+        """Commit = PUT-IF-ABSENT of the next manifest version (reference:
+        Delta's optimistic concurrency — a transaction loses if its target
+        version already exists, utils/spark_utils.py commit path). A plain
+        rename would silently REPLACE a concurrent committer's manifest
+        (lost update); ``os.link`` is atomic and fails on an existing
+        target. A byte-identical existing manifest is accepted (idempotent
+        retry of the same commit); different bytes raise
+        :class:`ConcurrentCommitError` so the loser re-reads and retries
+        against the new latest version instead of corrupting the chain."""
         mdir = os.path.join(self.root, "_manifests")
         os.makedirs(mdir, exist_ok=True)
         dst = os.path.join(mdir, f"manifest-{m.version:010d}.json")
-        tmp = dst + ".tmp"
+        tmp = dst + f".tmp-{os.getpid()}"
         with open(tmp, "w") as f:
             f.write(m.to_json())
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, dst)
+        try:
+            os.link(tmp, dst)  # atomic put-if-absent
+        except FileExistsError:
+            with open(dst) as f:
+                existing = f.read()
+            if existing != m.to_json():
+                os.unlink(tmp)
+                raise ConcurrentCommitError(
+                    f"manifest version {m.version} of table '{m.name}' was "
+                    f"committed by another writer; re-read latest_manifest() "
+                    f"and retry the commit against it") from None
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     # ----------------------------------------------------------------- readers
     def fragments_for_pid(self, m: Manifest, pid: int, kind: str = "current") -> list:

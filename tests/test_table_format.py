@@ -200,3 +200,73 @@ def test_write_partitioned_clears_crashed_partition(ray_session, tmp_path):
     assert r["partitions_written"] == 1 and r["partitions_skipped"] == 1
     back = rd.read_parquet(root).to_pandas()
     assert len(back) == 20 and 999 not in set(back.x)
+
+
+def test_commit_is_put_if_absent(tmp_path):
+    """Optimistic concurrency: a second writer targeting an already-taken
+    manifest version must fail with ConcurrentCommitError (not silently
+    replace the winner), while a byte-identical retry of the SAME commit is
+    accepted (idempotent). The winner's manifest survives either way."""
+    import dataclasses
+
+    from maritime_activity_reports_cdc_ray.schemas import SILVER_CURRENT_SCHEMA
+    from maritime_activity_reports_cdc_ray.state.table import (
+        ConcurrentCommitError,
+        LakeTable,
+    )
+
+    t = LakeTable.create(str(tmp_path / "t"), "t", SILVER_CURRENT_SCHEMA, 4)
+    m = t.latest_manifest()
+    # writer A commits version m.version+1
+    a = dataclasses.replace(m, version=m.version + 1, epoch=m.epoch + 1)
+    t._write_manifest(a)
+    # idempotent retry of the SAME manifest: accepted
+    t._write_manifest(a)
+    # writer B lost the race to the same version with DIFFERENT content
+    b = dataclasses.replace(m, version=m.version + 1, epoch=m.epoch + 7)
+    with pytest.raises(ConcurrentCommitError, match="another writer"):
+        t._write_manifest(b)
+    # the winner's manifest is untouched
+    assert t.latest_manifest().epoch == a.epoch
+
+
+def test_append_commit_rebases_on_version_race(tmp_path):
+    """Two append writers racing to the same manifest VERSION with distinct
+    epochs: the loser rebases onto the winner's manifest and both fragment
+    sets land. A replace-commit losing the race propagates the conflict."""
+    import dataclasses
+
+    from maritime_activity_reports_cdc_ray.schemas import SILVER_CURRENT_SCHEMA
+    from maritime_activity_reports_cdc_ray.state.table import (
+        ConcurrentCommitError,
+        Fragment,
+        LakeTable,
+    )
+
+    t = LakeTable.create(str(tmp_path / "t"), "t", SILVER_CURRENT_SCHEMA, 4)
+    fa = Fragment(path="a.parquet", pid=0, salt=0, kind="data", epoch=1,
+                  rows=1, bytes=1)
+    fb = Fragment(path="b.parquet", pid=1, salt=0, kind="data", epoch=2,
+                  rows=1, bytes=1)
+    # writer A wins version 1 out-of-band (simulates the race: B computed
+    # its manifest against version 0, then A committed first)
+    base = t.latest_manifest()
+    winner = dataclasses.replace(base, version=base.version + 1, epoch=1,
+                                 fragments=[fa])
+    t._write_manifest(winner)
+    # writer B's append must rebase onto A's manifest, not fail or clobber
+    m2 = t.commit_epoch(2, [fb])
+    assert m2.version == winner.version + 1
+    assert {f.path for f in m2.fragments} == {"a.parquet", "b.parquet"}
+    # a REPLACE commit losing the race must propagate the conflict: pin the
+    # version race by pre-committing the version it will target
+    taken = dataclasses.replace(m2, version=m2.version + 1, epoch=7)
+    t._write_manifest(taken)
+
+    class Pinned(LakeTable):
+        # resolve latest as the stale m2 so the replace targets taken.version
+        def latest_manifest(self):
+            return m2
+    p = Pinned(t.root)
+    with pytest.raises(ConcurrentCommitError):
+        p.commit_epoch(3, [fa], replaced={"b.parquet"})
