@@ -251,12 +251,16 @@ class LakeTable:
 
         Concurrency (the Delta OCC model): losing the manifest-version race
         raises :class:`ConcurrentCommitError` from the put-if-absent write.
-        APPEND-only commits (no ``replaced`` set — e.g. concurrent bronze
-        ingest writers on distinct epochs) auto-REBASE: the transaction is
-        rebuilt on the new latest manifest and retried, because disjoint
-        fragment additions commute. Replace-commits (merges) propagate the
-        error — their fragments were computed AGAINST a specific base state,
-        so the caller must re-merge, not blind-rebase.
+        APPEND-only commits (no ``replaced`` set) auto-REBASE: the
+        transaction is rebuilt on the new latest manifest and retried,
+        because disjoint fragment additions commute — this covers pipelined
+        commits racing in epoch order (k+1's commit overlapping k's retry).
+        Replace-commits (merges) propagate the error — their fragments were
+        computed AGAINST a specific base state, so the caller must re-merge,
+        not blind-rebase. NOTE the epoch watermark stays the stream
+        contract: an append whose epoch is <= the (possibly just-advanced)
+        watermark is treated as already replayed and no-ops; writers wanting
+        epoch-unordered additions use :meth:`commit_maintenance`.
         """
         assert self.latest_manifest() is not None, "table not created"
         if lineage is not None:
