@@ -43,6 +43,8 @@ QUERY_SUBSET = [
     "docs_quality",
     "docs_lsh_pairs",
     "docs_ngram_contamination",
+    "docs_repetition",
+    "docs_sampling",
     "emb_knn_brute",
     "emb_kmeans",
 ]
