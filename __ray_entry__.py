@@ -334,15 +334,35 @@ def events_lww_latest(sf_dir: str):
 
 
 def events_window_lag(sf_dir: str):
-    from maritime_activity_reports_cdc_ray.functions.window import per_key_lag
+    """W1 lag/lead face + the rolling-frame face in one attested result:
+    per-key lag deltas, plus ``running_cents`` (SUM ROWS UNBOUNDED
+    PRECEDING), ``roll4_cents`` (SUM ROWS 3 PRECEDING..CURRENT) and
+    ``roll4_n`` (the frame's row count) computed by
+    ``functions/window.rolling_agg`` in exact integer cents — bit-identical
+    to the SQL window frames at any summation order."""
+    from maritime_activity_reports_cdc_ray.functions.window import (
+        per_key_lag,
+        rolling_agg,
+    )
 
     ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_cents"] = _r(df["value"] * 100.0, 0).astype("int64")
+        return df
+
+    ds = ds.map_batches(cents, batch_format="pandas")
+    ds = rolling_agg(ds, "user_id", ["ts", "event_id"], "value_cents",
+                     window_rows=4, running_col="running_cents",
+                     rolling_col="roll4_cents", n_col="roll4_n")
     out = per_key_lag(ds, "user_id", ["ts", "event_id"],
                       {"ts": "prev_ts", "value": "prev_value"}).to_pandas()
     out = out[out.prev_ts.notna()].copy()
     out["gap_us"] = ((out["ts"] - out["prev_ts"]) // pd.Timedelta(microseconds=1)).astype("int64")
     out["value_delta"] = _r(out["value"] - out["prev_value"], 2)
-    return out[["event_id", "user_id", "gap_us", "value_delta"]]
+    return out[["event_id", "user_id", "gap_us", "value_delta",
+                "running_cents", "roll4_cents", "roll4_n"]]
 
 
 def events_type_transitions(sf_dir: str):
@@ -406,7 +426,10 @@ def events_user_stats(sf_dir: str):
 def events_rank_in_type(sf_dir: str):
     from ray.data.aggregate import Sum
 
-    from maritime_activity_reports_cdc_ray.functions.window import rank_within
+    from maritime_activity_reports_cdc_ray.functions.window import (
+        ntile_within,
+        rank_within,
+    )
 
     ds = _t(sf_dir, "events", ["user_id", "event_type", "value"])
     agg = ds.groupby(["event_type", "user_id"]).aggregate(Sum("value", alias_name="total_value"))
@@ -417,8 +440,11 @@ def events_rank_in_type(sf_dir: str):
         return df
 
     agg = agg.map_batches(rnd, batch_format="pandas")
+    agg = ntile_within(agg, "event_type", "total_value", "user_id", n=4,
+                       out_col="ntile4")
     out = rank_within(agg, "event_type", "total_value").to_pandas()
-    return out[out.rnk <= 5][["event_type", "user_id", "total_value", "rnk"]]
+    return out[out.rnk <= 5][["event_type", "user_id", "total_value", "rnk",
+                              "ntile4"]]
 
 
 def events_dedup_exact(sf_dir: str):
@@ -2724,10 +2750,18 @@ def oracle_sql() -> dict[str, str]:
         "events_window_lag": """
             SELECT event_id, user_id,
                    date_diff('microsecond', prev_ts, ts) AS gap_us,
-                   ROUND(value - prev_value, 2) AS value_delta
+                   ROUND(value - prev_value, 2) AS value_delta,
+                   CAST(running_cents AS BIGINT) AS running_cents,
+                   CAST(roll4_cents AS BIGINT) AS roll4_cents, roll4_n
             FROM (
                 SELECT event_id, user_id, ts, value,
-                       LAG(ts) OVER w AS prev_ts, LAG(value) OVER w AS prev_value
+                       LAG(ts) OVER w AS prev_ts, LAG(value) OVER w AS prev_value,
+                       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER
+                           (w ROWS UNBOUNDED PRECEDING) AS running_cents,
+                       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER
+                           (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll4_cents,
+                       COUNT(*) OVER
+                           (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll4_n
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ) WHERE prev_ts IS NOT NULL
         """,
@@ -2773,7 +2807,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY event_type, user_id
             )
             SELECT event_type, user_id, total_value,
-                   RANK() OVER (PARTITION BY event_type ORDER BY total_value DESC) AS rnk
+                   RANK() OVER (PARTITION BY event_type ORDER BY total_value DESC) AS rnk,
+                   NTILE(4) OVER (PARTITION BY event_type
+                                  ORDER BY total_value DESC, user_id) AS ntile4
             FROM agg QUALIFY rnk <= 5
         """,
         "events_dedup_exact": """

@@ -216,6 +216,73 @@ def global_rank(ds, order_col: str, descending: bool = True, rank_col: str = "rn
 
 
 
+def rolling_agg(ds, key: str, order: list[str], value_col: str,
+                window_rows: int, num_partitions: int = 32,
+                running_col: str = "running_sum",
+                rolling_col: str = "rolling_sum",
+                n_col: str = "rolling_n"):
+    """Per-key running + rolling (moving-frame) SUM — the SQL frames
+
+    - ``SUM(v) OVER (PARTITION BY key ORDER BY order ROWS UNBOUNDED
+      PRECEDING)`` → ``running_col``,
+    - ``SUM(v) OVER (... ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT
+      ROW)`` → ``rolling_col`` (+ ``n_col`` = the frame's row count, so a
+      caller can derive an exact quantized moving average).
+
+    Streaming-analytics staple the lag/lead + hopping-window family lacked
+    (reference analogue: the cumulative-distance / rolling-average windows of
+    ``silver/cdf_processor.py:140-204``). ``value_col`` must be integral
+    (quantize currency to cents first): integer cumsum is exact at ANY
+    summation order, so the result is bit-identical to any SQL engine —
+    float rolling sums would diverge in ulps between engines.
+
+    Shape: the standard ``_per_key_apply`` hash-partition → one vectorized
+    kernel per partition. The rolling frame is two cumsum reads
+    (``cs[i] - cs[i-w]``), never a per-row window loop."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order, kind="mergesort")
+        gb = g.groupby(key, sort=False)
+        cs = gb[value_col].cumsum()
+        g[running_col] = cs
+        # frame sum = cumsum minus the cumsum w rows back (0 before the key
+        # has w rows) — per-key shift keeps frames from crossing keys
+        prev = (cs.groupby(g[key], sort=False).shift(window_rows)
+                .fillna(0).astype(cs.dtype))
+        g[rolling_col] = cs - prev
+        g[n_col] = (gb.cumcount() + 1).clip(upper=window_rows).astype("int64")
+        return g
+
+    return _per_key_apply(ds, [key], kernel, num_partitions)
+
+
+def ntile_within(ds, partition: str, order_col: str, id_col: str, n: int,
+                 descending: bool = True, num_partitions: int = 32,
+                 out_col: str = "ntile"):
+    """SQL ``NTILE(n) OVER (PARTITION BY p ORDER BY o [DESC], id)`` — equal
+    buckets with the remainder spread over the FIRST buckets (bucket sizes
+    ``q+1`` for the first ``r``, ``q`` after, where ``q, r = divmod(cnt, n)``)
+    — the exact ANSI rule, vectorized: no per-key dispatch, no bucket loop."""
+    import numpy as np
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([partition, order_col, id_col],
+                          ascending=[True, not descending, True],
+                          kind="mergesort")
+        gb = g.groupby(partition, sort=False)
+        rn = gb.cumcount().to_numpy()  # 0-based row number within partition
+        cnt = gb[order_col].transform("size").to_numpy()
+        q, r = cnt // n, cnt % n
+        big = r * (q + 1)  # rows covered by the (q+1)-sized head buckets
+        in_head = rn < big
+        head = rn // np.maximum(q + 1, 1)
+        tail = r + (rn - big) // np.maximum(q, 1)
+        g[out_col] = np.where(in_head, head, tail).astype("int64") + 1
+        return g
+
+    return _per_key_apply(ds, [partition], kernel, num_partitions)
+
+
 def topk_per_group(ds, partition: str, order_col: str, id_col: str, k: int,
                    descending: bool = True, num_partitions: int = 32,
                    rn_col: str = "rn"):

@@ -481,6 +481,33 @@ def test_window_kernels_match_duckdb(ray_session, n, seed):
         FROM events""").df())
     assert out["rnk"].tolist() == ora["rnk"].astype("int64").tolist()
 
+    # running + rolling-frame sums (integer-exact moving window)
+    dsi = rd.from_pandas(df.assign(v=df["value"].astype("int64")))
+    out = key(W.rolling_agg(dsi, "user_id", ["ts", "event_id"], "v",
+                            window_rows=3).to_pandas())
+    ora = key(con.execute("""
+        SELECT event_id,
+               CAST(SUM(CAST(value AS BIGINT)) OVER
+                    (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_sum,
+               CAST(SUM(CAST(value AS BIGINT)) OVER
+                    (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS rolling_sum,
+               COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS rolling_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""").df())
+    for c in ("running_sum", "rolling_sum", "rolling_n"):
+        assert out[c].tolist() == ora[c].astype("int64").tolist(), c
+
+    # NTILE (remainder spread over the first buckets, ANSI rule)
+    for nb in (1, 2, 3, 5):
+        out = key(W.ntile_within(ds, "event_type", "value", "event_id",
+                                 n=nb).to_pandas())
+        ora = key(con.execute(f"""
+            SELECT event_id, NTILE({nb}) OVER (PARTITION BY event_type
+                ORDER BY value DESC, event_id) AS ntile FROM events""").df())
+        assert out["ntile"].tolist() == ora["ntile"].astype("int64").tolist(), nb
+
 
 @settings(max_examples=8, deadline=None)
 @given(st.integers(min_value=16, max_value=48), st.integers(min_value=0, max_value=9))
