@@ -112,6 +112,22 @@ class EngineConfig:
     # adaptation defers one epoch; per-epoch presalt raises still apply).
     premap_epochs: bool = True
 
+    # --- event-time watermark / allowed lateness ---
+    # The reference DECLARES ``watermark_delay: "10 minutes"``
+    # (models/config.py:46) but never wires it; we implement the Spark
+    # ``withWatermark`` semantics it names: the stream tracks the max event
+    # time over all COMMITTED epochs (monotone, crash-safe — persisted in the
+    # bronze manifest stats), and an epoch's validator drops rows whose event
+    # time is older than ``previous max - watermark_delay``. Late rows go to
+    # the quarantine dead-letter table (reason="late") when
+    # ``quarantine_rejects`` is on, else vanish like Spark's. Event time is
+    # parsed from the zero-padded digits of ``commit`` at
+    # ``watermark_commit_slice`` (the commit encodes the source timestamp —
+    # generate.py packs epoch-micros there); rows whose commit doesn't parse
+    # get event time 0 (they're hard-invalid anyway). None = feature off.
+    watermark_delay: int | None = None
+    watermark_commit_slice: tuple[int, int] = (1, 13)
+
     # --- SCD2 change detection (reference G3, silver/cdf_processor.py:296-300) ---
     # when True, an applicable event whose watched state (alive, content
     # sha256, lang) equals the key's running state is a no-op: no history row,

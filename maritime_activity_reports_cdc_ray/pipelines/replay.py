@@ -705,7 +705,8 @@ class CDCReplay:
         with _CTX_LOCK:
             ds = rd.read_parquet(files)
         ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow", zero_copy_batch=True)
-        ds = ds.map_batches(make_validator(cfg, self._quarantine_dir(epoch)),
+        ds = ds.map_batches(make_validator(cfg, self._quarantine_dir(epoch),
+                                           self._watermark_floor()),
                             batch_format="pyarrow", zero_copy_batch=True)
         ds = ds.map_batches(make_partitioner(cfg.num_partitions), batch_format="pyarrow", zero_copy_batch=True)
         outdir = self.bronze.abspath(f"fragments/epoch={epoch}")
@@ -740,12 +741,38 @@ class CDCReplay:
             schema = union_schemas(
                 schema, pq.read_schema(self.bronze.abspath(frags[-1].path))
             )
+        stats_delta = {"rows_in": rows_in, "rows_kept": rows_kept}
+        if self.cfg.watermark_delay is not None:
+            met = self._epoch_max_event_time(
+                [self.bronze.abspath(f.path) for f in frags])
+            if met is not None:
+                stats_delta["max_event_time"] = met
         self.bronze.commit_epoch(
             epoch, frags, schema=schema,
             lineage=[{"epoch": epoch, "rows_in": rows_in, "rows_kept": rows_kept,
                       "rows_dropped_invalid": rows_in - rows_kept, "files": len(frags)}],
-            stats_delta={"rows_in": rows_in, "rows_kept": rows_kept},
+            stats_delta=stats_delta,
         )
+
+    @staticmethod
+    def _epoch_max_event_time(paths: list[str]) -> int | None:
+        """Max of the ``event_time`` column over the epoch's bronze fragments
+        — METADATA ONLY (parquet footer column statistics, no row reads).
+        Runs only when the watermark is enabled; per-fragment footers are the
+        same ones the pruned-read paths already rely on."""
+        best = None
+        for fp in paths:
+            md = pq.read_metadata(fp)
+            try:
+                idx = md.schema.to_arrow_schema().names.index("event_time")
+            except ValueError:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    v = int(st.max)
+                    best = v if best is None else max(best, v)
+        return best
 
     # ----------------------------------------------------------------- silver
     def _bronze_epoch_paths(self, epoch: int) -> list[str]:
@@ -1161,10 +1188,28 @@ class CDCReplay:
         ds = rd.read_parquet(files, partitioning=None, override_num_blocks=nblocks)
         ds = ds.map_batches(make_stamper(cfg, epoch), batch_format="pyarrow",
                             zero_copy_batch=True)
-        ds = ds.map_batches(make_validator(cfg, self._quarantine_dir(epoch)),
+        ds = ds.map_batches(make_validator(cfg, self._quarantine_dir(epoch),
+                                           self._watermark_floor()),
                             batch_format="pyarrow", zero_copy_batch=True)
         return ds.map_batches(make_partitioner(cfg.num_partitions),
                               batch_format="pyarrow", zero_copy_batch=True)
+
+    def _watermark_floor(self) -> int | None:
+        """Event-time watermark for the NEXT epoch's validator: the max event
+        time over committed epochs (bronze manifest stats, monotone via the
+        ``max_`` merge rule) minus the allowed lateness. None until a first
+        epoch commits — the stream starts with no floor, like Spark's
+        ``withWatermark``. With premap overlap the floor is read when the
+        premap is CREATED (one epoch laxer than strictly sequential — a
+        lower bound either way, so correctness only admits more, never drops
+        on-time rows)."""
+        if self.cfg.watermark_delay is None:
+            return None
+        bm = self.bronze.latest_manifest()
+        met = (bm.stats or {}).get("max_event_time") if bm else None
+        if met is None:
+            return None
+        return int(met) - int(self.cfg.watermark_delay)
 
     def _quarantine_dir(self, epoch: int, clear: bool = True) -> str | None:
         """Dead-letter dir for one epoch's rejected rows (None when the knob

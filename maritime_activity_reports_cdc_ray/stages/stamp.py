@@ -20,6 +20,16 @@ from maritime_activity_reports_cdc_ray.hashing import combine_hashes, hash_strin
 from maritime_activity_reports_cdc_ray.schemas import TOMBSTONE
 
 
+def event_time_from_commit(commit: pa.ChunkedArray | pa.Array,
+                           sl: tuple[int, int]) -> pa.Array:
+    """Parse the zero-padded event-time digits out of ``commit`` (the
+    watermark clock). Non-numeric slices (malformed commits — hard-invalid
+    downstream anyway) parse as 0 so the cast never throws."""
+    digits = pc.utf8_slice_codeunits(pc.fill_null(commit, ""), sl[0], sl[1])
+    ok = pc.match_substring_regex(digits, r"^[0-9]+$")
+    return pc.cast(pc.if_else(ok, digits, "0"), pa.int64())
+
+
 def make_stamper(cfg: EngineConfig, epoch: int):
     source_system = cfg.source_system
 
@@ -46,11 +56,17 @@ def make_stamper(cfg: EngineConfig, epoch: int):
         nbytes = pc.binary_length(content).cast(pa.int64())
         nbytes = pc.if_else(is_tomb, pa.scalar(0, pa.int64()), pc.fill_null(nbytes, 0))
 
-        return batch.append_column("cdc_operation", op.cast(pa.string())) \
+        out = batch.append_column("cdc_operation", op.cast(pa.string())) \
             .append_column("cdc_sequence_number", pa.array(seq, pa.uint64())) \
             .append_column("source_system", pa.array(np.repeat(source_system, n), pa.string())) \
             .append_column("epoch", pa.array(np.full(n, epoch, dtype=np.int64))) \
             .append_column("content_sha256", pa.array(shas, pa.string())) \
             .append_column("content_bytes", nbytes)
+        if cfg.watermark_delay is not None:
+            out = out.append_column(
+                "event_time",
+                event_time_from_commit(batch.column("commit"),
+                                       cfg.watermark_commit_slice))
+        return out
 
     return stamp

@@ -87,30 +87,48 @@ def reject_reasons(batch: pa.Table, cfg: EngineConfig) -> pa.Array:
                               pa.scalar("low_quality")))).cast(pa.string())
 
 
-def make_validator(cfg: EngineConfig, quarantine_dir: str | None = None):
+def make_validator(cfg: EngineConfig, quarantine_dir: str | None = None,
+                   watermark_floor: int | None = None):
     """map_batches fn: score, then drop hard-invalid rows and rows under the
     quality threshold (reference: filter_by_quality, utils/data_quality.py:255-278).
 
+    ``watermark_floor``: the event-time watermark for this epoch (the max
+    event time over PREVIOUSLY committed epochs minus
+    ``cfg.watermark_delay`` — Spark's ``withWatermark`` update rule, where
+    the current trigger's own rows never tighten their own bound). Rows with
+    ``event_time < floor`` are dropped as LATE before any quality check.
+
     With ``quarantine_dir`` set (cfg.quarantine_rejects), dropped rows are
-    persisted there as parquet — scored, stamped with ``reject_reason`` — the
-    dead-letter table. Crash/rerun-safe because the caller clears the epoch's
-    quarantine dir before the map phase starts (same discipline as the bronze
-    fragment dir): a remap rewrites, never duplicates."""
+    persisted there as parquet — scored, stamped with ``reject_reason``
+    (late rows get reason="late") — the dead-letter table. Crash/rerun-safe
+    because the caller clears the epoch's quarantine dir before the map phase
+    starts (same discipline as the bronze fragment dir): a remap rewrites,
+    never duplicates."""
 
     def validate(batch: pa.Table) -> pa.Table:
         scored, hard_valid = quality_columns(batch, cfg)
         keep = hard_valid
         if cfg.min_quality_score > 0.0:
             keep = pc.and_(keep, pc.greater_equal(scored.column("data_quality_score"), cfg.min_quality_score))
+        late = None
+        if watermark_floor is not None and "event_time" in scored.column_names:
+            late = pc.less(scored.column("event_time"), watermark_floor)
+            keep = pc.and_(keep, pc.invert(late))
         if quarantine_dir is not None:
-            rej = scored.filter(pc.invert(pc.fill_null(keep, False)))
+            rej_mask = pc.invert(pc.fill_null(keep, False))
+            rej = scored.filter(rej_mask)
             if rej.num_rows:
                 import os
                 import uuid
 
                 import pyarrow.parquet as _pq
 
-                rej = rej.append_column("reject_reason", reject_reasons(rej, cfg))
+                reasons = reject_reasons(rej, cfg)
+                if late is not None:
+                    reasons = pc.if_else(
+                        pc.fill_null(late, False).filter(rej_mask),
+                        pa.scalar("late"), reasons).cast(pa.string())
+                rej = rej.append_column("reject_reason", reasons)
                 os.makedirs(quarantine_dir, exist_ok=True)
                 _pq.write_table(
                     rej, os.path.join(quarantine_dir, f"rej-{uuid.uuid4().hex}.parquet"),

@@ -469,9 +469,14 @@ class LakeTable:
 
 
 def _merge_stats(base: dict, delta: dict | None) -> dict:
+    """Cumulative counters sum; ``max_``-prefixed keys merge by max (the
+    event-time watermark contract: monotone across epochs and retries)."""
     if not delta:
         return dict(base)
     out = dict(base)
     for k, v in delta.items():
-        out[k] = out.get(k, 0) + v
+        if k.startswith("max_"):
+            out[k] = v if k not in out else max(out[k], v)
+        else:
+            out[k] = out.get(k, 0) + v
     return out
