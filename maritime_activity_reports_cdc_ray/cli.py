@@ -115,6 +115,15 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--epoch", type=int, required=True)
 
+    sp = sub.add_parser("clone", help="SHALLOW CLONE the lake (bronze+silver+gold"
+                                      "[+cache]) to another root — zero data copied, "
+                                      "manifests reference the source's files; "
+                                      "optionally AS OF an epoch (dev/test branch "
+                                      "workflow, Delta CLONE analogue)")
+    common(sp)
+    sp.add_argument("--dst", required=True, help="destination lake root")
+    sp.add_argument("--as-of-epoch", type=int, default=None)
+
     sp = sub.add_parser("curate", help="run the end-to-end corpus curation pipeline "
                         "over a documents parquet and write the kept docs as "
                         "resumable lang-partitioned parquet")
@@ -193,6 +202,14 @@ def main(argv=None):
     if args.cmd == "restore":
         # pure manifest-file operation — no Ray session needed
         print(json.dumps(r.restore(args.epoch)))
+        return 0
+
+    if args.cmd == "clone":
+        # pure manifest-file operation — no Ray session needed
+        dst = r.clone(args.dst, as_of_epoch=args.as_of_epoch)
+        dm = dst.silver.latest_manifest()
+        print(json.dumps({"dst": args.dst, "silver_epoch": dm.epoch,
+                          "fragments": len(dm.fragments)}))
         return 0
 
     _ray_up(args.num_cpus)

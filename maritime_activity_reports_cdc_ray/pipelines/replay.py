@@ -682,6 +682,32 @@ class CDCReplay:
         gm = self.gold.restore(epoch)
         return {"silver_epoch": sm.epoch, "gold_epoch": gm.epoch}
 
+    def clone(self, dst_root: str, as_of_epoch: int | None = None) -> "CDCReplay":
+        """SHALLOW-CLONE the whole lake (bronze + silver + gold [+ cache])
+        to ``dst_root`` — zero data copied; the clone's manifests reference
+        this lake's fragment files (Delta ``CREATE TABLE ... SHALLOW CLONE``
+        analogue, optionally ``VERSION AS OF`` via ``as_of_epoch``). The
+        clone is a fully functional lake: reads (including the silver
+        content-pointer join against its cloned bronze) work unchanged, and
+        a ``run()`` on the clone appends new epochs under the clone's own
+        roots — the dev/test-branch workflow — while the source is
+        untouched. Vacuuming the CLONE never deletes source files; vacuuming
+        the SOURCE can strand a clone, exactly as in Delta."""
+        self._join_gold()
+        dst = CDCReplay(dst_root, self.cfg)
+        self.bronze.clone_to(dst.bronze.root, as_of_epoch)
+        self.silver.clone_to(dst.silver.root, as_of_epoch)
+        self.gold.clone_to(dst.gold.root, as_of_epoch)
+        cache_root = os.path.join(self.root, "cache")
+        if os.path.isdir(os.path.join(cache_root, "_manifests")):
+            from maritime_activity_reports_cdc_ray.state.cache import _META
+
+            dst_cache = os.path.join(dst_root, "cache")
+            LakeTable(cache_root).clone_to(dst_cache, as_of_epoch)
+            shutil.copy(os.path.join(cache_root, _META),
+                        os.path.join(dst_cache, _META))
+        return dst
+
     def finalize_gold(self) -> None:
         """Bring gold up to the silver watermark regardless of cadence (also
         the crash-recovery path when a failure landed between the silver and

@@ -293,6 +293,61 @@ class LakeTable:
         raise ConcurrentCommitError(
             f"append commit of epoch {epoch} lost 64 consecutive version races")
 
+    def clone_to(self, dst_root: str, epoch: int | None = None) -> "LakeTable":
+        """Delta SHALLOW CLONE analogue: publish a NEW table at ``dst_root``
+        whose manifest references the SOURCE table's fragment files — zero
+        data copied, O(manifest) work regardless of table size. Fragment
+        paths are rewritten relative to the clone's root (``../``-style), so
+        every read path works unchanged. The clone then lives its own life:
+        new epochs append under its own root, and ``vacuum()`` on the clone
+        only walks the clone's own ``fragments/`` dir, so it can never
+        delete source data. The one shared-fate hazard is Delta's own:
+        vacuuming the SOURCE can remove files a shallow clone still
+        references — retention is the source's contract, exactly as with
+        ``CLONE ... SHALLOW``.
+
+        ``epoch``: clone the table AS OF that epoch (manifest_as_of rules)
+        instead of the latest state. Lineage JSONs (tiny, driver-side) are
+        copied so incremental consumers (gold refresh catch-up) keep
+        working."""
+        import dataclasses
+        import shutil as _sh
+
+        src_m = (self.latest_manifest() if epoch is None
+                 else self.manifest_as_of(epoch))
+        assert src_m is not None, "source table not created"
+        t = LakeTable(dst_root)
+        assert t.latest_manifest() is None, f"{dst_root} already has a table"
+        os.makedirs(os.path.join(dst_root, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(dst_root, "fragments"), exist_ok=True)
+        os.makedirs(os.path.join(dst_root, "_lineage"), exist_ok=True)
+        frags = [dataclasses.replace(
+            f, path=os.path.relpath(self.abspath(f.path), dst_root))
+            for f in src_m.fragments]
+        m = Manifest(
+            version=0,
+            epoch=src_m.epoch,
+            name=src_m.name,
+            num_partitions=src_m.num_partitions,
+            schema_b64=src_m.schema_b64,
+            fragments=frags,
+            salt_map=dict(src_m.salt_map),
+            stats=dict(src_m.stats),
+            gold_epoch=src_m.gold_epoch,
+            format_version=src_m.format_version,
+        )
+        t._write_manifest(m)
+        src_lin = os.path.join(self.root, "_lineage")
+        if os.path.isdir(src_lin):
+            for fn in os.listdir(src_lin):
+                if fn.endswith(".json"):
+                    ep = fn.removeprefix("epoch-").removesuffix(".json")
+                    if epoch is not None and ep.isdigit() and int(ep) > epoch:
+                        continue  # lineage newer than the pin stays behind
+                    _sh.copy(os.path.join(src_lin, fn),
+                             os.path.join(dst_root, "_lineage", fn))
+        return t
+
     def restore(self, epoch: int) -> Manifest:
         """Delta ``RESTORE TABLE ... TO VERSION AS OF`` analogue: publish a
         NEW manifest whose content (fragment set, schema, salt map, stats,
