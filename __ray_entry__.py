@@ -366,12 +366,38 @@ def events_window_lag(sf_dir: str):
 
 
 def events_type_transitions(sf_dir: str):
+    """W2 transition face + method='pagerank': functions/graph.pagerank over
+    the type-transition graph the transitions face emits (weights = observed
+    type→type counts, 2 damped power iterations in fixed-point integers —
+    the SQL oracle replays both iterations CTE by CTE)."""
+    from maritime_activity_reports_cdc_ray.functions.graph import pagerank
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
     from maritime_activity_reports_cdc_ray.functions.window import transitions
 
     ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-    out = transitions(ds, "user_id", ["ts", "event_id"], "event_type").to_pandas()
+    tr = transitions(ds, "user_id", ["ts", "event_id"], "event_type").materialize()
+    out = tr.to_pandas()
     out["prev_event_type"] = out["prev_event_type"].where(out["prev_event_type"].notna(), None)
-    return out[["event_id", "user_id", "prev_event_type", "event_type"]]
+    out = out[["event_id", "user_id", "prev_event_type", "event_type"]].copy()
+    out.insert(0, "method", "transitions")
+    out["rank_fp"] = np.nan
+    # pagerank face: edges stream out of the SAME materialized transitions
+    edges = hash_agg(
+        tr.map_batches(lambda df: df[df["prev_event_type"].notna()],
+                       batch_format="pandas"),
+        ["prev_event_type", "event_type"], {"w": ("event_id", "count")})
+    # vertex set = distinct types in the transitions face (already on the
+    # driver — every type's first occurrence per run is a transition row, so
+    # this equals the table's distinct types; the oracle uses the same rule)
+    pr = pagerank(edges, src="prev_event_type", dst="event_type", weight="w",
+                  nodes=list(set(out["event_type"])), iters=2)
+    prf = pd.DataFrame({"method": "pagerank", "event_id": np.nan,
+                        "user_id": np.nan, "prev_event_type": None,
+                        "event_type": pr["node"],
+                        "rank_fp": pr["rank_fp"].astype("float64")})
+    return (pd.concat([out, prf], ignore_index=True)
+            .sort_values(["method", "event_type", "event_id"])
+            .reset_index(drop=True))
 
 
 def events_scd2(sf_dir: str):
@@ -2766,13 +2792,40 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE prev_ts IS NOT NULL
         """,
         "events_type_transitions": """
-            SELECT event_id, user_id, prev_event_type, event_type
-            FROM (
+            WITH lagd AS (
                 SELECT event_id, user_id, event_type,
                        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                            AS prev_event_type
-                FROM events
-            ) WHERE prev_event_type IS NULL OR prev_event_type <> event_type
+                FROM events),
+            tr AS (
+                SELECT event_id, user_id, prev_event_type, event_type FROM lagd
+                WHERE prev_event_type IS NULL OR prev_event_type <> event_type),
+            -- pagerank replay: 2 damped power iterations, exact fixed point
+            edges AS (
+                SELECT prev_event_type AS s, event_type AS t,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM tr WHERE prev_event_type IS NOT NULL GROUP BY 1, 2),
+            nodes AS (SELECT DISTINCT event_type AS v FROM tr),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            outw AS (SELECT s, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY s),
+            r0 AS (SELECT v, 1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+            c1 AS (SELECT e.t AS v, CAST(SUM(r0.r * e.w // o.ow) AS BIGINT) AS c
+                   FROM edges e JOIN r0 ON r0.v = e.s JOIN outw o ON o.s = e.s
+                   GROUP BY e.t),
+            r1 AS (SELECT n.v, 15000000000000 // (100 * (SELECT n FROM nn))
+                          + (85 * COALESCE(c1.c, 0)) // 100 AS r
+                   FROM nodes n LEFT JOIN c1 ON c1.v = n.v),
+            c2 AS (SELECT e.t AS v, CAST(SUM(r1.r * e.w // o.ow) AS BIGINT) AS c
+                   FROM edges e JOIN r1 ON r1.v = e.s JOIN outw o ON o.s = e.s
+                   GROUP BY e.t),
+            r2 AS (SELECT n.v, 15000000000000 // (100 * (SELECT n FROM nn))
+                          + (85 * COALESCE(c2.c, 0)) // 100 AS r
+                   FROM nodes n LEFT JOIN c2 ON c2.v = n.v)
+            SELECT 'transitions' AS method, event_id, user_id,
+                   prev_event_type, event_type, CAST(NULL AS BIGINT) AS rank_fp
+            FROM tr
+            UNION ALL
+            SELECT 'pagerank', NULL, NULL, NULL, v, CAST(r AS BIGINT) FROM r2
         """,
         "events_scd2": """
             SELECT event_id, user_id, ts AS valid_from,

@@ -1288,3 +1288,43 @@ def test_dup_span_stats_planted(ray_session):
     out2 = dup_span_stats(_ds(df).repartition(5), w=8).to_pandas() \
         .sort_values("doc_id")
     assert out.reset_index(drop=True).equals(out2.reset_index(drop=True))
+
+
+def test_pagerank_fixed_point_both_regimes(ray_session):
+    """Weighted damped PageRank vs a naive dict-loop reference in the same
+    fixed-point arithmetic; the size-gated driver path and the streaming
+    (gate=0) path must agree bit-for-bit; a sink-heavy graph ranks the sink
+    highest; an isolated node keeps exactly its teleport mass."""
+    from maritime_activity_reports_cdc_ray.functions.graph import pagerank
+
+    edges = pd.DataFrame({
+        "s": ["a", "a", "b", "c", "c", "c", "d"],
+        "t": ["b", "c", "c", "a", "b", "c2", "c"],
+        "w": [1, 2, 3, 1, 1, 1, 5],
+    })
+    nodes = ["a", "b", "c", "c2", "d", "iso"]
+    S, D, IT = 10 ** 12, 85, 3
+
+    def naive():
+        cons = edges.groupby(["s", "t"], as_index=False)["w"].sum()
+        ow = cons.groupby("s")["w"].sum().to_dict()
+        r = {v: S // len(nodes) for v in nodes}
+        tele = (S * (100 - D)) // (100 * len(nodes))
+        for _ in range(IT):
+            c = {}
+            for s, t, w in cons.itertuples(index=False):
+                c[t] = c.get(t, 0) + r[s] * int(w) // ow[s]
+            r = {v: tele + (D * c.get(v, 0)) // 100 for v in nodes}
+        return r
+
+    exp = naive()
+    got = pagerank(_ds(edges), src="s", dst="t", weight="w", nodes=nodes,
+                   iters=IT)
+    assert dict(zip(got["node"], got["rank_fp"])) == exp
+    # streaming regime (gate forced off) is bit-identical
+    got2 = pagerank(_ds(edges).repartition(3), src="s", dst="t", weight="w",
+                    nodes=nodes, iters=IT, driver_gate_rows=0)
+    assert got.equals(got2.astype(got.dtypes.to_dict()))
+    # isolated node holds exactly the teleport mass
+    tele = (S * 15) // (100 * len(nodes))
+    assert dict(zip(got["node"], got["rank_fp"]))["iso"] == tele
