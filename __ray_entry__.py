@@ -432,7 +432,7 @@ def events_user_stats(sf_dir: str):
             t = t.append_column(f"is_{et}", pc.cast(pc.equal(t.column("event_type"), et), pa.int64()))
         return t
 
-    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+    from maritime_activity_reports_cdc_ray.functions.stats import grouped_mode, hash_agg
 
     out = hash_agg(
         ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
@@ -446,7 +446,11 @@ def events_user_stats(sf_dir: str):
             "last_ts": ("ts", "max"),
         }).to_pandas()
     out["total_value"] = _r(out["total_value"], 2)
-    return out
+    # grouped MODE face: each user's dominant event type (combiner-first
+    # count pairs → per-partition argmax; smallest-type tie-break)
+    mode = grouped_mode(ds, "user_id", "event_type",
+                        out_col="top_event_type", count_col="top_event_n")
+    return out.merge(mode.to_pandas(), on="user_id", how="left")
 
 
 def events_rank_in_type(sf_dir: str):
@@ -2846,13 +2850,24 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY user_id
         """,
         "events_user_stats": """
-            SELECT user_id, COUNT(*) AS n_events,
-                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
-                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
-                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
-                   ROUND(SUM(value), 2) AS total_value,
-                   MIN(ts) AS first_ts, MAX(ts) AS last_ts
-            FROM events GROUP BY user_id
+            WITH mode AS (
+                SELECT user_id, event_type AS top_event_type,
+                       CAST(n AS BIGINT) AS top_event_n
+                FROM (SELECT user_id, event_type, COUNT(*) AS n,
+                             ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY COUNT(*) DESC, event_type) AS rn
+                      FROM events GROUP BY user_id, event_type)
+                WHERE rn = 1)
+            SELECT e.user_id, COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+                   CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                   CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                   ROUND(SUM(e.value), 2) AS total_value,
+                   MIN(e.ts) AS first_ts, MAX(e.ts) AS last_ts,
+                   ANY_VALUE(m.top_event_type) AS top_event_type,
+                   ANY_VALUE(m.top_event_n) AS top_event_n
+            FROM events e JOIN mode m ON m.user_id = e.user_id
+            GROUP BY e.user_id
         """,
         "events_rank_in_type": """
             WITH agg AS (

@@ -136,6 +136,43 @@ def hash_agg(ds, keys, aggs: dict, num_partitions: int = 16):
             .groupby("_part").map_groups(combine, batch_format="pandas"))
 
 
+def grouped_mode(ds, key, value_col: str, out_col: str = "mode",
+                 count_col: str | None = None, num_partitions: int = 16):
+    """Per-key MODE (most frequent value, smallest-value tie-break) — the
+    SQL ``arg_max``-over-counts / ``ROW_NUMBER() OVER (ORDER BY COUNT(*)
+    DESC, value)`` idiom, combiner-first: per-batch (key, value) partial
+    counts shrink the exchange to distinct pairs, the hash partition
+    co-locates each key's pairs, and ONE vectorized sort+head per partition
+    picks the winner. Returns one row per key (+ the winning count when
+    ``count_col`` is set). Deterministic at any batching/parallelism."""
+    from maritime_activity_reports_cdc_ray.functions.dedup import _hash_part
+
+    keys = [key] if isinstance(key, str) else list(key)
+    pair = keys + [value_col]
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby(pair, as_index=False, sort=False).agg(
+            _n=pd.NamedAgg(column=value_col, aggfunc="size"))
+        d["_part"] = _hash_part(d, keys, num_partitions)
+        return d
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(pair, as_index=False, sort=False)["_n"].sum()
+        t = t.sort_values(keys + ["_n", value_col],
+                          ascending=[True] * len(keys) + [False, True],
+                          kind="mergesort")
+        w = t.groupby(keys, as_index=False, sort=False).head(1)
+        w = w.rename(columns={value_col: out_col})
+        if count_col is not None:
+            w[count_col] = w["_n"].astype("int64")
+        return w.drop(columns=["_n"])
+
+    return (ds.map_batches(local, batch_format="pandas")
+            .groupby("_part").map_groups(
+                lambda g: pick(g.drop(columns=["_part"])),
+                batch_format="pandas"))
+
+
 def table_metrics(lake) -> pd.DataFrame:
     """Per-table fragment/row/byte counts from the manifest — free from
     lineage (reference: DESCRIBE DETAIL metrics, utils/spark_utils.py:111-150)."""

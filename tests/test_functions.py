@@ -1328,3 +1328,23 @@ def test_pagerank_fixed_point_both_regimes(ray_session):
     # isolated node holds exactly the teleport mass
     tele = (S * 15) // (100 * len(nodes))
     assert dict(zip(got["node"], got["rank_fp"]))["iso"] == tele
+
+
+def test_grouped_mode_ties_and_reblocking(ray_session):
+    """MODE with forced ties (smallest value wins), singleton keys, and
+    identical output across repartitionings (combiner correctness)."""
+    from maritime_activity_reports_cdc_ray.functions.stats import grouped_mode
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2, 3],
+        "v": ["b", "b", "a", "a", "z", "y", "solo"],
+    })
+    out = grouped_mode(_ds(df), "k", "v", out_col="m", count_col="n") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    # k=1: a and b tie at 2 -> 'a' (smallest); k=2: y/z tie -> 'y'
+    assert out["m"].tolist() == ["a", "y", "solo"]
+    assert out["n"].tolist() == [2, 1, 1]
+    out2 = grouped_mode(_ds(df).repartition(5), "k", "v", out_col="m",
+                        count_col="n").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out.equals(out2)
