@@ -120,6 +120,9 @@ def semi_join(big_ds, keys_ds, on: str, keys_on: str | None = None,
 
     keys_on = keys_on or on
     keys_ds = keys_ds.materialize()
+    if keys_ds.count() == 0:  # empty key set (schema may be lost): keep nothing
+        return big_ds.map_batches(lambda df: df.iloc[0:0],
+                                  batch_format="pandas")
     if (keys_ds.count() <= broadcast_limit_rows
             and (keys_ds.size_bytes() or 0) <= broadcast_limit_bytes):
         kdf = keys_ds.to_pandas()
@@ -128,8 +131,6 @@ def semi_join(big_ds, keys_ds, on: str, keys_on: str | None = None,
 
         def filt(df: pd.DataFrame) -> pd.DataFrame:
             a = _resolve(kref)
-            if len(a) == 0:
-                return df.iloc[0:0]
             v = df[on].to_numpy()
             pos = np.minimum(np.searchsorted(a, v), len(a) - 1)
             return df[a[pos] == v]
@@ -142,6 +143,44 @@ def semi_join(big_ds, keys_ds, on: str, keys_on: str | None = None,
         batch_format="pandas"), [on], num_partitions)
     return big_ds.join(keys, join_type="inner", num_partitions=num_partitions,
                        on=(on,))
+
+
+def anti_join(big_ds, keys_ds, on: str, keys_on: str | None = None,
+              broadcast_limit_rows: int = 2_000_000,
+              broadcast_limit_bytes: int = 256 << 20,
+              num_partitions: int = 8):
+    """Anti-join: keep big-side rows whose ``on`` value does NOT appear in
+    the key Dataset — :func:`semi_join`'s complement, same strategy gates:
+    a small key side broadcasts as a sorted array and filters streamingly;
+    past the gates it falls back to Ray's partitioned ``left_anti`` hash
+    join. Never an unbounded driver collect."""
+    import numpy as np
+    import ray
+
+    keys_on = keys_on or on
+    keys_ds = keys_ds.materialize()
+    if keys_ds.count() == 0:  # empty key set: the complement keeps everything
+        return big_ds
+    if (keys_ds.count() <= broadcast_limit_rows
+            and (keys_ds.size_bytes() or 0) <= broadcast_limit_bytes):
+        kdf = keys_ds.to_pandas()
+        arr = np.unique(kdf[keys_on].to_numpy())
+        kref = ray.put(arr)
+
+        def filt(df: pd.DataFrame) -> pd.DataFrame:
+            a = _resolve(kref)
+            v = df[on].to_numpy()
+            pos = np.minimum(np.searchsorted(a, v), len(a) - 1)
+            return df[a[pos] != v]
+
+        return big_ds.map_batches(filt, batch_format="pandas")
+    from maritime_activity_reports_cdc_ray.functions.dedup import hash_distinct
+
+    keys = hash_distinct(keys_ds.map_batches(
+        lambda df: df[[keys_on]].rename(columns={keys_on: on}),
+        batch_format="pandas"), [on], num_partitions)
+    return big_ds.join(keys, join_type="left_anti",
+                       num_partitions=num_partitions, on=(on,))
 
 
 def asof_join(left, right, by: str, on: str, tie_cols: list[str] | None = None,

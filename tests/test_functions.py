@@ -1348,3 +1348,24 @@ def test_grouped_mode_ties_and_reblocking(ray_session):
                         count_col="n").to_pandas() \
         .sort_values("k").reset_index(drop=True)
     assert out.equals(out2)
+
+
+def test_semi_and_anti_join_partition(ray_session):
+    """semi_join + anti_join partition the big side exactly; both regimes
+    (broadcast filter vs partitioned hash join via gate=0) agree."""
+    from maritime_activity_reports_cdc_ray.functions.join import anti_join, semi_join
+
+    big = pd.DataFrame({"k": [1, 2, 3, 4, 5, 6], "x": list("abcdef")})
+    keys = pd.DataFrame({"kk": [2, 4, 4, 9]})
+    s = semi_join(_ds(big), _ds(keys), on="k", keys_on="kk").to_pandas()
+    a = anti_join(_ds(big), _ds(keys), on="k", keys_on="kk").to_pandas()
+    assert sorted(s["k"]) == [2, 4]
+    assert sorted(a["k"]) == [1, 3, 5, 6]
+    assert len(s) + len(a) == len(big)
+    a2 = anti_join(_ds(big), _ds(keys), on="k", keys_on="kk",
+                   broadcast_limit_rows=0).to_pandas()
+    assert sorted(a2["k"].tolist()) == sorted(a["k"].tolist())
+    # empty key side: semi keeps nothing, anti keeps everything
+    ek = pd.DataFrame({"kk": pd.Series(dtype="int64")})
+    assert semi_join(_ds(big), _ds(ek), on="k", keys_on="kk").count() == 0
+    assert anti_join(_ds(big), _ds(ek), on="k", keys_on="kk").count() == 6
