@@ -62,7 +62,9 @@ def make_stamper(cfg: EngineConfig, epoch: int):
             .append_column("epoch", pa.array(np.full(n, epoch, dtype=np.int64))) \
             .append_column("content_sha256", pa.array(shas, pa.string())) \
             .append_column("content_bytes", nbytes)
-        if cfg.watermark_delay is not None:
+        if cfg.watermark_delay is not None and "event_time" not in batch.column_names:
+            # a source that already ships an int64 event_time column wins;
+            # otherwise derive it from the commit's zero-padded digits
             out = out.append_column(
                 "event_time",
                 event_time_from_commit(batch.column("commit"),

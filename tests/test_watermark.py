@@ -128,3 +128,45 @@ def test_watermark_survives_resume(ray_session, tmp_path):
     sil = r2.read_silver().to_pandas()
     assert ("repo-late", "p") not in set(zip(sil["repo"], sil["path"]))
     _assert_matches_oracle(r2, replay_files(nolate_files))
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed,delay", [(101, 150), (202, 40), (303, 700)])
+def test_watermark_matches_filtered_oracle_randomized(ray_session, tmp_path,
+                                                      seed, delay):
+    """Semantic fuzz: on a stream WITH generator delivery faults (rows
+    delayed into later epochs), the engine under watermark_delay=d must
+    equal the dict-oracle replay of the stream filtered by the SAME rule —
+    per epoch, drop rows whose event time < (max event time over PRIOR
+    epochs) − d, an epoch's own rows never tightening their own bound."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "s")
+    files = generate_events(d, n_events=1500, n_repos=7, n_epochs=3,
+                            seed=seed, p_delay=0.15)
+    # mirror the floor rule on the raw files
+    kept_dir = str(tmp_path / "kept")
+    os.makedirs(kept_dir)
+    running_max = None
+    kept_files = []
+    for f in files:
+        t = pq.read_table(f)
+        ets = [int(c[1:]) for c in t.column("commit").to_pylist()]
+        if running_max is None:
+            keep = t
+        else:
+            floor = running_max - delay
+            mask = pa.array([e >= floor for e in ets])
+            keep = t.filter(mask)
+        running_max = max([running_max or -1] + ets)
+        out = os.path.join(kept_dir, os.path.basename(f))
+        pq.write_table(keep, out)
+        kept_files.append(out)
+
+    r = CDCReplay(str(tmp_path / "lake"),
+                  EngineConfig(num_partitions=4, watermark_delay=delay))
+    r.setup()
+    r.run(d)
+    _assert_matches_oracle(r, replay_files(kept_files))
