@@ -553,6 +553,148 @@ class BpeEncoder:
                              "n_tokens_bpe": counts})
 
 
+def _viterbi_segment(w: str, nll: dict, max_len: int,
+                     char_floor_nll: int) -> list[str]:
+    """Min-total-NLL segmentation of ``w`` into known pieces (unknown single
+    chars cost ``char_floor_nll``). DP over end positions; ties resolve to
+    the SMALLEST split point (longest last piece) because updates use strict
+    ``<`` scanning j ascending — the one rule both the trainer, the encoder
+    and the naive test reference share."""
+    n = len(w)
+    INF = 1 << 62
+    best = [0] + [INF] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            if best[j] >= INF:
+                continue
+            c = nll.get(w[j:i])
+            if c is None:
+                if i - j > 1:
+                    continue
+                c = char_floor_nll
+            if best[j] + c < best[i]:
+                best[i] = best[j] + c
+                back[i] = j
+    out, i = [], n
+    while i > 0:
+        j = back[i]
+        out.append(w[j:i])
+        i = j
+    return out[::-1]
+
+
+def unigram_train(ds, text_col: str = "text", vocab_size: int = 4096,
+                  max_piece_len: int = 6, seed_factor: int = 4,
+                  em_iters: int = 2, vocab_limit: int = 65536,
+                  num_partitions: int = 16) -> pd.DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece's unigram model, Kudo
+    2018, arXiv:1804.10959) — the subword family next to :func:`bpe_train`,
+    same scale shape: ONE distributed word-frequency pass (combiner-first
+    ``hash_count`` — the shuffle moves (word, count) rows, never documents),
+    then seed-candidate counting + Viterbi-EM over the bounded
+    frequency-ranked vocabulary head (``vocab_limit`` word types, the
+    HF-tokenizers/SentencePiece practice).
+
+    Deterministic at any parallelism, all-integer scoring: a piece's NLL is
+    ``qlog2_fp(total) − qlog2_fp(cnt)`` (the LM filter's fixed-point log),
+    Viterbi ties resolve to the longest last piece, seed/prune ranks
+    tie-break on the piece string. EM: E = best segmentation of every head
+    word under current counts; M = recount pieces from those segmentations;
+    prune to the ``vocab_size`` best by (count desc, piece) with all single
+    chars always retained (segmentation stays total).
+
+    Returns (piece, cnt, nll_fp) — ready to drive :class:`UnigramEncoder`.
+    """
+    from maritime_activity_reports_cdc_ray.functions.dedup import hash_count
+
+    def words(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("").str.lower().str.split(" ").explode()
+        s = s[s.notna() & (s != "")]
+        return pd.DataFrame({"word": s.to_numpy(dtype=object)})
+
+    vocab = (hash_count(ds.map_batches(words, batch_format="pandas"),
+                        ["word"], num_partitions)
+             .to_pandas().sort_values(["cnt", "word"],
+                                      ascending=[False, True],
+                                      kind="mergesort")
+             .head(vocab_limit))
+    wlist = list(vocab["word"])
+    wcnt = vocab["cnt"].to_numpy(dtype=np.int64)
+
+    # seed candidates: every substring up to max_piece_len, count-weighted
+    cand: dict = {}
+    for w, c in zip(wlist, wcnt):
+        c = int(c)
+        for a in range(len(w)):
+            for b in range(a + 1, min(a + max_piece_len, len(w)) + 1):
+                p = w[a:b]
+                cand[p] = cand.get(p, 0) + c
+    chars = {p for p in cand if len(p) == 1}
+    multi = sorted((p for p in cand if len(p) > 1),
+                   key=lambda p: (-cand[p], p))[:seed_factor * vocab_size]
+    counts = {p: cand[p] for p in chars}
+    counts.update({p: cand[p] for p in multi})
+
+    def em_round(counts: dict) -> dict:
+        total = sum(counts.values())
+        floor = int(qlog2_fp(np.int64(total))[()])  # cnt=1 ⇒ nll = qlog2(total)
+        qt = floor
+        nll = {p: qt - int(qlog2_fp(np.int64(c))[()])
+               for p, c in counts.items()}
+        new: dict = {}
+        for w, c in zip(wlist, wcnt):
+            for p in _viterbi_segment(w, nll, max_piece_len, floor):
+                new[p] = new.get(p, 0) + int(c)
+        return new
+
+    for _ in range(em_iters):
+        new = em_round(counts)
+        keep_chars = {p: new.get(p, counts.get(p, 1)) for p in chars}
+        keep_multi = sorted((p for p in new if len(p) > 1),
+                            key=lambda p: (-new[p], p))[:vocab_size]
+        counts = dict(keep_chars)
+        counts.update({p: new[p] for p in keep_multi})
+
+    out = pd.DataFrame({"piece": list(counts), "cnt": list(counts.values())})
+    total = int(out["cnt"].sum())
+    out["nll_fp"] = (int(qlog2_fp(np.int64(total))[()])
+                     - qlog2_fp(out["cnt"].to_numpy())).astype("int64")
+    return (out.sort_values(["cnt", "piece"], ascending=[False, True],
+                            kind="mergesort")
+            .reset_index(drop=True).astype({"cnt": "int64"}))
+
+
+class UnigramEncoder:
+    """Actor-pool unigram token counter: Viterbi-segment each word under the
+    learned piece NLLs (same DP + tie rule as training); emit per-doc token
+    counts. Piece table builds once per actor; segmented words cache per
+    actor (Zipf reuse)."""
+
+    def __init__(self, pieces: pd.DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", max_piece_len: int = 6):
+        self.nll = dict(zip(pieces["piece"], pieces["nll_fp"].astype(int)))
+        self.floor = int(max(self.nll.values())) if len(self.nll) else 1
+        self.max_len = max_piece_len
+        self.id_col, self.text_col = id_col, text_col
+        self._cache: dict = {}
+
+    def segment(self, w: str) -> list[str]:
+        s = self._cache.get(w)
+        if s is None:
+            s = self._cache[w] = _viterbi_segment(
+                w, self.nll, self.max_len, self.floor)
+        return s
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(df), dtype=np.int64)
+        for j, t in enumerate(df[self.text_col].fillna("")):
+            counts[j] = sum(len(self.segment(w))
+                            for w in t.lower().split(" ") if w)
+        return pd.DataFrame({self.id_col: df[self.id_col].to_numpy(),
+                             "n_tokens_unigram": counts})
+
+
 # ---------------------------------------------------------------------------
 # Bigram language-model perplexity (CCNet-style LM quality filter;
 # Wenzek et al. 2020, arXiv:1911.00359). The KenLM filter re-expressed

@@ -951,3 +951,64 @@ def test_dup_span_stats_match_duckdb(texts):
     ora_rows = {int(r.doc_id): (int(r.dup_windows), int(r.dup_tokens),
                                 int(r.dup_spans)) for r in ora.itertuples()}
     assert eng_rows == ora_rows
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=12),
+                min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=3))
+def test_unigram_viterbi_matches_bruteforce(words, max_len):
+    """_viterbi_segment vs brute-force enumeration of ALL segmentations
+    (min total NLL, ties to the longest last piece / smallest split) on
+    random piece tables — the DP's optimality + tie contract."""
+    from itertools import combinations
+
+    from maritime_activity_reports_cdc_ray.functions.text import _viterbi_segment
+
+    # deterministic piece table derived from the words themselves
+    pieces = {}
+    for w in words:
+        for a in range(len(w)):
+            for b in range(a + 1, min(a + max_len, len(w)) + 1):
+                p = w[a:b]
+                pieces[p] = 1000 + (hash(p) % 997) * 100 // (len(p) + 1)
+    floor = max(pieces.values()) + 1
+
+    def brute(w):
+        n = len(w)
+        best = None
+        for k in range(n):  # k split points
+            for cuts in combinations(range(1, n), k):
+                bounds = (0,) + cuts + (n,)
+                segs = [w[i:j] for i, j in zip(bounds, bounds[1:])]
+                if any(len(s) > max_len and s not in pieces for s in segs):
+                    continue
+                cost = 0
+                ok = True
+                for s in segs:
+                    c = pieces.get(s)
+                    if c is None:
+                        if len(s) > 1:
+                            ok = False
+                            break
+                        c = floor
+                    cost += c
+                if not ok:
+                    continue
+                # tie rule: smaller cost wins; then the DP's backtrack order
+                # (longest last piece first) == lexicographically LARGEST
+                # reversed-cut tuple... mirror by preferring the candidate
+                # the DP would build: compare (cost, cuts-from-the-right)
+                key = (cost, tuple(-c for c in reversed(cuts)))
+                if best is None or key < best[0]:
+                    best = (key, segs)
+        return best[1]
+
+    for w in words:
+        if len(w) > 9:
+            continue  # brute force blowup guard
+        got = _viterbi_segment(w, pieces, max_len, floor)
+        assert "".join(got) == w
+        exp = brute(w)
+        assert sum(pieces.get(s, floor) for s in got) == \
+               sum(pieces.get(s, floor) for s in exp)

@@ -1369,3 +1369,36 @@ def test_semi_and_anti_join_partition(ray_session):
     ek = pd.DataFrame({"kk": pd.Series(dtype="int64")})
     assert semi_join(_ds(big), _ds(ek), on="k", keys_on="kk").count() == 0
     assert anti_join(_ds(big), _ds(ek), on="k", keys_on="kk").count() == 6
+
+
+def test_unigram_tokenizer_train_and_encode(ray_session):
+    """Unigram-LM tokenizer (Kudo 2018): a dominant word becomes ONE piece
+    (beats its char decomposition on total NLL), unseen words fall back to
+    retained single chars, every segmentation round-trips to its word, and
+    training is identical across repartitionings."""
+    from maritime_activity_reports_cdc_ray.functions.text import (
+        UnigramEncoder,
+        unigram_train,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["winter winter winter storm", "winter storm warning",
+                 "winter winter", "storm warning", "winter", "xyz"],
+    })
+    pieces = unigram_train(_ds(df), vocab_size=64, max_piece_len=6)
+    tbl = dict(zip(pieces["piece"], pieces["cnt"]))
+    assert tbl["winter"] >= 7 and "storm" in tbl
+    # all single chars retained -> segmentation is total
+    enc = UnigramEncoder(pieces)
+    assert enc.segment("winter") == ["winter"]
+    assert enc.segment("storm") == ["storm"]
+    seg = enc.segment("winterstormzq")  # unseen word: round-trips regardless
+    assert "".join(seg) == "winterstormzq"
+    out = _ds(df).map_batches(UnigramEncoder(pieces), batch_format="pandas",
+                              concurrency=2).to_pandas().sort_values("doc_id")
+    assert out["n_tokens_unigram"].iloc[0] == 4  # 3x winter + storm
+    assert out["n_tokens_unigram"].iloc[5] == len(enc.segment("xyz"))
+    # deterministic across re-blocking
+    p2 = unigram_train(_ds(df).repartition(4), vocab_size=64, max_piece_len=6)
+    assert pieces.equals(p2)
