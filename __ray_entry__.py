@@ -1487,20 +1487,38 @@ def events_asof_last_click(sf_dir: str):
 
 
 def events_approx_distinct_users(sf_dir: str):
-    """HyperLogLog approximate count-distinct next to the exact path. EXACT
-    SQL oracle: the sketch itself is recomputed in DuckDB (md5_u64 row hash →
-    register/rho via string bit ops → exact-integer harmonic sum → identical
-    IEEE estimate), so the approximate value is attested bit-for-bit, not
-    just bounded."""
+    """HyperLogLog approximate count-distinct next to the exact path, BOTH
+    shapes: the global sketch (event_type='*') and the grouped sketch
+    (distinct users per event type — grouped_hll_count_distinct, the
+    telemetry staple). EXACT SQL oracle: every sketch is recomputed in
+    DuckDB (md5_u64 row hash → register/rho via string bit ops →
+    exact-integer harmonic sum → identical IEEE estimate), so the
+    approximate values are attested bit-for-bit, not just bounded."""
+    from maritime_activity_reports_cdc_ray.functions.stats import (
+        grouped_hll_count_distinct,
+        hash_agg,
+    )
     from maritime_activity_reports_cdc_ray.functions.dedup import hash_distinct
-    from maritime_activity_reports_cdc_ray.functions.stats import hll_count_distinct
 
-    ev = _t(sf_dir, "events", ["user_id"])
-    approx = hll_count_distinct(ev, ["user_id"], p=12)
-    exact = hash_distinct(ev, ["user_id"]).count()
-    return pd.DataFrame({"approx_users": [float(_r([approx], 2)[0])],
-                         "exact_users": [int(exact)],
-                         "rel_err": [float(_r([abs(approx - exact) / exact], 4)[0])]})
+    ev = _t(sf_dir, "events", ["user_id", "event_type"]).materialize()
+    # '*' = max-merge of the group registers (sketch mergeability — no
+    # second corpus pass; identical to hll_count_distinct on the union)
+    approx_g = grouped_hll_count_distinct(ev, "event_type", ["user_id"],
+                                          p=12, include_global="*")
+    pairs = hash_distinct(ev, ["event_type", "user_id"]).materialize()
+    exact_g = hash_agg(pairs, "event_type",
+                       {"exact_users": ("user_id", "count")}).to_pandas()
+    exact_g = pd.concat([exact_g, pd.DataFrame({
+        "event_type": ["*"],
+        "exact_users": [hash_distinct(pairs, ["user_id"]).count()],
+    })], ignore_index=True)
+    out = approx_g.merge(exact_g, on="event_type")
+    out["approx_users"] = _r(out.pop("approx"), 2)
+    out["exact_users"] = out["exact_users"].astype("int64")
+    out["rel_err"] = _r(abs(out["approx_users"] - out["exact_users"])
+                        / out["exact_users"], 4)
+    return (out[["event_type", "approx_users", "exact_users", "rel_err"]]
+            .sort_values("event_type").reset_index(drop=True))
 
 
 def events_hopping_window(sf_dir: str):
@@ -2169,44 +2187,54 @@ def _rolling_fp_oracle_sql() -> str:
 
 
 def _hll_oracle_sql() -> str:
-    """DuckDB replay of the HyperLogLog sketch itself (p=12): md5_u64 row
-    hash, register = top 12 bits, rho via exact string bit ops, the harmonic
-    sum as an EXACT HUGEINT (sum of 2^(53-rho)), and the identical IEEE
-    estimate expression — attesting the approximate value bit-for-bit."""
+    """DuckDB replay of the HyperLogLog sketches (p=12), grouped AND global
+    ('*' row): md5_u64 row hash, register = top 12 bits, rho via exact
+    string bit ops, the harmonic sum as an EXACT HUGEINT (sum of 2^(53-rho))
+    per group, and the identical IEEE estimate expression — attesting every
+    approximate value bit-for-bit. rel_err is computed from the ROUNDED
+    estimate on both sides (the engine rounds before deriving it)."""
     p, m = 12, 4096
     width = 64 - p  # 52
     two_w = 1 << width
     two_k = 1 << (width + 1)  # 2^53 — the exact-integer harmonic scale
     return f"""
         WITH h AS (
-            SELECT DISTINCT
+            SELECT event_type AS g,
                    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
-            FROM events),
-        r AS (SELECT h // {two_w} AS reg, h % {two_w} AS rest FROM h),
+            FROM (SELECT DISTINCT event_type, user_id FROM events)
+            UNION ALL
+            SELECT '*' AS g,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+            FROM (SELECT DISTINCT user_id FROM events)),
+        r AS (SELECT g, h // {two_w} AS reg, h % {two_w} AS rest FROM h),
         rr AS (
-            SELECT reg,
+            SELECT g, reg,
                    MAX(CASE WHEN rest = 0 THEN {width + 1}
                             ELSE CAST(strpos(lpad(bin(rest), {width}, '0'), '1') AS BIGINT)
                        END) AS rho
-            FROM r GROUP BY reg),
+            FROM r GROUP BY g, reg),
         agg AS (
-            SELECT COUNT(*) AS nz,
+            SELECT g, COUNT(*) AS nz,
                    SUM(CAST(power(2, {width + 1} - rho) AS HUGEINT)) AS s1
-            FROM rr),
+            FROM rr GROUP BY g),
         est AS (
-            SELECT ({m} - nz) AS zeros,
+            SELECT g, ({m} - nz) AS zeros,
                    0.7213 / (1 + 1.079 / {m}) * {m} * {m} * {float(two_k)!r}
                        / CAST(s1 + ({m} - nz) * {two_k}::HUGEINT AS DOUBLE) AS e0
             FROM agg),
         fin AS (
-            SELECT CASE WHEN e0 <= 2.5 * {m} AND zeros > 0
-                        THEN {m} * ln({m} / zeros) ELSE e0 END AS e
-            FROM est)
-        SELECT ROUND(e, 2) AS approx_users,
-               (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users,
-               ROUND(abs(e - (SELECT COUNT(DISTINCT user_id) FROM events))
-                     / (SELECT COUNT(DISTINCT user_id) FROM events), 4) AS rel_err
-        FROM fin
+            SELECT g, ROUND(CASE WHEN e0 <= 2.5 * {m} AND zeros > 0
+                                 THEN {m} * ln({m} / zeros) ELSE e0 END, 2) AS e
+            FROM est),
+        ex AS (
+            SELECT event_type AS g, COUNT(DISTINCT user_id) AS x FROM events
+            GROUP BY event_type
+            UNION ALL
+            SELECT '*', COUNT(DISTINCT user_id) FROM events)
+        SELECT fin.g AS event_type, fin.e AS approx_users,
+               ex.x AS exact_users,
+               ROUND(abs(fin.e - ex.x) / ex.x, 4) AS rel_err
+        FROM fin JOIN ex ON ex.g = fin.g
     """
 
 

@@ -246,6 +246,78 @@ def hll_count_distinct(ds, cols: list[str], p: int = 12) -> float:
     return float(E)
 
 
+def grouped_hll_count_distinct(ds, group_col: str, cols: list[str],
+                               p: int = 12,
+                               include_global: str | None = None) -> pd.DataFrame:
+    """Per-group HyperLogLog approximate COUNT(DISTINCT cols) — the grouped
+    form of :func:`hll_count_distinct` (distinct users per event type, the
+    telemetry staple): identical hash/register/rho/estimate arithmetic, the
+    partials just carry the group key, so the merge moves ≤ m non-zero
+    registers PER GROUP per batch and no per-key distinct state ever
+    materializes. Returns one (group, approx) row per group; bit-replayable
+    by the same SQL the global sketch uses, GROUP BY'd.
+
+    ``include_global``: when set (e.g. ``"*"``), an extra row under that
+    label estimates the UNION of all groups by max-merging the group
+    registers — the sketch's mergeability in action: the hash ignores the
+    group, so the union's register is the max over groups, no second corpus
+    pass. Identical to running the global sketch directly."""
+    import hashlib
+
+    m = 1 << p
+    width = 64 - p
+    K = width + 1
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                                 "reg": pd.Series(dtype="int64"),
+                                 "rho": pd.Series(dtype="int64")})
+        key = df[cols[0]].astype(str) if len(cols) == 1 else \
+            df[list(cols)].astype(str).agg("\x1f".join, axis=1)
+        md5 = hashlib.md5
+        best: dict = {}
+        seen: set = set()
+        for g, s in zip(df[group_col], key):
+            if (g, s) in seen:
+                continue
+            seen.add((g, s))
+            h = int.from_bytes(md5(s.encode("utf-8", "surrogatepass")).digest()[:8], "big")
+            reg = h >> width
+            rest = h & ((1 << width) - 1)
+            rho = width - rest.bit_length() + 1
+            k = (g, reg)
+            if best.get(k, 0) < rho:
+                best[k] = rho
+        ks = list(best)
+        return pd.DataFrame({group_col: [k[0] for k in ks],
+                             "reg": np.array([k[1] for k in ks], dtype=np.int64),
+                             "rho": np.fromiter(best.values(), dtype=np.int64,
+                                                count=len(best))})
+
+    regs = (ds.map_batches(partials, batch_format="pandas")
+            .groupby([group_col, "reg"]).max("rho").to_pandas())
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def estimate(sub: pd.DataFrame) -> float:
+        S, nz = 0, len(sub)
+        for r in sub["max(rho)"].to_numpy():
+            S += 1 << (K - int(r))
+        zeros = m - nz
+        S += zeros * (1 << K)
+        E = alpha * m * m * float(1 << K) / float(S)
+        if E <= 2.5 * m and zeros:
+            E = m * np.log(m / zeros)
+        return float(E)
+
+    rows = [(g, estimate(sub))
+            for g, sub in regs.groupby(group_col, sort=True)]
+    if include_global is not None:
+        merged = (regs.groupby("reg", as_index=False)["max(rho)"].max())
+        rows.append((include_global, estimate(merged)))
+    return pd.DataFrame(rows, columns=[group_col, "approx"])
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch (heavy hitters)
 # ---------------------------------------------------------------------------

@@ -1402,3 +1402,30 @@ def test_unigram_tokenizer_train_and_encode(ray_session):
     # deterministic across re-blocking
     p2 = unigram_train(_ds(df).repartition(4), vocab_size=64, max_piece_len=6)
     assert pieces.equals(p2)
+
+
+def test_grouped_hll_accuracy_and_mergeability(ray_session):
+    """Per-group HLL within 5% of truth on planted cardinalities; the
+    include_global row (max-merge of group registers) equals the direct
+    global sketch bit-for-bit — the mergeability contract."""
+    from maritime_activity_reports_cdc_ray.functions.stats import (
+        grouped_hll_count_distinct,
+        hll_count_distinct,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = []
+    truth = {"a": 2000, "b": 500, "c": 37}
+    for g, n in truth.items():
+        ids = rng.choice(n * 3, size=n, replace=False)  # n distinct ids
+        frames.append(pd.DataFrame({"g": g,
+                                    "uid": np.repeat(ids, 2)}))  # dups too
+    df = pd.concat(frames, ignore_index=True).sample(frac=1, random_state=1)
+    ds = _ds(df).materialize()
+    out = grouped_hll_count_distinct(ds, "g", ["uid"], p=12,
+                                     include_global="*")
+    by = dict(zip(out["g"], out["approx"]))
+    for g, n in truth.items():
+        assert abs(by[g] - n) / n < 0.05, (g, by[g], n)
+    direct = hll_count_distinct(ds, ["uid"], p=12)
+    assert by["*"] == direct  # register max-merge == one global sketch
