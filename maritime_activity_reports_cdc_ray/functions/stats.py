@@ -201,8 +201,6 @@ def hll_count_distinct(ds, cols: list[str], p: int = 12) -> float:
     rho = leading zeros of the remaining 64-p bits + 1, and the register
     harmonic sum is computed as an EXACT integer (sum of 2^(K-rho)) so the
     final float division is a single identical IEEE op on both sides."""
-    import hashlib
-
     m = 1 << p
     width = 64 - p  # rho ∈ [1, width+1]
 
@@ -210,23 +208,9 @@ def hll_count_distinct(ds, cols: list[str], p: int = 12) -> float:
         if not len(df):
             return pd.DataFrame({"reg": pd.Series(dtype="int64"),
                                  "rho": pd.Series(dtype="int64")})
-        key = df[cols[0]].astype(str) if len(cols) == 1 else \
-            df[list(cols)].astype(str).agg("\x1f".join, axis=1)
-        md5 = hashlib.md5
-        best: dict[int, int] = {}
-        seen: set = set()
-        for s in key:
-            if s in seen:
-                continue
-            seen.add(s)
-            h = int.from_bytes(md5(s.encode("utf-8", "surrogatepass")).digest()[:8], "big")
-            reg = h >> width
-            rest = h & ((1 << width) - 1)
-            rho = width - rest.bit_length() + 1
-            if best.get(reg, 0) < rho:
-                best[reg] = rho
-        return pd.DataFrame({"reg": np.fromiter(best, dtype=np.int64, count=len(best)),
-                             "rho": np.fromiter(best.values(), dtype=np.int64, count=len(best))})
+        reg, rho = _hll_reg_rho(df, cols, width)
+        return (pd.DataFrame({"reg": reg, "rho": rho})
+                .groupby("reg", as_index=False)["rho"].max())
 
     regs = (ds.map_batches(partials, batch_format="pandas")
             .groupby("reg").max("rho").to_pandas())
@@ -246,6 +230,25 @@ def hll_count_distinct(ds, cols: list[str], p: int = 12) -> float:
     return float(E)
 
 
+def _hll_reg_rho(df: pd.DataFrame, cols: list[str], width: int):
+    """Vectorized (register, rho) per row: md5_u64 of the '\\x1f'-joined
+    column strings (distinct-only hashing via md5_u64_array's factorize),
+    then C-level shifts. ``rho`` needs bit_length(rest); rest < 2^width is
+    float64-exact for width <= 52 (i.e. p >= 12 — the supported precision
+    range), so ``np.frexp`` extracts it without a Python loop."""
+    from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
+
+    assert width <= 52, "p < 12 would overflow float64-exact bit_length"
+    key = df[cols[0]].astype(str) if len(cols) == 1 else \
+        df[list(cols)].astype(str).agg("\x1f".join, axis=1)
+    h = md5_u64_array(key.to_numpy(dtype=object))
+    reg = (h >> np.uint64(width)).astype(np.int64)  # top p bits
+    rest = h & np.uint64((1 << width) - 1)
+    _, e = np.frexp(rest.astype(np.float64))
+    rho = np.where(rest == 0, width + 1, width - e + 1).astype(np.int64)
+    return reg, rho
+
+
 def grouped_hll_count_distinct(ds, group_col: str, cols: list[str],
                                p: int = 12,
                                include_global: str | None = None) -> pd.DataFrame:
@@ -262,8 +265,6 @@ def grouped_hll_count_distinct(ds, group_col: str, cols: list[str],
     registers — the sketch's mergeability in action: the hash ignores the
     group, so the union's register is the max over groups, no second corpus
     pass. Identical to running the global sketch directly."""
-    import hashlib
-
     m = 1 << p
     width = 64 - p
     K = width + 1
@@ -273,27 +274,10 @@ def grouped_hll_count_distinct(ds, group_col: str, cols: list[str],
             return pd.DataFrame({group_col: pd.Series(dtype="object"),
                                  "reg": pd.Series(dtype="int64"),
                                  "rho": pd.Series(dtype="int64")})
-        key = df[cols[0]].astype(str) if len(cols) == 1 else \
-            df[list(cols)].astype(str).agg("\x1f".join, axis=1)
-        md5 = hashlib.md5
-        best: dict = {}
-        seen: set = set()
-        for g, s in zip(df[group_col], key):
-            if (g, s) in seen:
-                continue
-            seen.add((g, s))
-            h = int.from_bytes(md5(s.encode("utf-8", "surrogatepass")).digest()[:8], "big")
-            reg = h >> width
-            rest = h & ((1 << width) - 1)
-            rho = width - rest.bit_length() + 1
-            k = (g, reg)
-            if best.get(k, 0) < rho:
-                best[k] = rho
-        ks = list(best)
-        return pd.DataFrame({group_col: [k[0] for k in ks],
-                             "reg": np.array([k[1] for k in ks], dtype=np.int64),
-                             "rho": np.fromiter(best.values(), dtype=np.int64,
-                                                count=len(best))})
+        reg, rho = _hll_reg_rho(df, cols, width)
+        return (pd.DataFrame({group_col: df[group_col].to_numpy(),
+                              "reg": reg, "rho": rho})
+                .groupby([group_col, "reg"], as_index=False)["rho"].max())
 
     regs = (ds.map_batches(partials, batch_format="pandas")
             .groupby([group_col, "reg"]).max("rho").to_pandas())

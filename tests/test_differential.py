@@ -132,18 +132,31 @@ def _entry_mod():
 @settings(max_examples=25, deadline=None)
 @given(st.lists(st.integers(min_value=-5, max_value=10_000), min_size=1, max_size=400))
 def test_hll_estimate_matches_duckdb_replay(ray_session, user_ids):
-    """The HLL sketch value itself (not a bound): engine vs the oracle SQL
-    that replays register/rho/harmonic-sum arithmetic, on random id sets."""
+    """The HLL sketch values themselves (not a bound): engine vs the oracle
+    SQL that replays register/rho/harmonic-sum arithmetic GROUP BY'd, on
+    random id sets split into two groups — grouped rows AND the
+    register-max-merged '*' union row."""
     import ray.data as rd
 
-    from maritime_activity_reports_cdc_ray.functions.stats import hll_count_distinct
+    from maritime_activity_reports_cdc_ray.functions.stats import (
+        grouped_hll_count_distinct,
+        hll_count_distinct,
+    )
 
-    df = pd.DataFrame({"user_id": np.asarray(user_ids, dtype=np.int64)})
-    approx = hll_count_distinct(rd.from_pandas(df), ["user_id"], p=12)
+    ids = np.asarray(user_ids, dtype=np.int64)
+    df = pd.DataFrame({"user_id": ids,
+                       "event_type": np.where(ids % 3 == 0, "a", "b")})
+    ds = rd.from_pandas(df)
+    approx = hll_count_distinct(ds, ["user_id"], p=12)
+    grouped = grouped_hll_count_distinct(ds, "event_type", ["user_id"],
+                                         p=12, include_global="*")
     con = duckdb.connect()
     con.register("events", df)
-    got = con.execute(_entry_mod()._hll_oracle_sql()).df()
-    assert round(approx, 2) == got["approx_users"].iloc[0]
+    got = con.execute(_entry_mod()._hll_oracle_sql()).df() \
+        .set_index("event_type")
+    assert round(approx, 2) == got.loc["*", "approx_users"]
+    for g, a in zip(grouped["event_type"], grouped["approx"]):
+        assert round(a, 2) == got.loc[g, "approx_users"], g
 
 
 @settings(max_examples=25, deadline=None)
