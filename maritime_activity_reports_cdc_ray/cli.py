@@ -115,6 +115,14 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--epoch", type=int, required=True)
 
+    sp = sub.add_parser("history", help="DESCRIBE HISTORY analogue: one row per "
+                                        "manifest version (newest first) with the "
+                                        "inferred operation — metadata-only")
+    common(sp)
+    sp.add_argument("--table", default="silver",
+                    choices=["bronze", "silver", "gold"])
+    sp.add_argument("--limit", type=int, default=20)
+
     sp = sub.add_parser("clone", help="SHALLOW CLONE the lake (bronze+silver+gold"
                                       "[+cache]) to another root — zero data copied, "
                                       "manifests reference the source's files; "
@@ -202,6 +210,12 @@ def main(argv=None):
     if args.cmd == "restore":
         # pure manifest-file operation — no Ray session needed
         print(json.dumps(r.restore(args.epoch)))
+        return 0
+
+    if args.cmd == "history":
+        # pure manifest-file operation — no Ray session needed
+        t = {"bronze": r.bronze, "silver": r.silver, "gold": r.gold}[args.table]
+        print(json.dumps(t.describe_history()[:args.limit], indent=1))
         return 0
 
     if args.cmd == "clone":

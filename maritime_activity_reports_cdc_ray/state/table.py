@@ -496,6 +496,43 @@ class LakeTable:
         return [self.abspath(f.path) for f in m.fragments if kind is None or f.kind == kind]
 
     # ------------------------------------------------------------------ vacuum
+    def describe_history(self) -> list[dict]:
+        """Delta ``DESCRIBE HISTORY`` analogue (reference:
+        ``utils/spark_utils.py:128``): one row per manifest version, newest
+        first — version, epoch watermark, fragment/row/byte totals, the
+        cumulative stats snapshot, and the operation kind inferred from the
+        version-to-version diff (append / merge / restore / maintenance).
+        Metadata-only: reads manifests, opens no data files."""
+        mdir = os.path.join(self.root, "_manifests")
+        versions = sorted(
+            (int(m.group(1)) for m in map(_MANIFEST_RE.match, os.listdir(mdir)) if m))
+        out = []
+        prev: Manifest | None = None
+        for v in versions:
+            with open(os.path.join(mdir, f"manifest-{v:010d}.json")) as f:
+                m = Manifest.from_json(f.read())
+            paths = {fr.path for fr in m.fragments}
+            if prev is None:
+                op = "create" if not paths else "clone"
+            else:
+                pp = {fr.path for fr in prev.fragments}
+                added, removed = paths - pp, pp - paths
+                if m.epoch < prev.epoch:
+                    op = "restore"
+                elif m.epoch == prev.epoch:
+                    op = "maintenance" if (added or removed) else "noop"
+                else:
+                    op = "merge" if removed else "append"
+            out.append({
+                "version": m.version, "epoch": m.epoch, "operation": op,
+                "fragments": len(m.fragments),
+                "rows": sum(fr.rows for fr in m.fragments),
+                "bytes": sum(fr.bytes for fr in m.fragments),
+                "stats": dict(m.stats),
+            })
+            prev = m
+        return out[::-1]
+
     def vacuum(self) -> int:
         """Delete fragment files unreferenced by the latest manifest and
         manifests older than the latest (reference: VACUUM,

@@ -83,3 +83,24 @@ def test_clone_vacuum_cannot_touch_source(ray_session, tmp_path):
                                       "*.parquet"), recursive=True)) == n_src_files
     _assert_matches_oracle(src, replay_files(files))
     _assert_matches_oracle(clone, replay_files(files))
+
+
+def test_describe_history_classifies_operations(ray_session, tmp_path):
+    """DESCRIBE HISTORY analogue: newest-first manifest rows with inferred
+    operations — create → append/merge per epoch, restore flagged, and a
+    clone's v0 labeled 'clone'."""
+    d = str(tmp_path / "stream")
+    files = generate_events(d, n_events=1200, n_repos=6, n_epochs=3, seed=31)
+    src = _lake(tmp_path, d)
+    src.restore(1)
+    h = src.silver.describe_history()
+    assert h[0]["operation"] == "restore" and h[0]["epoch"] == 1
+    assert h[-1]["operation"] == "create" and h[-1]["epoch"] == -1
+    assert [r["version"] for r in h] == sorted((r["version"] for r in h),
+                                               reverse=True)
+    ops = {r["operation"] for r in h}
+    assert "merge" in ops or "append" in ops
+    clone = src.clone(str(tmp_path / "branch"))
+    ch = clone.silver.describe_history()
+    assert len(ch) == 1 and ch[0]["operation"] == "clone"
+    assert ch[0]["rows"] == h[0]["rows"]  # clone of the restored state
