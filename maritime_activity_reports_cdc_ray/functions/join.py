@@ -27,6 +27,7 @@ broadcast the right fallback for hot-key joins that would straggle a shuffle.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from maritime_activity_reports_cdc_ray.functions.dedup import _WORKER_CACHE, _cache_put
@@ -143,6 +144,72 @@ def semi_join(big_ds, keys_ds, on: str, keys_on: str | None = None,
         batch_format="pandas"), [on], num_partitions)
     return big_ds.join(keys, join_type="inner", num_partitions=num_partitions,
                        on=(on,))
+
+
+def skew_join(left, right, on: str, how: str = "inner",
+              hot_min_rows: int = 100_000, candidates_per_batch: int = 8,
+              num_partitions: int = 8,
+              broadcast_limit_rows: int = 2_000_000,
+              broadcast_limit_bytes: int = 256 << 20):
+    """Skew-handling equi-join (the Spark AQE skew strategy the reference
+    leans on, ``utils/spark_utils.py:31-33``, as an explicit operator):
+    keys hot enough to straggle a partitioned hash join are joined
+    broadcast-side with NO shuffle; only the cold remainder shuffles.
+
+    Hot-key detection is a bounded heavy-hitter pre-pass: each batch emits
+    its ``candidates_per_batch`` most frequent keys with their partial
+    counts (a true heavy hitter tops some batch's local top-k; the exchange
+    moves ≤ k rows per batch, never the key space), a combiner sum totals
+    them, and keys with ≥ ``hot_min_rows`` observed rows are hot. The hot
+    slice of ``right`` must fit the broadcast gates (hot keys are few and
+    dimension-sided by construction; a violation raises rather than
+    silently collecting). ``how`` ∈ {"inner", "left"}."""
+    import ray
+
+    assert how in ("inner", "left"), how
+    left = left.materialize()
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(on, sort=False).size().nlargest(candidates_per_batch)
+        return pd.DataFrame({on: c.index.to_numpy(), "_n": c.to_numpy()})
+
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
+    cand = hash_agg(left.map_batches(local_top, batch_format="pandas"),
+                    on, {"_n": ("_n", "sum")}, num_partitions).to_pandas()
+    hot = np.sort(cand.loc[cand["_n"] >= hot_min_rows, on].to_numpy())
+
+    if not len(hot):
+        return auto_join(left, right, on=[on], how="inner" if how == "inner"
+                         else "left_outer", num_partitions=num_partitions,
+                         broadcast_limit_rows=broadcast_limit_rows,
+                         broadcast_limit_bytes=broadcast_limit_bytes)
+
+    href = ray.put(hot)
+
+    def split(keep_hot: bool):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            a = _resolve(href)
+            v = df[on].to_numpy()
+            pos = np.minimum(np.searchsorted(a, v), len(a) - 1)
+            m = a[pos] == v
+            return df[m if keep_hot else ~m]
+        return f
+
+    right = right.materialize()
+    rhot_ds = right.map_batches(split(True), batch_format="pandas").materialize()
+    assert (rhot_ds.count() <= broadcast_limit_rows
+            and (rhot_ds.size_bytes() or 0) <= broadcast_limit_bytes), \
+        "hot slice of the right side exceeds the broadcast gates"
+    rhot = rhot_ds.to_pandas()
+
+    hot_out = broadcast_join(
+        left.map_batches(split(True), batch_format="pandas"), rhot, on=[on],
+        how="inner" if how == "inner" else "left")
+    cold_out = left.map_batches(split(False), batch_format="pandas").join(
+        right, join_type="inner" if how == "inner" else "left_outer",
+        num_partitions=num_partitions, on=(on,))
+    return hot_out.union(cold_out)
 
 
 def anti_join(big_ds, keys_ds, on: str, keys_on: str | None = None,

@@ -1429,3 +1429,35 @@ def test_grouped_hll_accuracy_and_mergeability(ray_session):
         assert abs(by[g] - n) / n < 0.05, (g, by[g], n)
     direct = hll_count_distinct(ds, ["uid"], p=12)
     assert by["*"] == direct  # register max-merge == one global sketch
+
+
+def test_skew_join_matches_plain_join(ray_session):
+    """skew_join (hot keys broadcast, cold keys shuffled) must equal the
+    plain join row-for-row on a Zipf-skewed left side, for inner and left;
+    with no hot keys it degrades to auto_join."""
+    from maritime_activity_reports_cdc_ray.functions.join import auto_join, skew_join
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    keys = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 40, n))  # key 7 hot
+    left = pd.DataFrame({"k": keys.astype("int64"), "x": np.arange(n)})
+    right = pd.DataFrame({"k": np.arange(0, 35, dtype="int64"),
+                          "name": [f"dim{i}" for i in range(35)]})
+
+    def norm(df):
+        return (df.sort_values(["k", "x"]).reset_index(drop=True)
+                [["k", "x", "name"]])
+
+    for how, rayhow in (("inner", "inner"), ("left", "left_outer")):
+        got = norm(skew_join(_ds(left), _ds(right), on="k", how=how,
+                             hot_min_rows=1000).to_pandas())
+        exp = norm(auto_join(_ds(left), _ds(right), on=["k"], how=rayhow,
+                             broadcast_limit_rows=0).to_pandas())
+        assert got["k"].tolist() == exp["k"].tolist(), how
+        assert got["name"].fillna("-").tolist() == \
+               exp["name"].fillna("-").tolist(), how
+    # threshold nothing qualifies for -> pure auto_join path, same rows
+    got = norm(skew_join(_ds(left), _ds(right), on="k", how="inner",
+                         hot_min_rows=10**9).to_pandas())
+    exp = norm(auto_join(_ds(left), _ds(right), on=["k"]).to_pandas())
+    assert got.equals(exp)
