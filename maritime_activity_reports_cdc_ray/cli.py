@@ -24,6 +24,28 @@ def _ray_up(num_cpus: int | None):
     rd.DataContext.get_current().enable_progress_bars = False
 
 
+def _post_filter(ds, pred):
+    """Apply a (col, op, value) predicate to tables whose readers take no
+    pushdown (changes/quarantine) — a vectorized Arrow filter per batch, so
+    ``--where`` is honored on every ``read --table`` branch instead of being
+    silently dropped."""
+    if pred is None:
+        return ds
+    col, op, val = pred
+
+    def f(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        c = t.column(col)
+        if op == "in":
+            mask = pc.is_in(c, value_set=pa.array(val).cast(c.type))
+        else:
+            mask = pc.equal(c, pa.scalar(val).cast(c.type))
+        return t.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _replay(args):
     from maritime_activity_reports_cdc_ray.config import EngineConfig
     from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
@@ -268,10 +290,11 @@ def main(argv=None):
             elif args.table == "gold":
                 ds = r.read_gold(as_of_epoch=args.as_of_epoch, predicate=pred)
             elif args.table == "quarantine":
-                ds = r.read_quarantine()
+                ds = _post_filter(r.read_quarantine(), pred)
             elif args.table == "changes":
-                ds = r.table_changes(args.from_epoch, args.as_of_epoch,
-                                     columns=cols)
+                ds = _post_filter(
+                    r.table_changes(args.from_epoch, args.as_of_epoch,
+                                    columns=cols), pred)
             else:
                 ds = r.read_history(as_of_epoch=args.as_of_epoch, predicate=pred)
             rows = ds.limit(args.limit).to_pandas()

@@ -62,6 +62,16 @@ def pagerank(edges, *, src: str, dst: str, weight: str, nodes: list,
         # consolidated edge list this small iterates in one vectorized pandas
         # loop — identical arithmetic, zero per-iteration executor round trips
         epd = e.to_pandas()
+        # drop edges whose src is outside the caller's vertex set — the
+        # distributed path below drops them implicitly at the inner
+        # broadcast_join(e, rdf); without this the driver path would raise
+        # on the NaN from epd[src].map(r), diverging on the same input.
+        epd = epd[epd[src].isin(r)].reset_index(drop=True)
+        if epd.empty:
+            flat = tele if iters > 0 else scale // n
+            return pd.DataFrame({node_col: nodes,
+                                 rank_col: [flat] * n}).astype(
+                {rank_col: "int64"})
         ow = epd.groupby(src)["w"].transform("sum").astype("int64")
         w = epd["w"].astype("int64")
         for _ in range(iters):

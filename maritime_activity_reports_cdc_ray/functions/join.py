@@ -206,8 +206,12 @@ def skew_join(left, right, on: str, how: str = "inner",
     hot_out = broadcast_join(
         left.map_batches(split(True), batch_format="pandas"), rhot, on=[on],
         how="inner" if how == "inner" else "left")
+    # cold path joins against the COLD right slice only — re-shuffling the
+    # hot rows (already broadcast above) would rebuild the exact skewed
+    # build partition this operator exists to avoid, for zero matches.
     cold_out = left.map_batches(split(False), batch_format="pandas").join(
-        right, join_type="inner" if how == "inner" else "left_outer",
+        right.map_batches(split(False), batch_format="pandas"),
+        join_type="inner" if how == "inner" else "left_outer",
         num_partitions=num_partitions, on=(on,))
     return hot_out.union(cold_out)
 

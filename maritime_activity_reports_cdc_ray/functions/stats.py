@@ -233,18 +233,23 @@ def hll_count_distinct(ds, cols: list[str], p: int = 12) -> float:
 def _hll_reg_rho(df: pd.DataFrame, cols: list[str], width: int):
     """Vectorized (register, rho) per row: md5_u64 of the '\\x1f'-joined
     column strings (distinct-only hashing via md5_u64_array's factorize),
-    then C-level shifts. ``rho`` needs bit_length(rest); rest < 2^width is
-    float64-exact for width <= 52 (i.e. p >= 12 — the supported precision
-    range), so ``np.frexp`` extracts it without a Python loop."""
+    then C-level shifts. ``rho`` needs bit_length(rest): rest < 2^52 is
+    float64-exact so ``np.frexp`` reads it directly; wider rests (p < 12)
+    split into 32-bit halves, each exact, no Python loop either way."""
     from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
 
-    assert width <= 52, "p < 12 would overflow float64-exact bit_length"
     key = df[cols[0]].astype(str) if len(cols) == 1 else \
         df[list(cols)].astype(str).agg("\x1f".join, axis=1)
     h = md5_u64_array(key.to_numpy(dtype=object))
     reg = (h >> np.uint64(width)).astype(np.int64)  # top p bits
     rest = h & np.uint64((1 << width) - 1)
-    _, e = np.frexp(rest.astype(np.float64))
+    if width <= 52:
+        _, e = np.frexp(rest.astype(np.float64))
+    else:
+        hi = (rest >> np.uint64(32)).astype(np.float64)
+        _, ehi = np.frexp(hi)
+        _, elo = np.frexp((rest & np.uint64(0xFFFFFFFF)).astype(np.float64))
+        e = np.where(hi > 0, ehi + 32, elo)
     rho = np.where(rest == 0, width + 1, width - e + 1).astype(np.int64)
     return reg, rho
 

@@ -74,6 +74,10 @@ def curate_documents(ds, id_col: str = "doc_id", text_col: str = "text",
 
     n_in = ds.count()
 
+    # one LangId per pipeline, captured by the closure (pickled with the fn,
+    # tables built once) — NOT constructed per batch
+    _langid = LangId()
+
     # -- stages 1-3 fused: clean -> keep pages -> lang + quality annotate
     def clean_annotate(df: pd.DataFrame) -> pd.DataFrame:
         if apply_c4:
@@ -89,7 +93,7 @@ def curate_documents(ds, id_col: str = "doc_id", text_col: str = "text",
                                  "text": pd.Series(dtype=object),
                                  "lang_pred": pd.Series(dtype=object),
                                  "doc_quality_score": pd.Series(dtype="float64")})
-        out = LangId()(out)[[id_col, "text", "lang_pred"]]
+        out = _langid(out)[[id_col, "text", "lang_pred"]]
         q = quality_score(out, "text")
         out["doc_quality_score"] = q["doc_quality_score"].to_numpy()
         # vectorized in-batch filter (never a per-row Dataset.filter)

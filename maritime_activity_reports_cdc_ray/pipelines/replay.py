@@ -1640,6 +1640,12 @@ class CDCReplay:
                 else self.silver.manifest_as_of(to_epoch))
         sm_f = (None if from_epoch is None or from_epoch < 0
                 else self.silver.manifest_as_of(from_epoch))
+        if sm_f is not None and sm_f.epoch > sm_t.epoch:
+            # an inverted range would silently swap insert/delete labels and
+            # pre/post images — a caller typo must fail loudly instead
+            raise ValueError(
+                f"table_changes: from_epoch {from_epoch} resolves past "
+                f"to_epoch {sm_t.epoch} — inverted range")
 
         def by_pid(m):
             d: dict[int, list] = {}

@@ -112,7 +112,11 @@ def make_validator(cfg: EngineConfig, quarantine_dir: str | None = None,
             keep = pc.and_(keep, pc.greater_equal(scored.column("data_quality_score"), cfg.min_quality_score))
         late = None
         if watermark_floor is not None and "event_time" in scored.column_names:
-            late = pc.less(scored.column("event_time"), watermark_floor)
+            # null event_time is NOT late (fill_null(False)): the comparison
+            # yields null, and a null mask entry would silently drop the row
+            # in scored.filter(keep) even when every quality check passed.
+            late = pc.fill_null(
+                pc.less(scored.column("event_time"), watermark_floor), False)
             keep = pc.and_(keep, pc.invert(late))
         if quarantine_dir is not None:
             rej_mask = pc.invert(pc.fill_null(keep, False))

@@ -262,7 +262,13 @@ class LakeTable:
         watermark is treated as already replayed and no-ops; writers wanting
         epoch-unordered additions use :meth:`commit_maintenance`.
         """
-        assert self.latest_manifest() is not None, "table not created"
+        m0 = self.latest_manifest()
+        assert m0 is not None, "table not created"
+        if epoch <= m0.epoch:
+            # idempotency check BEFORE the lineage write: a stale replay of
+            # an already-committed epoch must not publish phantom lineage
+            # rows for fragments that never land.
+            return m0
         if lineage is not None:
             lp = os.path.join(self.root, "_lineage", f"epoch-{epoch}.json")
             with open(lp + ".tmp", "w") as f:
@@ -513,7 +519,13 @@ class LakeTable:
                 m = Manifest.from_json(f.read())
             paths = {fr.path for fr in m.fragments}
             if prev is None:
-                op = "create" if not paths else "clone"
+                # create/clone inference only holds for version 0; after a
+                # vacuum truncates older manifests the oldest SURVIVOR has
+                # prev=None but was not the table's origin.
+                if m.version == 0:
+                    op = "create" if not paths else "clone"
+                else:
+                    op = "unknown"
             else:
                 pp = {fr.path for fr in prev.fragments}
                 added, removed = paths - pp, pp - paths

@@ -210,6 +210,16 @@ def test_stream_progress_metrics(ray_session, stream, tmp_path):
         [sys.executable, "-m", "maritime_activity_reports_cdc_ray.cli", "metrics",
          "--root", str(tmp_path / "lake")], capture_output=True, text=True, check=True)
     assert _json.loads(out.stdout)["batch_id"] == 3
+    # --where must be honored on the changes branch (was silently dropped)
+    sil = r.read_silver().to_pandas()
+    some_repo = sorted(sil["repo"])[0]
+    out = subprocess.run(
+        [sys.executable, "-m", "maritime_activity_reports_cdc_ray.cli", "read",
+         "--root", str(tmp_path / "lake"), "--table", "changes",
+         "--from-epoch", "-1", "--where", f"repo={some_repo}",
+         "--limit", "100000"], capture_output=True, text=True, check=True)
+    rows = _json.loads(out.stdout)["rows"]
+    assert rows and all(row["repo"] == some_repo for row in rows)
 
 
 def test_materialized_views_staleness(ray_session, stream, tmp_path):
@@ -734,3 +744,7 @@ def test_table_changes_matches_prefix_oracles(ray_session, stream, tmp_path):
     assert dict(zip(zip(full["repo"], full["path"]), full["commit"])) == \
         {k: v["commit"] for k, v in l3.items()}
     assert r.table_changes(3, 3).to_pandas().empty
+    # inverted range must fail loudly, not return a swapped feed
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        r.table_changes(3, 1)

@@ -1461,3 +1461,37 @@ def test_skew_join_matches_plain_join(ray_session):
                          hot_min_rows=10**9).to_pandas())
     exp = norm(auto_join(_ds(left), _ds(right), on=["k"]).to_pandas())
     assert got.equals(exp)
+
+
+def test_pagerank_ignores_edges_from_unknown_sources(ray_session):
+    """An edge whose src is outside the caller's vertex set is dropped
+    consistently in BOTH regimes (the driver fast path used to crash on the
+    NaN while the distributed path silently dropped it)."""
+    from maritime_activity_reports_cdc_ray.functions.graph import pagerank
+
+    edges = pd.DataFrame({"s": ["a", "ghost"], "t": ["b", "a"],
+                          "w": [1, 5]})
+    nodes = ["a", "b"]
+    got_drv = pagerank(_ds(edges), nodes=nodes, src="s", dst="t", weight="w",
+                       iters=2, driver_gate_rows=10**6)
+    got_dist = pagerank(_ds(edges), nodes=nodes, src="s", dst="t", weight="w",
+                        iters=2, driver_gate_rows=0)
+    assert got_drv.sort_values("node").reset_index(drop=True).equals(
+        got_dist.sort_values("node").reset_index(drop=True))
+    # all-unknown-src edge list: every node keeps exactly teleport mass
+    only_ghost = pd.DataFrame({"s": ["ghost"], "t": ["a"], "w": [1]})
+    flat = pagerank(_ds(only_ghost), nodes=nodes, src="s", dst="t",
+                    weight="w", iters=2, driver_gate_rows=10**6)
+    assert flat["rank_fp"].nunique() == 1
+
+
+def test_hll_supports_low_precision(ray_session):
+    """p < 12 (register width > 52 bits) must work — the vectorized rho
+    splits the rest into float64-exact 32-bit halves instead of asserting."""
+    from maritime_activity_reports_cdc_ray.functions.stats import hll_count_distinct
+
+    df = pd.DataFrame({"u": [f"user-{i}" for i in range(5000)]})
+    for p in (8, 10, 14):
+        est = hll_count_distinct(_ds(df), ["u"], p=p)
+        rse = 1.04 / (2 ** (p / 2)) * 5  # 5 sigma
+        assert abs(est - 5000) / 5000 < max(rse, 0.1), (p, est)

@@ -270,3 +270,38 @@ def test_append_commit_rebases_on_version_race(tmp_path):
     p = Pinned(t.root)
     with pytest.raises(ConcurrentCommitError):
         p.commit_epoch(3, [fa], replaced={"b.parquet"})
+
+
+def test_stale_replay_publishes_no_phantom_lineage(tmp_path):
+    """A commit of an epoch <= the watermark is a no-op — it must ALSO not
+    overwrite the epoch's lineage side file (phantom lineage for fragments
+    that never landed would corrupt gold catch-up / clone lineage copies)."""
+    import json
+
+    lake = LakeTable.create(str(tmp_path / "t"), "t", SCHEMA, 4)
+    f0 = lake.stage_fragment(_t([("a", 1)]), 0, 0, 0, "current")
+    lake.commit_epoch(0, [f0], lineage=[{"epoch": 0, "rows_in": 1}])
+    lp = str(tmp_path / "t" / "_lineage" / "epoch-0.json")
+    with open(lp) as f:
+        before = json.load(f)
+    # stale replay of epoch 0 with DIFFERENT lineage: no-ops, lineage intact
+    f1 = lake.stage_fragment(_t([("a", 1), ("b", 2)]), 0, 1, 0, "current")
+    m = lake.commit_epoch(0, [f1], lineage=[{"epoch": 0, "rows_in": 999}])
+    assert m.epoch == 0 and len(m.fragments) == 1
+    with open(lp) as f:
+        assert json.load(f) == before
+
+
+def test_describe_history_after_vacuum_not_clone(tmp_path):
+    """vacuum truncates older manifests; the oldest SURVIVOR has prev=None
+    but must not be labeled 'clone' (or 'create') — it is 'unknown'."""
+    lake = LakeTable.create(str(tmp_path / "t"), "t", SCHEMA, 4)
+    f0 = lake.stage_fragment(_t([("a", 1)]), 0, 0, 0, "current")
+    lake.commit_epoch(0, [f0])
+    f1 = lake.stage_fragment(_t([("b", 2)]), 1, 1, 0, "current")
+    lake.commit_epoch(1, [f1])
+    lake.vacuum()
+    h = lake.describe_history()
+    assert len(h) == 1
+    assert h[0]["operation"] == "unknown"
+    assert h[0]["version"] == 2

@@ -170,3 +170,35 @@ def test_watermark_matches_filtered_oracle_randomized(ray_session, tmp_path,
     r.setup()
     r.run(d)
     _assert_matches_oracle(r, replay_files(kept_files))
+
+
+def test_null_event_time_is_not_late(ray_session, tmp_path):
+    """Input-supplied event_time with a NULL on an otherwise valid row: the
+    row must survive the watermark filter (null is not late) instead of
+    vanishing into the null comparison, and must not be quarantined."""
+    d = str(tmp_path / "stream")
+    files = generate_events(d, n_events=800, n_repos=5, n_epochs=2, seed=21,
+                            p_delay=0.0)
+    # supply event_time explicitly: epoch index * 1000 + row, one NULL row
+    for ei, f in enumerate(files):
+        t = pq.read_table(f)
+        et = [ei * 100_000 + i for i in range(t.num_rows)]
+        t = t.append_column("event_time", pa.array(et, pa.int64()))
+        pq.write_table(t, f)
+    t1 = pq.read_table(files[1])
+    nullrow = _mk_row(t1.schema.remove(t1.schema.get_field_index("event_time")),
+                      "repo-nullet", "p", "c000000000042")
+    nullrow = nullrow.append_column("event_time",
+                                    pa.array([None], pa.int64()))
+    pq.write_table(pa.concat_tables([t1, nullrow]), files[1])
+
+    r = CDCReplay(str(tmp_path / "lake"),
+                  EngineConfig(num_partitions=4, watermark_delay=10,
+                               quarantine_rejects=True))
+    r.setup()
+    r.run(d)
+    sil = r.read_silver().to_pandas()
+    assert ("repo-nullet", "p") in set(zip(sil["repo"], sil["path"]))
+    q = r.read_quarantine().to_pandas()
+    if len(q):
+        assert "repo-nullet" not in set(q["repo"])
