@@ -154,6 +154,18 @@ def main(argv=None):
     sp.add_argument("--dst", required=True, help="destination lake root")
     sp.add_argument("--as-of-epoch", type=int, default=None)
 
+    sp = sub.add_parser("view", help="incrementally maintain a group-by view from "
+                                     "the CDF (IVM): refresh applies only the net "
+                                     "change feed since the view's watermark, then "
+                                     "prints the state")
+    common(sp)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--group-cols", required=True,
+                    help="comma-separated group columns (e.g. lang)")
+    sp.add_argument("--sum-cols", default="",
+                    help="comma-separated int columns to SUM (COUNT is implicit)")
+    sp.add_argument("--limit", type=int, default=50)
+
     sp = sub.add_parser("curate", help="run the end-to-end corpus curation pipeline "
                         "over a documents parquet and write the kept docs as "
                         "resumable lang-partitioned parquet")
@@ -259,6 +271,16 @@ def main(argv=None):
         elif args.cmd == "ingest":
             out = r.run(args.input, files_per_epoch=args.files_per_epoch, max_epochs=1)
             print(json.dumps(out))
+        elif args.cmd == "view":
+            from maritime_activity_reports_cdc_ray.pipelines.views import IncrementalAggView
+
+            v = IncrementalAggView(
+                r, args.name, args.group_cols.split(","),
+                [c for c in args.sum_cols.split(",") if c])
+            out = v.refresh()
+            out["state"] = json.loads(
+                v.read().head(args.limit).to_json(orient="records"))
+            print(json.dumps(out, indent=1))
         elif args.cmd == "remat":
             from maritime_activity_reports_cdc_ray.pipelines.maintenance import (
                 rematerialize_content,

@@ -110,6 +110,124 @@ class ViewRegistry:
         return pq.read_table(os.path.join(self._dir(name), "data.parquet")).to_pandas()
 
 
+class IncrementalAggView:
+    """Incrementally-maintained group-by view over silver's current state —
+    classic self-maintainable IVM driven by the CDF (reference analogue: a
+    BigQuery MV kept fresh by the readChangeFeed-consuming gold stream,
+    ``gold/cdf_processor.py`` + ``gold/materialized_views.py``; here the
+    maintenance is LITERAL incremental-view-maintenance algebra instead of a
+    re-run query).
+
+    The view is ``SELECT group_cols, COUNT(*) AS n, SUM(c) AS sum_<c>...
+    FROM silver-current GROUP BY group_cols``. COUNT and SUM are
+    self-maintainable under insert/delete, so a refresh from epoch E to T:
+
+    1. pulls the NET change feed ``table_changes(E, T)`` — already pruned to
+       the pids whose fragment sets changed, column-pruned to the view's
+       columns, never the payload;
+    2. maps each change row to a signed delta (+1 for insert /
+       update_postimage, −1 for delete / update_preimage — a key whose group
+       didn't change cancels out, a key that MOVED groups transfers);
+    3. combiner-first ``hash_agg`` reduces the deltas to one row per TOUCHED
+       group (the only data that reaches the driver — group-cardinality, not
+       table-cardinality);
+    4. outer-merges them into the persisted state, dropping groups whose
+       count reaches zero.
+
+    Cost per refresh is O(changed keys), not O(table) — the point of IVM at
+    100 TB. State persistence follows the ViewRegistry discipline (parquet +
+    meta epoch, temp + atomic rename); a crashed refresh re-runs and, because
+    the delta is a pure function of (E, T], converges identically.
+    """
+
+    def __init__(self, replay, name: str, group_cols: list[str],
+                 sum_cols: list[str] = (), num_partitions: int = 8):
+        self.replay = replay
+        self.name = name
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        self.dir = os.path.join(replay.root, "views", name)
+
+    # ------------------------------------------------------------------ state
+    def _meta(self) -> dict:
+        mp = os.path.join(self.dir, "_meta.json")
+        return json.load(open(mp)) if os.path.exists(mp) else {"epoch": -1}
+
+    def view_epoch(self) -> int:
+        return int(self._meta()["epoch"])
+
+    def read(self) -> pd.DataFrame:
+        dp = os.path.join(self.dir, "data.parquet")
+        cols = self.group_cols + ["n"] + [f"sum_{c}" for c in self.sum_cols]
+        if not os.path.exists(dp):
+            return pd.DataFrame(columns=cols)
+        return pq.read_table(dp).to_pandas()[cols]
+
+    # ---------------------------------------------------------------- refresh
+    def refresh(self) -> dict:
+        from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
+        cur = self.replay.silver.latest_manifest().epoch
+        e = self.view_epoch()
+        if cur <= e:
+            return {"status": "fresh", "epoch": e, "groups_touched": 0}
+
+        need = self.group_cols + self.sum_cols
+        feed = self.replay.table_changes(None if e < 0 else e, cur,
+                                         columns=need)
+
+        # plain locals only — a closure over `self` would drag the replay
+        # handle (and its background-thread lock) into the task pickles
+        gcols, scols = list(self.group_cols), list(self.sum_cols)
+
+        def signed(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({c: pd.Series(dtype=t) for c, t in
+                                     [(g, object) for g in gcols]
+                                     + [("_sgn", "int64")]
+                                     + [(c, "int64") for c in scols]})
+            sgn = (df["_change_type"].isin(["insert", "update_postimage"])
+                   .astype("int64") * 2 - 1)
+            out = df[gcols].copy()
+            out["_sgn"] = sgn.to_numpy()
+            for c in scols:
+                out[c] = df[c].to_numpy() * sgn.to_numpy()
+            return out
+
+        aggs = {"n": ("_sgn", "sum")}
+        for c in self.sum_cols:
+            aggs[f"sum_{c}"] = (c, "sum")
+        delta = hash_agg(feed.map_batches(signed, batch_format="pandas"),
+                         self.group_cols, aggs).to_pandas()
+        if "_part" in delta.columns:
+            delta = delta.drop(columns=["_part"])
+
+        state = self.read()
+        merged = (pd.concat([state, delta], ignore_index=True)
+                  .groupby(self.group_cols, as_index=False, sort=False).sum()
+                  if len(state) or len(delta) else state)
+        if len(merged):
+            merged = merged[merged["n"] != 0]
+        merged = merged.sort_values(self.group_cols).reset_index(drop=True)
+
+        os.makedirs(self.dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        os.close(fd)
+        try:
+            pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
+                           tmp)
+            os.replace(tmp, os.path.join(self.dir, "data.parquet"))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        mp = os.path.join(self.dir, "_meta.json")
+        with open(mp + ".tmp", "w") as f:
+            json.dump({"epoch": cur, "rows": len(merged)}, f)
+        os.replace(mp + ".tmp", mp)
+        return {"status": "refreshed", "epoch": cur,
+                "groups_touched": len(delta)}
+
+
 # ---------------------------------------------------------------------------
 # Built-in views — the A7-A9 analytics products over the code-change domain.
 # ---------------------------------------------------------------------------
