@@ -52,6 +52,14 @@ class EngineConfig:
     # lake/quarantine/epoch=E/ for audit/repair instead of vanishing
     # (reference analogue: bad-record routing in production CDC ingest)
     quarantine_rejects: bool = False
+    # declarative CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT / DLT
+    # expectations analogue): tuples (name, column, op, value, policy) with
+    # op in {==, !=, >, >=, <, <=, in, not_null, matches} and policy in
+    # {"fail", "drop"}. SQL CHECK null semantics: a NULL operand SATISFIES
+    # every op except not_null. policy="fail" aborts the epoch BEFORE any
+    # commit (the run stays resumable); policy="drop" filters the row (and
+    # dead-letters it with reason="check:<name>" when quarantine_rejects).
+    check_constraints: tuple = ()
 
     # --- execution ---
     batch_size_rows: int | None = None  # None → whole blocks (zero-copy arrow)

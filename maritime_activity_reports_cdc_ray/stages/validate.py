@@ -87,6 +87,30 @@ def reject_reasons(batch: pa.Table, cfg: EngineConfig) -> pa.Array:
                               pa.scalar("low_quality")))).cast(pa.string())
 
 
+class ConstraintViolation(ValueError):
+    """A policy='fail' CHECK constraint was violated — raised inside the map
+    phase, so the epoch aborts BEFORE any manifest commit and a rerun after
+    repair converges exactly-once."""
+
+
+def _constraint_mask(batch: pa.Table, col: str, op: str, value) -> pa.Array:
+    """True where the row SATISFIES the constraint. SQL CHECK null
+    semantics: a NULL operand satisfies every op except not_null (matching
+    Delta CHECK constraints), so fill_null(True) on comparisons."""
+    c = batch.column(col)
+    if op == "not_null":
+        return pc.is_valid(c)
+    if op == "matches":
+        return pc.fill_null(
+            pc.match_substring_regex(c.cast(pa.string()), value), True)
+    if op == "in":
+        vs = pa.array(list(value)).cast(c.type)
+        return pc.fill_null(pc.is_in(c, value_set=vs), True)
+    cmp = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
+           ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal}[op]
+    return pc.fill_null(cmp(c, pa.scalar(value).cast(c.type)), True)
+
+
 def make_validator(cfg: EngineConfig, quarantine_dir: str | None = None,
                    watermark_floor: int | None = None):
     """map_batches fn: score, then drop hard-invalid rows and rows under the
@@ -110,6 +134,20 @@ def make_validator(cfg: EngineConfig, quarantine_dir: str | None = None,
         keep = hard_valid
         if cfg.min_quality_score > 0.0:
             keep = pc.and_(keep, pc.greater_equal(scored.column("data_quality_score"), cfg.min_quality_score))
+        qual_keep = keep  # quality-only keep, for reject-reason precedence
+        failed_checks: list[tuple[str, pa.Array]] = []  # (name, violated mask)
+        for name, col, opn, val, policy in cfg.check_constraints:
+            ok = _constraint_mask(scored, col, opn, val)
+            if policy == "fail":
+                bad = pc.sum(pc.cast(pc.invert(ok), pa.int64())).as_py() or 0
+                if bad:
+                    raise ConstraintViolation(
+                        f"CHECK constraint '{name}' ({col} {opn} {val!r}) "
+                        f"violated by {bad} row(s); epoch aborted before "
+                        f"commit")
+            else:
+                failed_checks.append((name, pc.invert(ok)))
+                keep = pc.and_(keep, ok)
         late = None
         if watermark_floor is not None and "event_time" in scored.column_names:
             # null event_time is NOT late (fill_null(False)): the comparison
@@ -128,6 +166,17 @@ def make_validator(cfg: EngineConfig, quarantine_dir: str | None = None,
                 import pyarrow.parquet as _pq
 
                 reasons = reject_reasons(rej, cfg)
+                if failed_checks:
+                    # quality reasons take precedence; rows that PASSED the
+                    # quality gate but failed a check get "check:<name>"
+                    # (first declared constraint wins → apply in reverse)
+                    qok = pc.fill_null(qual_keep, False).filter(rej_mask)
+                    for cname, viol in reversed(failed_checks):
+                        reasons = pc.if_else(
+                            pc.and_(qok, pc.fill_null(viol, False)
+                                    .filter(rej_mask)),
+                            pa.scalar("check:" + cname), reasons
+                        ).cast(pa.string())
                 if late is not None:
                     reasons = pc.if_else(
                         pc.fill_null(late, False).filter(rej_mask),
