@@ -407,6 +407,16 @@ class CDCReplay:
 
         epochs = self.discover_epochs(input_path, files_per_epoch)
         sm = self.silver.latest_manifest()
+        if sm is not None and sm.num_partitions != self.cfg.num_partitions:
+            # pid assignment derives from cfg; replaying a lake created with
+            # a different partition count would scatter keys across wrong
+            # pids (first observed as an IndexError deep in resalt) — fail
+            # fast with the fix instead
+            raise ValueError(
+                f"EngineConfig.num_partitions={self.cfg.num_partitions} does "
+                f"not match this lake's manifest ({sm.num_partitions}); open "
+                f"it with num_partitions={sm.num_partitions} or use a fresh "
+                f"root")
         start = sm.epoch + 1
         end = len(epochs) if max_epochs is None else min(len(epochs), start + max_epochs)
         pipelined = (self.cfg.pipeline_epochs and end - start > 1

@@ -1,0 +1,199 @@
+"""Append-mode windowed streaming aggregation finalized by the watermark —
+Spark Structured Streaming's ``groupBy(window(event_time), key).agg(...)``
+with ``withWatermark`` in APPEND output mode (the reference configures exactly
+this shape for its gold stream: trigger cadence + watermark_delay in
+``models/config.py:44-46``; the semantics come from the Spark contract the
+reference names but never wires).
+
+Mechanics per :meth:`StreamingWindowAgg.refresh`:
+
+1. read ONLY the bronze fragments of epochs newer than the consumer's
+   watermark (manifest metadata selects the files; the read is
+   column-pruned to ``time_col`` + group cols — payload never moves);
+2. per-batch combiner: assign each row its tumbling window start
+   (``t // size * size``) and reduce to partial (window, group) counts/sums —
+   the shuffle moves partials, never rows (`hash_agg`);
+3. merge the partials into the persisted OPEN-WINDOW state (state size =
+   open windows × groups — bounded by the watermark, independent of stream
+   length);
+4. EMIT every window whose end <= the event-time watermark floor (late rows
+   for those windows can no longer arrive — the validator already drops
+   them), appending the finalized rows to the results table exactly once;
+5. commit state + results + meta as one versioned directory swap (a crashed
+   refresh reruns from the previous version and converges — same
+   exactly-once discipline as the manifest sink).
+
+A window is emitted exactly once, never updated afterward — the append-mode
+contract that makes the results table safe to export downstream. Windows
+still open when the stream ends are emitted by :meth:`flush`.
+
+Scale shape: state and results are group-cardinality, not stream-cardinality;
+the per-refresh input is one epoch-range of bronze (pruned at the manifest);
+everything between is combiner-first. The consumer must keep up with bronze
+retention (``rematerialize_content``) — same contract as any log consumer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class StreamingWindowAgg:
+    def __init__(self, replay, name: str, window_size: int,
+                 group_cols: list[str] = ("lang",),
+                 sum_cols: list[str] = (), time_col: str = "event_time",
+                 num_partitions: int = 8):
+        assert window_size > 0
+        self.replay = replay
+        self.name = name
+        self.size = int(window_size)
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        self.time_col = time_col
+        self.dir = os.path.join(replay.root, "streaming", name)
+
+    # ------------------------------------------------------------------ state
+    def _latest(self) -> str | None:
+        p = os.path.join(self.dir, "LATEST")
+        if not os.path.exists(p):
+            return None
+        return os.path.join(self.dir, open(p).read().strip())
+
+    def _meta(self) -> dict:
+        v = self._latest()
+        if v is None:
+            return {"epoch": -1}
+        return json.load(open(os.path.join(v, "meta.json")))
+
+    def _read(self, which: str) -> pd.DataFrame:
+        cols = (["window_start", "window_end"] + self.group_cols + ["n"]
+                + [f"sum_{c}" for c in self.sum_cols])
+        v = self._latest()
+        fp = None if v is None else os.path.join(v, f"{which}.parquet")
+        if fp is None or not os.path.exists(fp):
+            return pd.DataFrame(columns=cols)
+        return pq.read_table(fp).to_pandas()[cols]
+
+    def state(self) -> pd.DataFrame:
+        """Open (not yet finalized) windows."""
+        return self._read("state")
+
+    def results(self) -> pd.DataFrame:
+        """Finalized windows, append-only across refreshes."""
+        return self._read("results")
+
+    def _commit(self, epoch: int, state: pd.DataFrame,
+                results: pd.DataFrame, tag: str = "") -> None:
+        vdir = os.path.join(self.dir, f"v{epoch:010d}{tag}")
+        os.makedirs(vdir, exist_ok=True)
+        for which, df in (("state", state), ("results", results)):
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           os.path.join(vdir, f"{which}.parquet"))
+        with open(os.path.join(vdir, "meta.json"), "w") as f:
+            json.dump({"epoch": epoch, "open_windows": len(state),
+                       "emitted_windows": len(results)}, f)
+        fd, tmp = tempfile.mkstemp(dir=self.dir)
+        os.close(fd)
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(vdir))
+        prev = self._latest()
+        os.replace(tmp, os.path.join(self.dir, "LATEST"))
+        if prev and os.path.realpath(prev) != os.path.realpath(vdir):
+            shutil.rmtree(prev, ignore_errors=True)
+
+    # ---------------------------------------------------------------- refresh
+    def _delta(self, lo_epoch: int, hi_epoch: int) -> pd.DataFrame:
+        """Partial (window, group) aggregates over bronze epochs in
+        (lo, hi] — manifest-pruned files, column-pruned read, combiner-first
+        reduce. Returns group-cardinality rows to the driver."""
+        import ray.data as rd
+
+        from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
+        bm = self.replay.bronze.latest_manifest()
+        files = [self.replay.bronze.abspath(f.path) for f in bm.fragments
+                 if f.kind == "data" and lo_epoch < f.epoch <= hi_epoch]
+        cols = ["window_start"] + self.group_cols + ["n"] \
+            + [f"sum_{c}" for c in self.sum_cols]
+        if not files:
+            return pd.DataFrame(columns=cols)
+        ds = rd.read_parquet(files,
+                             columns=[self.time_col] + self.group_cols
+                             + self.sum_cols)
+        size, tcol = self.size, self.time_col
+        gcols, scols = list(self.group_cols), list(self.sum_cols)
+
+        def windows(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({c: pd.Series(dtype="int64" if c not in
+                                                  gcols else object)
+                                     for c in ["window_start", "n"] + gcols
+                                     + scols})
+            t = df[tcol].astype("int64")
+            out = df[gcols].copy()
+            out["window_start"] = (t // size * size).to_numpy()
+            out["n"] = 1
+            for c in scols:
+                out[c] = df[c].to_numpy()
+            return out
+
+        aggs = {"n": ("n", "sum")}
+        for c in scols:
+            aggs[f"sum_{c}"] = (c, "sum")
+        delta = hash_agg(ds.map_batches(windows, batch_format="pandas"),
+                         ["window_start"] + gcols, aggs).to_pandas()
+        return delta.drop(columns=[c for c in ("_part",) if c in delta])
+
+    def refresh(self) -> dict:
+        """Consume bronze epochs since the consumer watermark, update open
+        windows, emit the ones finalized by the event-time watermark."""
+        bm = self.replay.bronze.latest_manifest()
+        cur = bm.epoch
+        e = int(self._meta()["epoch"])
+        if cur <= e:
+            return {"status": "fresh", "epoch": e, "emitted": 0}
+
+        delta = self._delta(e, cur)
+        state = self.state().drop(columns=["window_end"])
+        merged = pd.concat([state, delta], ignore_index=True)
+        if len(merged):
+            merged = (merged.groupby(["window_start"] + self.group_cols,
+                                     as_index=False, sort=False).sum())
+        merged["window_end"] = merged.get(
+            "window_start", pd.Series(dtype="int64")) + self.size
+
+        floor = self.replay._watermark_floor()
+        if floor is None:
+            close = merged.iloc[0:0]
+            stay = merged
+        else:
+            fin = merged["window_end"] <= floor
+            close, stay = merged[fin], merged[~fin]
+        cols = (["window_start", "window_end"] + self.group_cols + ["n"]
+                + [f"sum_{c}" for c in self.sum_cols])
+        results = pd.concat([self.results(), close[cols]],
+                            ignore_index=True) if len(close) else \
+            self.results()
+        stay = stay[cols].sort_values(["window_start"] + self.group_cols) \
+            .reset_index(drop=True)
+        self._commit(cur, stay, results.reset_index(drop=True))
+        return {"status": "refreshed", "epoch": cur, "emitted": len(close),
+                "open_windows": len(stay)}
+
+    def flush(self) -> dict:
+        """End-of-stream: finalize every still-open window (Spark's
+        query-stop semantics — no more data can arrive)."""
+        st = self.state()
+        if not len(st):  # idempotent: nothing open, nothing to write
+            return {"status": "flushed", "emitted": 0}
+        res = pd.concat([self.results(), st], ignore_index=True)
+        self._commit(int(self._meta()["epoch"]), st.iloc[0:0], res,
+                     tag="-flush")
+        return {"status": "flushed", "emitted": len(st)}

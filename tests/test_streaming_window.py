@@ -1,0 +1,90 @@
+"""Append-mode windowed streaming aggregation (Spark withWatermark + window
+semantics). Contract:
+
+- after the final flush, emitted rows == a full batch group-by over BRONZE
+  (the validated stream) by (tumbling window, lang) — counts and sums;
+- append-only: a (window, group) row emitted at refresh k never reappears
+  or changes in any later refresh;
+- windows emit only when the event-time watermark passes their end — while
+  the stream runs, no open window is ever in results;
+- refresh is watermark-guarded (re-refresh no-ops) and a fresh consumer
+  object resumes from the persisted state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from maritime_activity_reports_cdc_ray import EngineConfig
+from maritime_activity_reports_cdc_ray.generate import generate_events
+from maritime_activity_reports_cdc_ray.pipelines import CDCReplay
+from maritime_activity_reports_cdc_ray.pipelines.streaming import StreamingWindowAgg
+
+SIZE = 40
+
+
+def _expected(r) -> pd.DataFrame:
+    import ray.data as rd
+
+    bm = r.bronze.latest_manifest()
+    files = [r.bronze.abspath(f.path) for f in bm.fragments if f.kind == "data"]
+    b = rd.read_parquet(files, columns=["event_time", "lang",
+                                        "content_bytes"]).to_pandas()
+    b["window_start"] = b["event_time"] // SIZE * SIZE
+    exp = (b.groupby(["window_start", "lang"], as_index=False)
+           .agg(n=("lang", "size"), sum_content_bytes=("content_bytes", "sum")))
+    exp["window_end"] = exp["window_start"] + SIZE
+    return exp.sort_values(["window_start", "lang"]).reset_index(drop=True)
+
+
+def _key(df):
+    return set(zip(df["window_start"], df["lang"]))
+
+
+def test_streaming_window_append_mode(ray_session, tmp_path):
+    d = str(tmp_path / "stream")
+    generate_events(d, n_events=3000, n_repos=8, n_epochs=3, seed=29)
+    r = CDCReplay(str(tmp_path / "lake"),
+                  EngineConfig(num_partitions=4, watermark_delay=50))
+    r.setup()
+    w = StreamingWindowAgg(r, "lang_windows", SIZE, ["lang"],
+                           sum_cols=["content_bytes"])
+    seen: dict = {}
+    for _ in range(3):
+        r.run(d, max_epochs=1)
+        out = w.refresh()
+        assert out["status"] == "refreshed"
+        res = w.results()
+        # append-only: previously emitted rows unchanged
+        for k, (n, s) in seen.items():
+            row = res[(res["window_start"] == k[0]) & (res["lang"] == k[1])]
+            assert len(row) == 1 and int(row["n"].iloc[0]) == n \
+                and int(row["sum_content_bytes"].iloc[0]) == s
+        assert len(res) == len(_key(res))  # no duplicate emits
+        seen = {k: (int(n), int(s)) for k, n, s in zip(
+            _key(res) and zip(res["window_start"], res["lang"]),
+            res["n"], res["sum_content_bytes"])}
+        # no open window leaked into results
+        assert not (_key(res) & _key(w.state()))
+        # watermark-guarded no-op
+        assert w.refresh()["status"] == "fresh"
+        # finalized windows are closed w.r.t. the floor
+        floor = r._watermark_floor()
+        if floor is not None and len(res):
+            assert (res["window_end"] <= floor).all()
+    # resume from disk with a fresh consumer, then end-of-stream flush
+    w2 = StreamingWindowAgg(r, "lang_windows", SIZE, ["lang"],
+                            sum_cols=["content_bytes"])
+    w2.flush()
+    assert w2.flush()["emitted"] == 0  # idempotent
+    got = (w2.results().sort_values(["window_start", "lang"])
+           .reset_index(drop=True))
+    exp = _expected(r)
+    assert got["window_start"].tolist() == exp["window_start"].tolist()
+    assert got["lang"].tolist() == exp["lang"].tolist()
+    assert got["n"].astype("int64").tolist() == exp["n"].tolist()
+    assert got["sum_content_bytes"].astype("int64").tolist() == \
+        exp["sum_content_bytes"].tolist()
+    assert got["window_end"].astype("int64").tolist() == \
+        exp["window_end"].tolist()
+    assert len(w2.state()) == 0

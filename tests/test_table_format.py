@@ -305,3 +305,22 @@ def test_describe_history_after_vacuum_not_clone(tmp_path):
     assert len(h) == 1
     assert h[0]["operation"] == "unknown"
     assert h[0]["version"] == 2
+
+
+def test_num_partitions_mismatch_fails_fast(tmp_path):
+    """Reopening a lake with a different num_partitions must raise a clear
+    error at run() — pid assignment derives from cfg, so a mismatch would
+    scatter keys across wrong pids (first seen as an IndexError in resalt)."""
+    import pytest
+
+    from maritime_activity_reports_cdc_ray import EngineConfig
+    from maritime_activity_reports_cdc_ray.generate import generate_events
+    from maritime_activity_reports_cdc_ray.pipelines import CDCReplay
+
+    d = str(tmp_path / "stream")
+    generate_events(d, n_events=200, n_repos=3, n_epochs=1, seed=1)
+    lake = str(tmp_path / "lake")
+    CDCReplay(lake, EngineConfig(num_partitions=8)).setup()
+    r = CDCReplay(lake, EngineConfig(num_partitions=4))
+    with pytest.raises(ValueError, match="num_partitions"):
+        r.run(d)
