@@ -886,19 +886,43 @@ def cdc_lookup_cache(sf_dir: str):
 
 
 def cdc_gold_rollup(sf_dir: str):
-    """Gold incremental aggregates through the real engine: per-repo (= user)
-    rollup after the adapted replay. SQL oracle recomputes file_count (live
-    LWW winners), total_bytes (winner content lengths), latest commit's event
-    id, and total_versions from the raw events."""
+    """Gold incremental aggregates through the real engine, two faces.
+    method='gold': the engine's changed-key-scoped gold refresh; the oracle
+    recomputes file_count (live LWW winners), total_bytes (winner content
+    lengths), latest commit's event id, and total_versions from the raw
+    events. method='ivm': the SAME live-winner counts/bytes maintained by
+    IncrementalAggView — stepped epoch-by-epoch through the pinned net
+    change feed (refresh(to_epoch=0..3)), so every refresh applies ONLY
+    that epoch's signed insert/update deltas; a wrong delta algebra would
+    diverge from the groupby the SQL replays. latest_event_id /
+    total_versions are -1 literals on this face (not maintained by it)."""
     r = _replay_events_as_cdc(sf_dir)
     g = r.read_gold().to_pandas()
-    return pd.DataFrame({
+    gold = pd.DataFrame({
+        "method": "gold",
         "user_id": g.repo.str.slice(1).astype("int64"),
         "file_count": g.file_count.astype("int64"),
         "total_bytes": g.total_bytes.astype("int64"),
         "latest_event_id": g.latest_commit.str.slice(17).astype("int64"),
         "total_versions": g.total_versions.astype("int64"),
-    }).sort_values("user_id").reset_index(drop=True)
+    })
+    from maritime_activity_reports_cdc_ray.pipelines.views import IncrementalAggView
+
+    v = IncrementalAggView(r, "rollup_ivm", ["repo"], ["content_bytes"])
+    for ep in range(r.silver.latest_manifest().epoch + 1):
+        v.refresh(to_epoch=ep)  # one epoch's delta per step (cached lake:
+        #                         already-applied epochs no-op)
+    st = v.read()
+    ivm = pd.DataFrame({
+        "method": "ivm",
+        "user_id": st.repo.str.slice(1).astype("int64"),
+        "file_count": st.n.astype("int64"),
+        "total_bytes": st.sum_content_bytes.astype("int64"),
+        "latest_event_id": -1,
+        "total_versions": -1,
+    })
+    return (pd.concat([gold, ivm], ignore_index=True)
+            .sort_values(["method", "user_id"]).reset_index(drop=True))
 
 
 def cdc_silver_asof(sf_dir: str):
@@ -3137,13 +3161,19 @@ def oracle_sql() -> dict[str, str]:
             totals AS (
                 SELECT user_id, COUNT(*) AS total_versions FROM events GROUP BY user_id
             )
-            SELECT w.user_id, COUNT(*) AS file_count,
+            SELECT 'gold' AS method, w.user_id, COUNT(*) AS file_count,
                    CAST(SUM(length(CAST(w.event_id AS VARCHAR))) AS BIGINT) AS total_bytes,
                    MIN(latest.latest_event_id) AS latest_event_id,
                    MIN(totals.total_versions) AS total_versions
             FROM w JOIN latest ON w.user_id = latest.user_id
                    JOIN totals ON w.user_id = totals.user_id
             GROUP BY w.user_id
+            UNION ALL
+            SELECT 'ivm' AS method, user_id, COUNT(*) AS file_count,
+                   CAST(SUM(length(CAST(event_id AS VARCHAR))) AS BIGINT) AS total_bytes,
+                   CAST(-1 AS BIGINT) AS latest_event_id,
+                   CAST(-1 AS BIGINT) AS total_versions
+            FROM w GROUP BY user_id
         """,
         "docs_token_stats": f"""
             WITH RECURSIVE tn AS (

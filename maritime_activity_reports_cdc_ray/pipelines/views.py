@@ -164,10 +164,15 @@ class IncrementalAggView:
         return pq.read_table(dp).to_pandas()[cols]
 
     # ---------------------------------------------------------------- refresh
-    def refresh(self) -> dict:
+    def refresh(self, to_epoch: int | None = None) -> dict:
+        """Apply the net change feed since the view's watermark. ``to_epoch``
+        pins the refresh to a historical epoch (time-travel refresh — lets a
+        test or a backfill step the view forward one epoch at a time)."""
         from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
 
         cur = self.replay.silver.latest_manifest().epoch
+        if to_epoch is not None:
+            cur = min(cur, int(to_epoch))
         e = self.view_epoch()
         if cur <= e:
             return {"status": "fresh", "epoch": e, "groups_touched": 0}
