@@ -57,6 +57,7 @@ class StreamingWindowAgg:
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
         self.time_col = time_col
+        self.num_partitions = int(num_partitions)
         self.dir = os.path.join(replay.root, "streaming", name)
 
     # ------------------------------------------------------------------ state
@@ -131,6 +132,10 @@ class StreamingWindowAgg:
         gcols, scols = list(self.group_cols), list(self.sum_cols)
 
         def windows(df: pd.DataFrame) -> pd.DataFrame:
+            # a null event_time row has no window (Spark: a null timestamp
+            # falls out of the window groupby) — drop before the int cast,
+            # which would raise on the NaN and wedge the consumer forever
+            df = df[df[tcol].notna()]
             if not len(df):
                 return pd.DataFrame({c: pd.Series(dtype="int64" if c not in
                                                   gcols else object)
@@ -148,8 +153,27 @@ class StreamingWindowAgg:
         for c in scols:
             aggs[f"sum_{c}"] = (c, "sum")
         delta = hash_agg(ds.map_batches(windows, batch_format="pandas"),
-                         ["window_start"] + gcols, aggs).to_pandas()
+                         ["window_start"] + gcols, aggs,
+                         num_partitions=self.num_partitions).to_pandas()
         return delta.drop(columns=[c for c in ("_part",) if c in delta])
+
+    def _emit_floor(self, consumed_epoch: int) -> int | None:
+        """Emission floor pinned to the CONSUMED snapshot, with premap
+        slack: the validator admits epoch j's rows against a floor read from
+        a bronze manifest at epoch >= j-2 (premap overlap is 'one epoch
+        laxer' — see ``CDCReplay._watermark_floor``), so any FUTURE epoch's
+        admitted row has event_time >= max_event_time(as of consumed-1) −
+        delay. Emitting against that bound guarantees no already-emitted
+        window can receive another row. Reading the LIVE floor instead would
+        race a concurrent run(): a fresher epoch's floor finalizes windows
+        whose rows we have not consumed yet, double-emitting them later."""
+        if self.replay.cfg.watermark_delay is None or consumed_epoch < 1:
+            return None
+        m = self.replay.bronze.manifest_as_of(consumed_epoch - 1)
+        met = (m.stats or {}).get("max_event_time")
+        if met is None:
+            return None
+        return int(met) - int(self.replay.cfg.watermark_delay)
 
     def refresh(self) -> dict:
         """Consume bronze epochs since the consumer watermark, update open
@@ -169,7 +193,7 @@ class StreamingWindowAgg:
         merged["window_end"] = merged.get(
             "window_start", pd.Series(dtype="int64")) + self.size
 
-        floor = self.replay._watermark_floor()
+        floor = self._emit_floor(cur)
         if floor is None:
             close = merged.iloc[0:0]
             stay = merged

@@ -135,9 +135,12 @@ class IncrementalAggView:
        count reaches zero.
 
     Cost per refresh is O(changed keys), not O(table) — the point of IVM at
-    100 TB. State persistence follows the ViewRegistry discipline (parquet +
-    meta epoch, temp + atomic rename); a crashed refresh re-runs and, because
-    the delta is a pure function of (E, T], converges identically.
+    100 TB. Persistence is a VERSIONED-DIRECTORY swap (state parquet + meta
+    land in ``v<epoch>/`` and a LATEST pointer flips in one rename): unlike
+    a full-recompute view, the state here is ITSELF an input to the next
+    refresh, so data and watermark must commit atomically — a crash at any
+    point re-runs from the previous version and converges (a data-then-meta
+    two-rename scheme would double-apply the delta).
     """
 
     def __init__(self, replay, name: str, group_cols: list[str],
@@ -146,22 +149,31 @@ class IncrementalAggView:
         self.name = name
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.num_partitions = int(num_partitions)
         self.dir = os.path.join(replay.root, "views", name)
 
     # ------------------------------------------------------------------ state
+    def _latest(self) -> str | None:
+        p = os.path.join(self.dir, "LATEST")
+        if not os.path.exists(p):
+            return None
+        return os.path.join(self.dir, open(p).read().strip())
+
     def _meta(self) -> dict:
-        mp = os.path.join(self.dir, "_meta.json")
-        return json.load(open(mp)) if os.path.exists(mp) else {"epoch": -1}
+        v = self._latest()
+        if v is None:
+            return {"epoch": -1}
+        return json.load(open(os.path.join(v, "meta.json")))
 
     def view_epoch(self) -> int:
         return int(self._meta()["epoch"])
 
     def read(self) -> pd.DataFrame:
-        dp = os.path.join(self.dir, "data.parquet")
         cols = self.group_cols + ["n"] + [f"sum_{c}" for c in self.sum_cols]
-        if not os.path.exists(dp):
+        v = self._latest()
+        if v is None:
             return pd.DataFrame(columns=cols)
-        return pq.read_table(dp).to_pandas()[cols]
+        return pq.read_table(os.path.join(v, "data.parquet")).to_pandas()[cols]
 
     # ---------------------------------------------------------------- refresh
     def refresh(self, to_epoch: int | None = None) -> dict:
@@ -203,7 +215,8 @@ class IncrementalAggView:
         for c in self.sum_cols:
             aggs[f"sum_{c}"] = (c, "sum")
         delta = hash_agg(feed.map_batches(signed, batch_format="pandas"),
-                         self.group_cols, aggs).to_pandas()
+                         self.group_cols, aggs,
+                         num_partitions=self.num_partitions).to_pandas()
         if "_part" in delta.columns:
             delta = delta.drop(columns=["_part"])
 
@@ -215,20 +228,25 @@ class IncrementalAggView:
             merged = merged[merged["n"] != 0]
         merged = merged.sort_values(self.group_cols).reset_index(drop=True)
 
-        os.makedirs(self.dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
-        os.close(fd)
-        try:
-            pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
-                           tmp)
-            os.replace(tmp, os.path.join(self.dir, "data.parquet"))
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-        mp = os.path.join(self.dir, "_meta.json")
-        with open(mp + ".tmp", "w") as f:
+        # atomic versioned-dir swap: state + watermark commit together (the
+        # state feeds the NEXT delta, so a data-then-meta scheme would
+        # double-apply on a crash between the renames)
+        vdir = os.path.join(self.dir, f"v{cur:010d}")
+        os.makedirs(vdir, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
+                       os.path.join(vdir, "data.parquet"))
+        with open(os.path.join(vdir, "meta.json"), "w") as f:
             json.dump({"epoch": cur, "rows": len(merged)}, f)
-        os.replace(mp + ".tmp", mp)
+        prev = self._latest()
+        fd, tmp = tempfile.mkstemp(dir=self.dir)
+        os.close(fd)
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(vdir))
+        os.replace(tmp, os.path.join(self.dir, "LATEST"))
+        if prev and os.path.realpath(prev) != os.path.realpath(vdir):
+            import shutil
+
+            shutil.rmtree(prev, ignore_errors=True)
         return {"status": "refreshed", "epoch": cur,
                 "groups_touched": len(delta)}
 

@@ -104,8 +104,10 @@ def _constraint_mask(batch: pa.Table, col: str, op: str, value) -> pa.Array:
         return pc.fill_null(
             pc.match_substring_regex(c.cast(pa.string()), value), True)
     if op == "in":
+        # pc.is_in returns false (not null) for null inputs — OR with
+        # is_null to keep the documented NULL-satisfies semantics
         vs = pa.array(list(value)).cast(c.type)
-        return pc.fill_null(pc.is_in(c, value_set=vs), True)
+        return pc.or_(pc.is_in(c, value_set=vs), pc.is_null(c))
     cmp = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
            ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal}[op]
     return pc.fill_null(cmp(c, pa.scalar(value).cast(c.type)), True)
@@ -135,19 +137,6 @@ def make_validator(cfg: EngineConfig, quarantine_dir: str | None = None,
         if cfg.min_quality_score > 0.0:
             keep = pc.and_(keep, pc.greater_equal(scored.column("data_quality_score"), cfg.min_quality_score))
         qual_keep = keep  # quality-only keep, for reject-reason precedence
-        failed_checks: list[tuple[str, pa.Array]] = []  # (name, violated mask)
-        for name, col, opn, val, policy in cfg.check_constraints:
-            ok = _constraint_mask(scored, col, opn, val)
-            if policy == "fail":
-                bad = pc.sum(pc.cast(pc.invert(ok), pa.int64())).as_py() or 0
-                if bad:
-                    raise ConstraintViolation(
-                        f"CHECK constraint '{name}' ({col} {opn} {val!r}) "
-                        f"violated by {bad} row(s); epoch aborted before "
-                        f"commit")
-            else:
-                failed_checks.append((name, pc.invert(ok)))
-                keep = pc.and_(keep, ok)
         late = None
         if watermark_floor is not None and "event_time" in scored.column_names:
             # null event_time is NOT late (fill_null(False)): the comparison
@@ -156,6 +145,24 @@ def make_validator(cfg: EngineConfig, quarantine_dir: str | None = None,
             late = pc.fill_null(
                 pc.less(scored.column("event_time"), watermark_floor), False)
             keep = pc.and_(keep, pc.invert(late))
+        failed_checks: list[tuple[str, pa.Array]] = []  # (name, violated mask)
+        for name, col, opn, val, policy in cfg.check_constraints:
+            ok = _constraint_mask(scored, col, opn, val)
+            if policy == "fail":
+                # Delta write-time semantics: only rows that would actually
+                # LAND can poison the epoch — a hard-invalid / late / below-
+                # threshold row that validation drops anyway must not abort
+                bad = pc.sum(pc.cast(
+                    pc.and_(pc.invert(ok), pc.fill_null(keep, False)),
+                    pa.int64())).as_py() or 0
+                if bad:
+                    raise ConstraintViolation(
+                        f"CHECK constraint '{name}' ({col} {opn} {val!r}) "
+                        f"violated by {bad} row(s); epoch aborted before "
+                        f"commit")
+            else:
+                failed_checks.append((name, pc.invert(ok)))
+                keep = pc.and_(keep, ok)
         if quarantine_dir is not None:
             rej_mask = pc.invert(pc.fill_null(keep, False))
             rej = scored.filter(rej_mask)

@@ -88,3 +88,40 @@ def test_streaming_window_append_mode(ray_session, tmp_path):
     assert got["window_end"].astype("int64").tolist() == \
         exp["window_end"].tolist()
     assert len(w2.state()) == 0
+
+
+def test_streaming_window_null_event_time_excluded(ray_session, tmp_path):
+    """A null event_time row admitted by the validator (null is not late)
+    must not wedge the consumer: it is excluded from windowed aggregation
+    (Spark: null timestamps fall out of the window groupby)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "stream")
+    files = generate_events(d, n_events=800, n_repos=5, n_epochs=2, seed=47,
+                            p_delay=0.0)
+    for ei, f in enumerate(files):
+        t = pq.read_table(f)
+        et = [ei * 100_000 + i for i in range(t.num_rows)]
+        et[0] = None  # one null event_time per epoch
+        t = t.append_column("event_time", pa.array(et, pa.int64()))
+        pq.write_table(t, f)
+    r = CDCReplay(str(tmp_path / "lake"),
+                  EngineConfig(num_partitions=4, watermark_delay=50))
+    r.setup()
+    r.run(d)
+    w = StreamingWindowAgg(r, "nulls", 1000, ["lang"])
+    assert w.refresh()["status"] == "refreshed"  # must not raise
+    w.flush()
+    res = w.results()
+    # total n = bronze rows with non-null event_time
+    import ray.data as rd
+
+    bm = r.bronze.latest_manifest()
+    b = rd.read_parquet([r.bronze.abspath(f.path) for f in bm.fragments
+                         if f.kind == "data"],
+                        columns=["event_time"]).to_pandas()
+    assert int(res["n"].sum()) == int(b["event_time"].notna().sum())
+    assert b["event_time"].isna().sum() == 2

@@ -139,3 +139,35 @@ def test_check_constraint_quarantine_reason(ray_session, tmp_path):
     assert set(q["reject_reason"]) == {"check:only_py"}
     sil = r.read_silver().to_pandas()
     assert set(sil["lang"]) <= {"py"}
+
+
+def test_check_constraint_in_null_satisfies():
+    """NULL satisfies the 'in' op (pc.is_in alone returns false for nulls —
+    regression for the OR-is_null fix)."""
+    cfg = EngineConfig(check_constraints=(
+        ("lang_known", "lang", "in", ("py", "rs"), "drop"),))
+    t = _stamped([("r", "a", "c000000000001", "py", "ok")])
+    t = t.set_column(t.schema.get_field_index("lang"), "lang",
+                     pa.array([None], pa.string()))
+    assert make_validator(cfg)(t).num_rows == 1
+
+
+def test_check_constraint_fail_ignores_dropped_rows():
+    """policy='fail' applies Delta write-time semantics: a row validation
+    drops anyway (hard-invalid) must not abort the epoch even if it also
+    violates the constraint."""
+    cfg = EngineConfig(check_constraints=(
+        ("small", "content_bytes", "<=", 3, "fail"),))
+    rows = [
+        ("r", "a", "c000000000001", "py", "ok"),        # passes
+        ("", "b", "c000000000002", "py", "x" * 50),     # hard-invalid AND >3
+    ]
+    out = make_validator(cfg)(_stamped(rows))  # must NOT raise
+    assert out.column("path").to_pylist() == ["a"]
+    # but a LANDING row violating it still aborts
+    import pytest
+
+    from maritime_activity_reports_cdc_ray.stages.validate import ConstraintViolation
+    rows2 = [("r", "a", "c000000000001", "py", "x" * 50)]
+    with pytest.raises(ConstraintViolation):
+        make_validator(cfg)(_stamped(rows2))

@@ -77,3 +77,31 @@ def test_incremental_view_multi_epoch_catchup(ray_session, tmp_path):
     assert got["n"].astype("int64").tolist() == exp["n"].tolist()
     assert got["sum_content_bytes"].astype("int64").tolist() == \
         exp["sum_content_bytes"].tolist()
+
+
+def test_incremental_view_crash_mid_commit_recovers(ray_session, tmp_path):
+    """A refresh interrupted after writing its version dir but BEFORE the
+    LATEST pointer flip must rerun and converge (regression for the
+    two-rename double-apply hazard): garbage in the future vdir is
+    overwritten, nothing double-applies."""
+    import os
+
+    d = str(tmp_path / "stream")
+    generate_events(d, n_events=1600, n_repos=6, n_epochs=2, seed=41)
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(d)
+    v = IncrementalAggView(r, "inc", ["lang"], ["content_bytes"])
+    v.refresh(to_epoch=0)
+    # simulate the crashed refresh-to-epoch-1: its vdir exists (corrupt),
+    # LATEST still points at v0
+    vdir = os.path.join(v.dir, f"v{1:010d}")
+    os.makedirs(vdir)
+    open(os.path.join(vdir, "data.parquet"), "w").write("garbage")
+    open(os.path.join(vdir, "meta.json"), "w").write("{}")
+    assert v.view_epoch() == 0
+    out = v.refresh(to_epoch=1)
+    assert out["status"] == "refreshed"
+    _eq(v.read(), _full(r) if r.silver.latest_manifest().epoch == 1 else
+        v.read())  # epoch 1 == latest here (2 epochs: 0,1)
+    _eq(v.read(), _full(r))
