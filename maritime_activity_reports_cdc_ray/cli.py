@@ -166,6 +166,18 @@ def main(argv=None):
                     help="comma-separated int columns to SUM (COUNT is implicit)")
     sp.add_argument("--limit", type=int, default=50)
 
+    sp = sub.add_parser("stream-window", help="append-mode windowed streaming "
+                                              "aggregation: consume new bronze epochs, "
+                                              "emit windows finalized by the watermark "
+                                              "(--flush finalizes the rest at stream end)")
+    common(sp)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--window-size", type=int, required=True)
+    sp.add_argument("--group-cols", default="lang")
+    sp.add_argument("--sum-cols", default="")
+    sp.add_argument("--flush", action="store_true")
+    sp.add_argument("--limit", type=int, default=50)
+
     sp = sub.add_parser("curate", help="run the end-to-end corpus curation pipeline "
                         "over a documents parquet and write the kept docs as "
                         "resumable lang-partitioned parquet")
@@ -280,6 +292,18 @@ def main(argv=None):
             out = v.refresh()
             out["state"] = json.loads(
                 v.read().head(args.limit).to_json(orient="records"))
+            print(json.dumps(out, indent=1))
+        elif args.cmd == "stream-window":
+            from maritime_activity_reports_cdc_ray.pipelines.streaming import StreamingWindowAgg
+
+            w = StreamingWindowAgg(
+                r, args.name, args.window_size, args.group_cols.split(","),
+                [c for c in args.sum_cols.split(",") if c])
+            out = w.refresh()
+            if args.flush:
+                out["flush"] = w.flush()
+            out["results"] = json.loads(
+                w.results().head(args.limit).to_json(orient="records"))
             print(json.dumps(out, indent=1))
         elif args.cmd == "remat":
             from maritime_activity_reports_cdc_ray.pipelines.maintenance import (

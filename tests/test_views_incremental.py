@@ -105,3 +105,53 @@ def test_incremental_view_crash_mid_commit_recovers(ray_session, tmp_path):
     _eq(v.read(), _full(r) if r.silver.latest_manifest().epoch == 1 else
         v.read())  # epoch 1 == latest here (2 epochs: 0,1)
     _eq(v.read(), _full(r))
+
+
+def test_incremental_view_randomized_adversarial(ray_session, tmp_path):
+    """Adversarial tiny streams: explicit tombstones (group-count −1), keys
+    whose group MOVES between epochs (lang flips — the −pre/+post transfer),
+    re-upserts after delete, and duplicate events. Every epoch's refreshed
+    state must equal the full recompute."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from maritime_activity_reports_cdc_ray.schemas import TOMBSTONE
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        keys = [("r%d" % (i % 3), "p%d" % i) for i in range(8)]
+        epochs = []
+        for e in range(3):
+            rows = []
+            for _ in range(20):
+                repo, path = rng.choice(keys)
+                if rng.random() < 0.2:
+                    rows.append((repo, path, f"c{e:06d}{rng.randrange(999999):06d}",
+                                 "", TOMBSTONE))
+                else:
+                    lang = rng.choice(["py", "rs", "go"])  # group moves
+                    rows.append((repo, path, f"c{e:06d}{rng.randrange(999999):06d}",
+                                 lang, "x" * rng.randrange(1, 30)))
+            epochs.append(rows)
+        d = str(tmp_path / f"s{trial}")
+        import os
+        os.makedirs(d)
+        for e, rows in enumerate(epochs):
+            t = pa.table({
+                "repo": pa.array([r[0] for r in rows], pa.string()),
+                "path": pa.array([r[1] for r in rows], pa.string()),
+                "commit": pa.array([r[2] for r in rows], pa.string()),
+                "lang": pa.array([r[3] for r in rows], pa.string()),
+                "content": pa.array([r[4] for r in rows], pa.large_string()),
+            })
+            pq.write_table(t, os.path.join(d, f"part-{e:05d}.parquet"))
+        r = CDCReplay(str(tmp_path / f"lake{trial}"),
+                      EngineConfig(num_partitions=4))
+        r.setup()
+        v = IncrementalAggView(r, "adv", ["lang"], ["content_bytes"])
+        for _ in range(3):
+            r.run(d, max_epochs=1)
+            v.refresh()
+            _eq(v.read(), _full(r))
