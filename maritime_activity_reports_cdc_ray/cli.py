@@ -93,6 +93,11 @@ def main(argv=None):
     sp.add_argument("--include-single", action="store_true",
                     help="also rewrite single-fragment chains (re-cluster an "
                          "already-compacted table)")
+    sp.add_argument("--zorder", action="store_true",
+                    help="Morton-interleave the cluster columns (true ZORDER: "
+                         "row groups turn selective for predicates on ANY of "
+                         "them, not just the first) — needs >= 2 --cluster-by "
+                         "columns")
 
     sp = sub.add_parser("vacuum", help="delete unreferenced fragment files")
     common(sp)
@@ -322,7 +327,7 @@ def main(argv=None):
             print(json.dumps(compact_table(
                 lake, kinds=kinds, compression=r.cfg.write_compression,
                 cluster_by=cluster, row_group_size=args.row_group_size,
-                include_single=args.include_single)))
+                include_single=args.include_single, zorder=args.zorder)))
         elif args.cmd == "read":
             cols = args.columns.split(",") if args.columns else None
             pred = None

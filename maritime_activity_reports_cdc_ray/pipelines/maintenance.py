@@ -16,9 +16,44 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def zorder_indices(t: pa.Table, cols: list[str]):
+    """Morton/Z-order permutation over ``cols`` (Delta ``OPTIMIZE ZORDER
+    BY`` analogue): each column is quantized ORDER-PRESERVINGLY to 16 bits
+    (rank among the fragment's distinct values, scaled — works for strings
+    and numbers alike and adapts to skew like Delta's range-partitioned
+    z-cube), the per-column codes are bit-interleaved into one key, and the
+    stable argsort of that key is returned. Rows close in EVERY clustered
+    dimension become contiguous, so parquet row-group min/max stats turn
+    selective for predicates on ANY of the columns — a lexicographic sort
+    only skips on the leading one. Deterministic (rank + stable sort)."""
+    import numpy as np
+
+    cols = [c for c in cols if c in t.column_names][:4]  # 4×16 bits = u64
+    assert len(cols) >= 2, "z-order needs >= 2 columns (else plain sort)"
+    import pandas as pd
+
+    codes = []
+    for c in cols:
+        # null-safe dense rank (silver current fragments carry delete
+        # sentinels with null lang — np.unique would choke on None < str);
+        # nulls take code 0 and cluster together at the z-curve origin
+        r = pd.Series(t.column(c).to_pandas()).rank(method="dense")
+        k = int(r.max()) if r.notna().any() else 1
+        q = (r.fillna(0.0).to_numpy().astype(np.uint64) * np.uint64(65535)
+             // np.uint64(max(1, k)))
+        codes.append(q)
+    key = np.zeros(t.num_rows, np.uint64)
+    k = len(codes)
+    for b in range(16):
+        for j, q in enumerate(codes):
+            key |= ((q >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * k + j)
+    return np.argsort(key, kind="stable")
+
+
 def make_compact_task_fn(root: str, compression: str,
                          cluster_by: list[str] | None = None,
-                         row_group_size: int | None = None):
+                         row_group_size: int | None = None,
+                         zorder: bool = False):
     def fn(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
@@ -30,6 +65,17 @@ def make_compact_task_fn(root: str, compression: str,
             pid, salt, kind, epoch = int(item["pid"]), int(item["salt"]), item["kind"], int(item["epoch"])
             tabs = [pq.read_table(lake.abspath(p)) for p in item["paths"]]
             t = pa.concat_tables(tabs, promote_options="permissive")
+            if (zorder and cluster_by
+                    and len([c for c in cluster_by
+                             if c in t.column_names]) >= 2):
+                t = t.combine_chunks()
+                t = t.take(pa.array(zorder_indices(t, cluster_by)))
+                frag = lake.stage_fragment(t, epoch, pid, salt, kind,
+                                           compression, suffix="c",
+                                           row_group_size=row_group_size)
+                rows.append({"fragments_json": json.dumps([frag.__dict__]),
+                             "replaced_json": json.dumps(list(item["paths"]))})
+                continue
             if cluster_by:
                 sort_keys = [(c, "ascending") for c in cluster_by
                              if c in t.column_names]
@@ -56,7 +102,7 @@ def make_compact_task_fn(root: str, compression: str,
 def compact_table(lake, kinds: tuple = ("history",), compression: str = "zstd",
                   cluster_by: list[str] | None = None,
                   row_group_size: int | None = None,
-                  include_single: bool = False) -> dict:
+                  include_single: bool = False, zorder: bool = False) -> dict:
     """Merge multi-fragment chains per (pid, salt, kind) into single sorted
     fragments. Returns counts. Safe to re-run; crash-safe (maintenance commit).
 
@@ -89,7 +135,8 @@ def compact_table(lake, kinds: tuple = ("history",), compression: str = "zstd",
         return {"compacted_groups": 0, "fragments_removed": 0}
     assert ray.is_initialized()
     res = rd.from_items(items).map_batches(
-        make_compact_task_fn(lake.root, compression, cluster_by, row_group_size),
+        make_compact_task_fn(lake.root, compression, cluster_by,
+                             row_group_size, zorder),
         batch_format="pyarrow", batch_size=1
     ).take_all()
     new_frags, replaced = [], set()
