@@ -144,11 +144,20 @@ class IncrementalAggView:
     """
 
     def __init__(self, replay, name: str, group_cols: list[str],
-                 sum_cols: list[str] = (), num_partitions: int = 8):
+                 sum_cols: list[str] = (), max_cols: list[str] = (),
+                 num_partitions: int = 8):
+        """``max_cols`` (numeric): MAX is NOT self-maintainable — an insert
+        can only raise it (pure delta), but deleting the current maximum
+        requires looking at the group's surviving rows. The refresh applies
+        the classic hybrid: max(stored, inserted) incrementally, and ONLY
+        groups whose deleted-side max reaches that provisional value
+        recompute — via a group-scoped, column-pruned ``read_silver``
+        (bounded by the affected groups' rows, never the table)."""
         self.replay = replay
         self.name = name
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.max_cols = list(max_cols)
         self.num_partitions = int(num_partitions)
         self.dir = os.path.join(replay.root, "views", name)
 
@@ -168,8 +177,12 @@ class IncrementalAggView:
     def view_epoch(self) -> int:
         return int(self._meta()["epoch"])
 
+    def _cols(self) -> list[str]:
+        return (self.group_cols + ["n"] + [f"sum_{c}" for c in self.sum_cols]
+                + [f"max_{c}" for c in self.max_cols])
+
     def read(self) -> pd.DataFrame:
-        cols = self.group_cols + ["n"] + [f"sum_{c}" for c in self.sum_cols]
+        cols = self._cols()
         v = self._latest()
         if v is None:
             return pd.DataFrame(columns=cols)
@@ -189,31 +202,43 @@ class IncrementalAggView:
         if cur <= e:
             return {"status": "fresh", "epoch": e, "groups_touched": 0}
 
-        need = self.group_cols + self.sum_cols
+        need = list(dict.fromkeys(self.group_cols + self.sum_cols
+                                  + self.max_cols))
         feed = self.replay.table_changes(None if e < 0 else e, cur,
                                          columns=need)
 
         # plain locals only — a closure over `self` would drag the replay
         # handle (and its background-thread lock) into the task pickles
         gcols, scols = list(self.group_cols), list(self.sum_cols)
+        mcols = list(self.max_cols)
 
         def signed(df: pd.DataFrame) -> pd.DataFrame:
             if not len(df):
                 return pd.DataFrame({c: pd.Series(dtype=t) for c, t in
                                      [(g, object) for g in gcols]
                                      + [("_sgn", "int64")]
-                                     + [(c, "int64") for c in scols]})
+                                     + [(c, "int64") for c in scols]
+                                     + [(f"_ins_{c}", "float64") for c in mcols]
+                                     + [(f"_del_{c}", "float64") for c in mcols]})
+            import numpy as np
             sgn = (df["_change_type"].isin(["insert", "update_postimage"])
-                   .astype("int64") * 2 - 1)
+                   .astype("int64") * 2 - 1).to_numpy()
             out = df[gcols].copy()
-            out["_sgn"] = sgn.to_numpy()
+            out["_sgn"] = sgn
             for c in scols:
-                out[c] = df[c].to_numpy() * sgn.to_numpy()
+                out[c] = df[c].to_numpy() * sgn
+            for c in mcols:
+                v = df[c].astype("float64").to_numpy()
+                out[f"_ins_{c}"] = np.where(sgn > 0, v, np.nan)
+                out[f"_del_{c}"] = np.where(sgn < 0, v, np.nan)
             return out
 
         aggs = {"n": ("_sgn", "sum")}
         for c in self.sum_cols:
             aggs[f"sum_{c}"] = (c, "sum")
+        for c in mcols:
+            aggs[f"_ins_max_{c}"] = (f"_ins_{c}", "max")
+            aggs[f"_del_max_{c}"] = (f"_del_{c}", "max")
         delta = hash_agg(feed.map_batches(signed, batch_format="pandas"),
                          self.group_cols, aggs,
                          num_partitions=self.num_partitions).to_pandas()
@@ -221,11 +246,49 @@ class IncrementalAggView:
             delta = delta.drop(columns=["_part"])
 
         state = self.read()
-        merged = (pd.concat([state, delta], ignore_index=True)
-                  .groupby(self.group_cols, as_index=False, sort=False).sum()
-                  if len(state) or len(delta) else state)
+        sum_cols_all = ["n"] + [f"sum_{c}" for c in self.sum_cols]
+        merged = (pd.concat([state[gcols + sum_cols_all],
+                             delta[gcols + sum_cols_all]], ignore_index=True)
+                  .groupby(gcols, as_index=False, sort=False).sum()
+                  if len(state) or len(delta) else state[gcols + sum_cols_all])
+        if mcols and (len(state) or len(delta)):
+            # provisional max = max(stored, inserted-side) per group
+            prov_in = pd.concat(
+                [state[gcols + [f"max_{c}" for c in mcols]],
+                 delta[gcols + [f"_ins_max_{c}" for c in mcols]].rename(
+                     columns={f"_ins_max_{c}": f"max_{c}" for c in mcols})],
+                ignore_index=True)
+            prov = prov_in.groupby(gcols, as_index=False, sort=False).max()
+            merged = merged.merge(prov, on=gcols, how="left")
+            # groups whose deleted-side max REACHES the provisional value may
+            # have lost their true max — recompute exactly those groups from
+            # silver (group-scoped predicate read, column-pruned)
+            dmax = delta[gcols + [f"_del_max_{c}" for c in mcols]]
+            merged = merged.merge(dmax, on=gcols, how="left")
+            live = merged["n"] != 0
+            need_rc = pd.Series(False, index=merged.index)
+            for c in mcols:
+                need_rc |= live & (merged[f"_del_max_{c}"]
+                                   >= merged[f"max_{c}"])
+            if need_rc.any():
+                vals = merged.loc[need_rc, gcols[0]].dropna().unique().tolist()
+                scoped = self.replay.read_silver(
+                    columns=list(dict.fromkeys(gcols + mcols)),
+                    predicate=(gcols[0], "in", vals)).to_pandas()
+                rc = (scoped.groupby(gcols, as_index=False)
+                      .agg(**{f"max_{c}": (c, "max") for c in mcols}))
+                merged = merged.merge(rc, on=gcols, how="left",
+                                      suffixes=("", "_rc"))
+                for c in mcols:
+                    hit = merged[f"max_{c}_rc"].notna() & need_rc
+                    merged.loc[hit, f"max_{c}"] = merged.loc[hit,
+                                                             f"max_{c}_rc"]
+                merged = merged.drop(columns=[f"max_{c}_rc" for c in mcols])
+            merged = merged.drop(columns=[f"_del_max_{c}" for c in mcols])
         if len(merged):
             merged = merged[merged["n"] != 0]
+        merged = merged[self._cols()] if len(merged) else \
+            pd.DataFrame(columns=self._cols())
         merged = merged.sort_values(self.group_cols).reset_index(drop=True)
 
         # atomic versioned-dir swap: state + watermark commit together (the

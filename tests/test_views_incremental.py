@@ -155,3 +155,67 @@ def test_incremental_view_randomized_adversarial(ray_session, tmp_path):
             r.run(d, max_epochs=1)
             v.refresh()
             _eq(v.read(), _full(r))
+
+
+def test_incremental_view_max_with_delete_recompute(ray_session, tmp_path):
+    """MAX is not self-maintainable: deleting the current maximum forces a
+    group-scoped recompute. Adversarial stream with tombstones that remove
+    group maxima, re-inserts, and group moves — the hybrid IVM (incremental
+    on inserts, bounded recompute on max-invalidating deletes) must equal
+    the full recompute after every epoch."""
+    import os
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from maritime_activity_reports_cdc_ray.schemas import TOMBSTONE
+
+    rng = random.Random(99)
+    keys = [("r%d" % (i % 3), "p%d" % i) for i in range(10)]
+    d = str(tmp_path / "s")
+    os.makedirs(d)
+    for e in range(3):
+        rows = []
+        for _ in range(25):
+            repo, path = rng.choice(keys)
+            if rng.random() < 0.25:
+                rows.append((repo, path,
+                             f"c{e:06d}{rng.randrange(999999):06d}",
+                             "", TOMBSTONE))
+            else:
+                rows.append((repo, path,
+                             f"c{e:06d}{rng.randrange(999999):06d}",
+                             rng.choice(["py", "rs"]),
+                             "x" * rng.randrange(1, 200)))
+        t = pa.table({
+            "repo": pa.array([r[0] for r in rows], pa.string()),
+            "path": pa.array([r[1] for r in rows], pa.string()),
+            "commit": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "content": pa.array([r[4] for r in rows], pa.large_string()),
+        })
+        pq.write_table(t, os.path.join(d, f"part-{e:05d}.parquet"))
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    v = IncrementalAggView(r, "mx", ["lang"], sum_cols=["content_bytes"],
+                           max_cols=["content_bytes"])
+    for _ in range(3):
+        r.run(d, max_epochs=1)
+        v.refresh()
+        got = v.read()
+        sil = r.read_silver().to_pandas()
+        if not len(sil):
+            assert not len(got)
+            continue
+        exp = (sil.groupby("lang", as_index=False)
+               .agg(n=("lang", "size"),
+                    sum_content_bytes=("content_bytes", "sum"),
+                    max_content_bytes=("content_bytes", "max"))
+               .sort_values("lang").reset_index(drop=True))
+        assert got["lang"].tolist() == exp["lang"].tolist()
+        assert got["n"].astype("int64").tolist() == exp["n"].tolist()
+        assert got["sum_content_bytes"].astype("int64").tolist() == \
+            exp["sum_content_bytes"].tolist()
+        assert got["max_content_bytes"].astype("int64").tolist() == \
+            exp["max_content_bytes"].tolist()
