@@ -145,19 +145,22 @@ class IncrementalAggView:
 
     def __init__(self, replay, name: str, group_cols: list[str],
                  sum_cols: list[str] = (), max_cols: list[str] = (),
-                 num_partitions: int = 8):
-        """``max_cols`` (numeric): MAX is NOT self-maintainable — an insert
-        can only raise it (pure delta), but deleting the current maximum
-        requires looking at the group's surviving rows. The refresh applies
-        the classic hybrid: max(stored, inserted) incrementally, and ONLY
-        groups whose deleted-side max reaches that provisional value
-        recompute — via a group-scoped, column-pruned ``read_silver``
-        (bounded by the affected groups' rows, never the table)."""
+                 min_cols: list[str] = (), num_partitions: int = 8):
+        """``max_cols`` / ``min_cols`` (numeric): extrema are NOT
+        self-maintainable — an insert can only improve them (pure delta),
+        but deleting the current extremum requires looking at the group's
+        surviving rows. The refresh applies the classic hybrid: extremum of
+        (stored, inserted) incrementally, and ONLY groups whose deleted-side
+        extremum reaches that provisional value recompute — via a
+        group-scoped, column-pruned ``read_silver`` (bounded by the affected
+        groups' rows, never the table). MIN runs through the same kernel on
+        negated values; AVG is sum/n, derivable from the maintained columns."""
         self.replay = replay
         self.name = name
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
         self.max_cols = list(max_cols)
+        self.min_cols = list(min_cols)
         self.num_partitions = int(num_partitions)
         self.dir = os.path.join(replay.root, "views", name)
 
@@ -179,7 +182,14 @@ class IncrementalAggView:
 
     def _cols(self) -> list[str]:
         return (self.group_cols + ["n"] + [f"sum_{c}" for c in self.sum_cols]
-                + [f"max_{c}" for c in self.max_cols])
+                + [f"max_{c}" for c in self.max_cols]
+                + [f"min_{c}" for c in self.min_cols])
+
+    def _exts(self) -> list[tuple[str, str, int]]:
+        """(alias, source column, sign): MIN reuses the MAX kernel on
+        negated values — internal state is always max-space."""
+        return ([(f"max_{c}", c, 1) for c in self.max_cols]
+                + [(f"min_{c}", c, -1) for c in self.min_cols])
 
     def read(self) -> pd.DataFrame:
         cols = self._cols()
@@ -203,14 +213,14 @@ class IncrementalAggView:
             return {"status": "fresh", "epoch": e, "groups_touched": 0}
 
         need = list(dict.fromkeys(self.group_cols + self.sum_cols
-                                  + self.max_cols))
+                                  + self.max_cols + self.min_cols))
         feed = self.replay.table_changes(None if e < 0 else e, cur,
                                          columns=need)
 
         # plain locals only — a closure over `self` would drag the replay
         # handle (and its background-thread lock) into the task pickles
         gcols, scols = list(self.group_cols), list(self.sum_cols)
-        mcols = list(self.max_cols)
+        exts = self._exts()
 
         def signed(df: pd.DataFrame) -> pd.DataFrame:
             if not len(df):
@@ -218,8 +228,10 @@ class IncrementalAggView:
                                      [(g, object) for g in gcols]
                                      + [("_sgn", "int64")]
                                      + [(c, "int64") for c in scols]
-                                     + [(f"_ins_{c}", "float64") for c in mcols]
-                                     + [(f"_del_{c}", "float64") for c in mcols]})
+                                     + [(f"_ins_{a}", "float64")
+                                        for a, _, _ in exts]
+                                     + [(f"_del_{a}", "float64")
+                                        for a, _, _ in exts]})
             import numpy as np
             sgn = (df["_change_type"].isin(["insert", "update_postimage"])
                    .astype("int64") * 2 - 1).to_numpy()
@@ -227,18 +239,18 @@ class IncrementalAggView:
             out["_sgn"] = sgn
             for c in scols:
                 out[c] = df[c].to_numpy() * sgn
-            for c in mcols:
-                v = df[c].astype("float64").to_numpy()
-                out[f"_ins_{c}"] = np.where(sgn > 0, v, np.nan)
-                out[f"_del_{c}"] = np.where(sgn < 0, v, np.nan)
+            for a, c, s in exts:
+                v = s * df[c].astype("float64").to_numpy()
+                out[f"_ins_{a}"] = np.where(sgn > 0, v, np.nan)
+                out[f"_del_{a}"] = np.where(sgn < 0, v, np.nan)
             return out
 
         aggs = {"n": ("_sgn", "sum")}
         for c in self.sum_cols:
             aggs[f"sum_{c}"] = (c, "sum")
-        for c in mcols:
-            aggs[f"_ins_max_{c}"] = (f"_ins_{c}", "max")
-            aggs[f"_del_max_{c}"] = (f"_del_{c}", "max")
+        for a, _, _ in exts:
+            aggs[f"_ins_ext_{a}"] = (f"_ins_{a}", "max")
+            aggs[f"_del_ext_{a}"] = (f"_del_{a}", "max")
         delta = hash_agg(feed.map_batches(signed, batch_format="pandas"),
                          self.group_cols, aggs,
                          num_partitions=self.num_partitions).to_pandas()
@@ -251,40 +263,46 @@ class IncrementalAggView:
                              delta[gcols + sum_cols_all]], ignore_index=True)
                   .groupby(gcols, as_index=False, sort=False).sum()
                   if len(state) or len(delta) else state[gcols + sum_cols_all])
-        if mcols and (len(state) or len(delta)):
-            # provisional max = max(stored, inserted-side) per group
-            prov_in = pd.concat(
-                [state[gcols + [f"max_{c}" for c in mcols]],
-                 delta[gcols + [f"_ins_max_{c}" for c in mcols]].rename(
-                     columns={f"_ins_max_{c}": f"max_{c}" for c in mcols})],
-                ignore_index=True)
-            prov = prov_in.groupby(gcols, as_index=False, sort=False).max()
+        if exts and (len(state) or len(delta)):
+            # provisional extremum = max(stored, inserted-side) per group,
+            # in max-space (min columns negated on the way in/out)
+            st_ext = state[gcols].copy()
+            for a, _, s in exts:
+                st_ext[a] = s * state[a].astype("float64")
+            d_ext = delta[gcols + [f"_ins_ext_{a}" for a, _, _ in exts]] \
+                .rename(columns={f"_ins_ext_{a}": a for a, _, _ in exts})
+            prov = (pd.concat([st_ext, d_ext], ignore_index=True)
+                    .groupby(gcols, as_index=False, sort=False).max())
             merged = merged.merge(prov, on=gcols, how="left")
-            # groups whose deleted-side max REACHES the provisional value may
-            # have lost their true max — recompute exactly those groups from
-            # silver (group-scoped predicate read, column-pruned)
-            dmax = delta[gcols + [f"_del_max_{c}" for c in mcols]]
-            merged = merged.merge(dmax, on=gcols, how="left")
+            # groups whose deleted-side extremum REACHES the provisional
+            # value may have lost the true one — recompute exactly those
+            # groups from silver (group-scoped predicate read, column-pruned)
+            dext = delta[gcols + [f"_del_ext_{a}" for a, _, _ in exts]]
+            merged = merged.merge(dext, on=gcols, how="left")
             live = merged["n"] != 0
             need_rc = pd.Series(False, index=merged.index)
-            for c in mcols:
-                need_rc |= live & (merged[f"_del_max_{c}"]
-                                   >= merged[f"max_{c}"])
+            for a, _, _ in exts:
+                need_rc |= live & (merged[f"_del_ext_{a}"] >= merged[a])
             if need_rc.any():
                 vals = merged.loc[need_rc, gcols[0]].dropna().unique().tolist()
+                srcs = list(dict.fromkeys(c for _, c, _ in exts))
                 scoped = self.replay.read_silver(
-                    columns=list(dict.fromkeys(gcols + mcols)),
+                    columns=list(dict.fromkeys(gcols + srcs)),
                     predicate=(gcols[0], "in", vals)).to_pandas()
+                for a, c, s in exts:
+                    scoped[f"_v_{a}"] = s * scoped[c].astype("float64")
                 rc = (scoped.groupby(gcols, as_index=False)
-                      .agg(**{f"max_{c}": (c, "max") for c in mcols}))
+                      .agg(**{a: (f"_v_{a}", "max") for a, _, _ in exts}))
                 merged = merged.merge(rc, on=gcols, how="left",
                                       suffixes=("", "_rc"))
-                for c in mcols:
-                    hit = merged[f"max_{c}_rc"].notna() & need_rc
-                    merged.loc[hit, f"max_{c}"] = merged.loc[hit,
-                                                             f"max_{c}_rc"]
-                merged = merged.drop(columns=[f"max_{c}_rc" for c in mcols])
-            merged = merged.drop(columns=[f"_del_max_{c}" for c in mcols])
+                for a, _, _ in exts:
+                    hit = merged[f"{a}_rc"].notna() & need_rc
+                    merged.loc[hit, a] = merged.loc[hit, f"{a}_rc"]
+                merged = merged.drop(columns=[f"{a}_rc" for a, _, _ in exts])
+            merged = merged.drop(
+                columns=[f"_del_ext_{a}" for a, _, _ in exts])
+            for a, _, s in exts:  # back to true values (min was negated)
+                merged[a] = s * merged[a]
         if len(merged):
             merged = merged[merged["n"] != 0]
         merged = merged[self._cols()] if len(merged) else \

@@ -199,7 +199,8 @@ def test_incremental_view_max_with_delete_recompute(ray_session, tmp_path):
     r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
     r.setup()
     v = IncrementalAggView(r, "mx", ["lang"], sum_cols=["content_bytes"],
-                           max_cols=["content_bytes"])
+                           max_cols=["content_bytes"],
+                           min_cols=["content_bytes"])
     for _ in range(3):
         r.run(d, max_epochs=1)
         v.refresh()
@@ -211,7 +212,8 @@ def test_incremental_view_max_with_delete_recompute(ray_session, tmp_path):
         exp = (sil.groupby("lang", as_index=False)
                .agg(n=("lang", "size"),
                     sum_content_bytes=("content_bytes", "sum"),
-                    max_content_bytes=("content_bytes", "max"))
+                    max_content_bytes=("content_bytes", "max"),
+                    min_content_bytes=("content_bytes", "min"))
                .sort_values("lang").reset_index(drop=True))
         assert got["lang"].tolist() == exp["lang"].tolist()
         assert got["n"].astype("int64").tolist() == exp["n"].tolist()
@@ -219,3 +221,5 @@ def test_incremental_view_max_with_delete_recompute(ray_session, tmp_path):
             exp["sum_content_bytes"].tolist()
         assert got["max_content_bytes"].astype("int64").tolist() == \
             exp["max_content_bytes"].tolist()
+        assert got["min_content_bytes"].astype("int64").tolist() == \
+            exp["min_content_bytes"].tolist()
