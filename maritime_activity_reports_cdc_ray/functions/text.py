@@ -695,6 +695,137 @@ class UnigramEncoder:
                              "n_tokens_unigram": counts})
 
 
+def wordpiece_train(ds, n_merges: int = 10, text_col: str = "text",
+                    vocab_limit: int = 65536, num_partitions: int = 16):
+    """Learn a WordPiece vocabulary (Schuster & Nakajima 2012; the BERT
+    tokenizer, HF-tokenizers trainer semantics): like BPE, but the merged
+    pair maximizes the LIKELIHOOD score ``count(pair) / (count(left) ·
+    count(right))`` instead of the raw pair count — rare-but-cohesive pairs
+    win over merely-frequent ones. Continuation pieces carry the ``##``
+    prefix; merging drops the right side's ``##``.
+
+    Scale shape identical to :func:`bpe_train`: ONE distributed
+    word-frequency pass (combiner-first hash_count — the shuffle moves
+    (word, partial_count) rows, never documents), then the merge loop runs
+    over the bounded frequency-ranked vocabulary head. Deterministic at any
+    parallelism: scores compare by exact integer cross-multiplication
+    (a/b > c/d ⇔ a·d > c·b — no float boundary), ties break on the
+    lexicographically smallest (left, right).
+
+    Returns a DataFrame (rank, left, right, piece, pair_count) — merge
+    table + the minted piece per rank, ready to drive
+    :class:`WordPieceEncoder` (whose vocab = alphabet pieces + minted
+    pieces).
+    """
+    from maritime_activity_reports_cdc_ray.functions.dedup import hash_count
+
+    def words(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("").str.lower().str.split(" ").explode()
+        s = s[s.notna() & (s != "")]
+        return pd.DataFrame({"word": s.to_numpy(dtype=object)})
+
+    vocab = (hash_count(ds.map_batches(words, batch_format="pandas"),
+                        ["word"], num_partitions)
+             .to_pandas().sort_values(["cnt", "word"],
+                                      ascending=[False, True],
+                                      kind="mergesort")
+             .head(vocab_limit))
+    seqs = [[w[0]] + ["##" + ch for ch in w[1:]] for w in vocab["word"]]
+    cnts = vocab["cnt"].to_numpy(dtype=np.int64)
+
+    # alphabet rows (rank -1): every initial piece belongs to the vocab even
+    # if it never merges — without them the encoder would [UNK] any word
+    # containing a rare character
+    alpha: dict = {}
+    for seq, c in zip(seqs, cnts):
+        for t in seq:
+            alpha[t] = alpha.get(t, 0) + int(c)
+    merges = [(-1, "", "", t, c) for t, c in sorted(alpha.items())]
+    for rank in range(n_merges):
+        pair_counts: dict = {}
+        tok_counts: dict = {}
+        for seq, c in zip(seqs, cnts):
+            for t in seq:
+                tok_counts[t] = tok_counts.get(t, 0) + int(c)
+            for p in zip(seq, seq[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + int(c)
+        if not pair_counts:
+            break
+        # best score a/b by integer cross-multiplication; tie -> smallest pair
+        best = None  # (a, b, pair)
+        for p, a in pair_counts.items():
+            b = tok_counts[p[0]] * tok_counts[p[1]]
+            if best is None or a * best[1] > best[0] * b \
+                    or (a * best[1] == best[0] * b and p < best[2]):
+                best = (a, b, p)
+        left, right = best[2]
+        tok = left + right[2:]  # continuation '##' folds into the merge
+        merges.append((rank, left, right, tok, pair_counts[(left, right)]))
+        for si, seq in enumerate(seqs):
+            if len(seq) < 2:
+                continue
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                    out.append(tok)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[si] = out
+    return pd.DataFrame(
+        merges, columns=["rank", "left", "right", "piece", "pair_count"]) \
+        .astype({"rank": "int64", "pair_count": "int64"})
+
+
+class WordPieceEncoder:
+    """Actor-pool WordPiece token counter: greedy LONGEST-MATCH-FIRST
+    segmentation per word against the learned vocab (BERT's
+    WordpieceTokenizer semantics — a word with no matching prefix counts as
+    one [UNK]); emits per-doc piece counts. Vocab set builds once per actor;
+    segmented words cache per actor (Zipf reuse)."""
+
+    def __init__(self, merges: pd.DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", max_word_chars: int = 100):
+        self.vocab = set(merges["piece"])  # alphabet (rank -1) + minted
+        self.max_word_chars = max_word_chars
+        self.id_col, self.text_col = id_col, text_col
+        self._cache: dict = {}
+
+    def encode_word(self, w: str) -> int:
+        n = self._cache.get(w)
+        if n is not None:
+            return n
+        if len(w) > self.max_word_chars:
+            self._cache[w] = 1  # [UNK]
+            return 1
+        n, i = 0, 0
+        while i < len(w):
+            j = len(w)
+            piece = None
+            while j > i:
+                sub = ("##" if i else "") + w[i:j]
+                if sub in self.vocab:
+                    piece = sub
+                    break
+                j -= 1
+            if piece is None:
+                n = 1  # whole word -> [UNK], BERT semantics
+                break
+            n += 1
+            i = j
+        self._cache[w] = n
+        return n
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(df), dtype=np.int64)
+        for j, t in enumerate(df[self.text_col].fillna("")):
+            counts[j] = sum(self.encode_word(w)
+                            for w in t.lower().split(" ") if w)
+        return pd.DataFrame({self.id_col: df[self.id_col].to_numpy(),
+                             "n_tokens_wordpiece": counts})
+
+
 # ---------------------------------------------------------------------------
 # Bigram language-model perplexity (CCNet-style LM quality filter;
 # Wenzek et al. 2020, arXiv:1911.00359). The KenLM filter re-expressed

@@ -1495,3 +1495,87 @@ def test_hll_supports_low_precision(ray_session):
         est = hll_count_distinct(_ds(df), ["u"], p=p)
         rse = 1.04 / (2 ** (p / 2)) * 5  # 5 sigma
         assert abs(est - 5000) / 5000 < max(rse, 0.1), (p, est)
+
+
+def test_wordpiece_train_and_encode(ray_session):
+    """WordPiece (BERT trainer semantics): likelihood score count(pair) /
+    (count(l)·count(r)) — a rare-but-cohesive pair beats a frequent one —
+    continuation '##' folds on merge; encoding is greedy longest-match with
+    whole-word [UNK]."""
+    from maritime_activity_reports_cdc_ray.functions.text import (
+        WordPieceEncoder,
+        wordpiece_train,
+    )
+
+    # 'qz' appears only inside 'qz' (cohesive: 2/(2*2)); 'ab' is frequent
+    # but 'a' and '##b' are everywhere, diluting its score
+    text = " ".join(["ab"] * 8 + ["ac"] * 8 + ["db"] * 8 + ["qz"] * 2)
+    m = wordpiece_train(_ds(pd.DataFrame({"doc_id": [0], "text": [text]})),
+                        n_merges=1)
+    minted = m[m["rank"] >= 0]
+    assert list(zip(minted["left"], minted["right"])) == [("q", "##z")]
+    assert minted["piece"].tolist() == ["qz"]
+    # alphabet rows present (rank -1) with corpus counts
+    alpha = dict(zip(m[m["rank"] < 0]["piece"], m[m["rank"] < 0]["pair_count"]))
+    assert alpha["a"] == 16 and alpha["##b"] == 16 and alpha["q"] == 2
+
+    enc = WordPieceEncoder(m)
+    out = enc(pd.DataFrame({"doc_id": [0, 1, 2],
+                            "text": ["qz ab", "qzq", "xyz"]}))
+    # qz -> [qz] = 1; ab -> [a, ##b] = 2; qzq -> [qz, ##q]? '##q' not in
+    # vocab (q never continues) -> whole word [UNK] = 1; xyz -> [UNK] = 1
+    assert out["n_tokens_wordpiece"].tolist() == [1 + 2, 1, 1]
+
+
+def test_wordpiece_matches_naive_reference(ray_session):
+    """Differential: the vocab-weighted distributed trainer equals a naive
+    per-occurrence reference with the same exact-fraction tie rules; output
+    is invariant to re-blocking."""
+    import numpy as np
+
+    from maritime_activity_reports_cdc_ray.functions.text import wordpiece_train
+
+    rng = np.random.default_rng(13)
+    words = ["alpha", "alps", "bet", "beta", "bee", "a", "ab", ""]
+    docs = [" ".join(rng.choice(words, size=rng.integers(1, 30)))
+            for _ in range(40)]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+    stream = [[w[0]] + ["##" + ch for ch in w[1:]]
+              for d in docs for w in d.lower().split(" ") if w]
+    ref = []
+    for rank in range(8):
+        pc, tc = {}, {}
+        for seq in stream:
+            for t in seq:
+                tc[t] = tc.get(t, 0) + 1
+            for p in zip(seq, seq[1:]):
+                pc[p] = pc.get(p, 0) + 1
+        if not pc:
+            break
+        best = None
+        for p, a in pc.items():
+            b = tc[p[0]] * tc[p[1]]
+            if best is None or a * best[1] > best[0] * b \
+                    or (a * best[1] == best[0] * b and p < best[2]):
+                best = (a, b, p)
+        left, right = best[2]
+        tok = left + right[2:]
+        ref.append((rank, left, right, tok, pc[(left, right)]))
+        for si, seq in enumerate(stream):
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                    out.append(tok)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            stream[si] = out
+
+    got = wordpiece_train(_ds(df), n_merges=8)
+    minted = got[got["rank"] >= 0]
+    assert [tuple(r) for r in minted[["rank", "left", "right", "piece",
+                                      "pair_count"]].to_numpy()] == ref
+    got2 = wordpiece_train(_ds(df).repartition(7), n_merges=8)
+    assert got.equals(got2)
