@@ -423,3 +423,65 @@ def histogram_quantile_sketch(ds, group_col: str, value_col: str,
                 lo + width * float(bins[int(np.searchsorted(cum, k))]))
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+def rollup_agg(ds, keys: list[str], aggs: dict, num_partitions: int = 16):
+    """SQL ``GROUP BY ROLLUP(keys)``: one result-row set per key prefix —
+    finest grain, each coarser level, grand total — with rolled-up key
+    columns NULL (the SQL convention).
+
+    Scale shape: the corpus is scanned ONCE — a single combiner-first
+    :func:`hash_agg` at the finest grain; every coarser level re-reduces the
+    FINEST result (group-cardinality input, pandas on the driver — the same
+    small-side contract as every rollup here). Re-reduction is exact because
+    the agg set is associative: count re-reduces as sum; sum/max/min as
+    themselves. ``aggs`` = {alias: (col, fn)} with fn in
+    {sum, count, max, min}."""
+    import pandas as pd
+
+    finest = hash_agg(ds, keys, aggs, num_partitions=num_partitions) \
+        .to_pandas()
+    if "_part" in finest.columns:
+        finest = finest.drop(columns=["_part"])
+    refn = {a: (a, "sum" if f in ("sum", "count") else f)
+            for a, (_, f) in aggs.items()}
+    levels = [finest]
+    for k in range(len(keys) - 1, -1, -1):
+        sub = keys[:k]
+        if sub:
+            lv = finest.groupby(sub, as_index=False, sort=False).agg(
+                **{a: pd.NamedAgg(column=c, aggfunc=f)
+                   for a, (c, f) in refn.items()})
+        else:
+            lv = pd.DataFrame([{a: (finest[c].sum()
+                                    if f in ("sum",) else
+                                    finest[c].max() if f == "max" else
+                                    finest[c].min())
+                                for a, (c, f) in refn.items()}])
+        for c in keys[k:]:
+            lv[c] = None
+        levels.append(lv[keys + list(aggs)])
+    out = pd.concat([lv[keys + list(aggs)] for lv in levels],
+                    ignore_index=True)
+    return out.sort_values(keys, na_position="last").reset_index(drop=True)
+
+
+def pivot_wide(ds, key: str, pivot_col: str, value_col: str,
+               agg: str = "sum", num_partitions: int = 16):
+    """SQL ``PIVOT``: long → wide, one column per pivot value. The corpus
+    reduces through ONE combiner-first :func:`hash_agg` on (key, pivot); the
+    reshape runs on that group-cardinality result (pandas pivot on the
+    driver — wide outputs are small by contract; a pivot with millions of
+    distinct pivot values belongs in a table, not a matrix). Missing cells
+    are 0 for sum/count, NaN for max/min; pivot columns sort
+    deterministically."""
+    finest = hash_agg(ds, [key, pivot_col], {"_v": (value_col, agg)},
+                      num_partitions=num_partitions).to_pandas()
+    if "_part" in finest.columns:
+        finest = finest.drop(columns=["_part"])
+    wide = finest.pivot(index=key, columns=pivot_col, values="_v")
+    wide = wide.reindex(sorted(wide.columns), axis=1)
+    if agg in ("sum", "count"):
+        wide = wide.fillna(0)
+    wide.columns = [str(c) for c in wide.columns]
+    return wide.reset_index().sort_values(key).reset_index(drop=True)

@@ -1579,3 +1579,62 @@ def test_wordpiece_matches_naive_reference(ray_session):
                                       "pair_count"]].to_numpy()] == ref
     got2 = wordpiece_train(_ds(df).repartition(7), n_merges=8)
     assert got.equals(got2)
+
+
+def test_rollup_agg_matches_duckdb(ray_session):
+    """GROUP BY ROLLUP replay: all levels (finest, each prefix, grand
+    total) with NULLed rolled-up keys, against DuckDB's native ROLLUP."""
+    import duckdb
+
+    from maritime_activity_reports_cdc_ray.functions.stats import rollup_agg
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 500),
+        "b": rng.choice(["p", "q"], 500),
+        "v": rng.integers(0, 100, 500),
+    })
+    got = rollup_agg(_ds(df), ["a", "b"],
+                     {"n": ("v", "count"), "s": ("v", "sum"),
+                      "mx": ("v", "max")})
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT a, b, COUNT(v) AS n, SUM(v) AS s, MAX(v) AS mx
+        FROM t GROUP BY ROLLUP(a, b)
+        ORDER BY a NULLS LAST, b NULLS LAST""").df()
+    key = lambda d: (d.fillna("~").sort_values(["a", "b"])
+                     .reset_index(drop=True))
+    g, e = key(got), key(exp)
+    assert g["a"].tolist() == e["a"].tolist()
+    assert g["b"].tolist() == e["b"].tolist()
+    assert g["n"].astype("int64").tolist() == e["n"].astype("int64").tolist()
+    assert g["s"].astype("int64").tolist() == e["s"].astype("int64").tolist()
+    assert g["mx"].astype("int64").tolist() == e["mx"].astype("int64").tolist()
+    # re-blocking invariance
+    got2 = rollup_agg(_ds(df).repartition(7), ["a", "b"],
+                      {"n": ("v", "count"), "s": ("v", "sum"),
+                       "mx": ("v", "max")})
+    assert key(got).equals(key(got2))
+
+
+def test_pivot_wide_matches_duckdb(ray_session):
+    import duckdb
+
+    from maritime_activity_reports_cdc_ray.functions.stats import pivot_wide
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.choice(["k1", "k2", "k3", "k4"], 400),
+        "p": rng.choice(["a", "b", "c"], 400),
+        "v": rng.integers(0, 50, 400),
+    })
+    got = pivot_wide(_ds(df), "k", "p", "v", agg="sum")
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        PIVOT t ON p USING SUM(v) GROUP BY k ORDER BY k""").df()
+    assert got["k"].tolist() == exp["k"].tolist()
+    for c in ("a", "b", "c"):
+        assert got[c].astype("int64").tolist() == \
+            exp[c].fillna(0).astype("int64").tolist(), c
