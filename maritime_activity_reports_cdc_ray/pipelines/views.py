@@ -141,6 +141,11 @@ class IncrementalAggView:
     refresh, so data and watermark must commit atomically — a crash at any
     point re-runs from the previous version and converges (a data-then-meta
     two-rename scheme would double-apply the delta).
+
+    Null group keys: rows whose group value is NULL are excluded from the
+    view (consistently — the combiner, the merge, and the recompute all
+    drop them), unlike SQL GROUP BY's NULL group. Filter-or-fill upstream
+    if a NULL bucket is needed.
     """
 
     def __init__(self, replay, name: str, group_cols: list[str],
