@@ -171,6 +171,19 @@ def main(argv=None):
                     help="comma-separated int columns to SUM (COUNT is implicit)")
     sp.add_argument("--limit", type=int, default=50)
 
+    sp = sub.add_parser("export", help="export a consistent table snapshot "
+                                       "(optionally AS OF an epoch) to hive-"
+                                       "partitioned parquet via the resumable "
+                                       "sink — the GCS/BigQuery export analogue; "
+                                       "reruns skip finished partitions")
+    common(sp)
+    sp.add_argument("--table", default="silver",
+                    choices=["silver", "gold", "history"])
+    sp.add_argument("--dest", required=True)
+    sp.add_argument("--partition-by", default="lang")
+    sp.add_argument("--columns", default=None)
+    sp.add_argument("--as-of-epoch", type=int, default=None)
+
     sp = sub.add_parser("stream-window", help="append-mode windowed streaming "
                                               "aggregation: consume new bronze epochs, "
                                               "emit windows finalized by the watermark "
@@ -298,6 +311,19 @@ def main(argv=None):
             out["state"] = json.loads(
                 v.read().head(args.limit).to_json(orient="records"))
             print(json.dumps(out, indent=1))
+        elif args.cmd == "export":
+            from maritime_activity_reports_cdc_ray.sources.writers import write_partitioned
+
+            cols = args.columns.split(",") if args.columns else None
+            if args.table == "silver":
+                ds = r.read_silver(columns=cols, as_of_epoch=args.as_of_epoch)
+            elif args.table == "gold":
+                ds = r.read_gold(as_of_epoch=args.as_of_epoch)
+            else:
+                ds = r.read_history(as_of_epoch=args.as_of_epoch)
+            out = write_partitioned(ds, args.dest, args.partition_by,
+                                    compression=r.cfg.write_compression)
+            print(json.dumps({"table": args.table, "dest": args.dest, **out}))
         elif args.cmd == "stream-window":
             from maritime_activity_reports_cdc_ray.pipelines.streaming import StreamingWindowAgg
 

@@ -748,3 +748,50 @@ def test_table_changes_matches_prefix_oracles(ray_session, stream, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         r.table_changes(3, 1)
+
+
+def test_export_snapshot_partitioned(ray_session, stream, tmp_path):
+    """CLI-level export analogue (reference: GCS/BigQuery export): a
+    consistent as-of snapshot lands as hive-partitioned parquet through the
+    resumable sink; content equals the reader; rerun skips everything."""
+    import glob as _glob
+    import subprocess
+    import sys
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    src, files, oracle = stream
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(src)
+    dest = str(tmp_path / "exp")
+    out = subprocess.run(
+        [sys.executable, "-m", "maritime_activity_reports_cdc_ray.cli",
+         "--num-cpus", "4", "export", "--root", str(tmp_path / "lake"),
+         "--table", "silver", "--dest", dest, "--partition-by", "lang",
+         "--columns", "repo,path,commit,lang,content_sha256"],
+        capture_output=True, text=True, check=True)
+    import json as _json
+    res = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["partitions_skipped"] == 0 and res["rows"] > 0
+    got = pd.concat(
+        [_pq.read_table(f).to_pandas()
+         for f in _glob.glob(os.path.join(dest, "*", "*.parquet"))],
+        ignore_index=True).sort_values(["repo", "path"]).reset_index(drop=True)
+    exp = (r.read_silver(columns=["repo", "path", "commit", "lang",
+                                  "content_sha256"]).to_pandas()
+           .sort_values(["repo", "path"]).reset_index(drop=True))
+    assert got[["repo", "path", "commit", "content_sha256"]].equals(
+        exp[["repo", "path", "commit", "content_sha256"]])
+    assert res["rows"] == len(exp)
+    # rerun: everything already exported -> all partitions skipped
+    out2 = subprocess.run(
+        [sys.executable, "-m", "maritime_activity_reports_cdc_ray.cli",
+         "--num-cpus", "4", "export", "--root", str(tmp_path / "lake"),
+         "--table", "silver", "--dest", dest, "--partition-by", "lang",
+         "--columns", "repo,path,commit,lang,content_sha256"],
+        capture_output=True, text=True, check=True)
+    res2 = _json.loads(out2.stdout.strip().splitlines()[-1])
+    assert res2["partitions_written"] == 0
+    assert res2["partitions_skipped"] == res["partitions_written"]
