@@ -321,6 +321,10 @@ def main(argv=None):
                 ds = r.read_gold(as_of_epoch=args.as_of_epoch)
             else:
                 ds = r.read_history(as_of_epoch=args.as_of_epoch)
+            if cols and args.table != "silver":
+                # gold/history readers take no column pushdown — honor the
+                # flag with a post-read projection rather than ignoring it
+                ds = ds.select_columns(cols)
             out = write_partitioned(ds, args.dest, args.partition_by,
                                     compression=r.cfg.write_compression)
             print(json.dumps({"table": args.table, "dest": args.dest, **out}))
@@ -350,6 +354,10 @@ def main(argv=None):
             lake = r.silver if args.table == "silver" else r.gold
             kinds = ("history", "current") if args.table == "silver" else ("gold",)
             cluster = args.cluster_by.split(",") if args.cluster_by else None
+            if args.zorder and not (cluster and 2 <= len(cluster) <= 4):
+                raise SystemExit(
+                    "--zorder needs 2-4 --cluster-by columns "
+                    "(one column is a plain sort — drop --zorder)")
             print(json.dumps(compact_table(
                 lake, kinds=kinds, compression=r.cfg.write_compression,
                 cluster_by=cluster, row_group_size=args.row_group_size,

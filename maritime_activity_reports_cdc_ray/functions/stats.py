@@ -480,8 +480,16 @@ def pivot_wide(ds, key: str, pivot_col: str, value_col: str,
     if "_part" in finest.columns:
         finest = finest.drop(columns=["_part"])
     wide = finest.pivot(index=key, columns=pivot_col, values="_v")
-    wide = wide.reindex(sorted(wide.columns), axis=1)
+    # type-stable deterministic order (mixed int/str pivot values would
+    # TypeError under plain sorted); reject stringified collisions rather
+    # than silently emitting duplicate column labels
+    order = sorted(wide.columns, key=lambda c: (type(c).__name__, str(c)))
+    wide = wide.reindex(order, axis=1)
     if agg in ("sum", "count"):
         wide = wide.fillna(0)
-    wide.columns = [str(c) for c in wide.columns]
+    names = [str(c) for c in order]
+    if len(set(names)) != len(names) or key in names:
+        raise ValueError(
+            f"pivot values stringify to colliding column names: {names}")
+    wide.columns = names
     return wide.reset_index().sort_values(key).reset_index(drop=True)

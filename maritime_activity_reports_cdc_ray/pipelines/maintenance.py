@@ -28,8 +28,10 @@ def zorder_indices(t: pa.Table, cols: list[str]):
     only skips on the leading one. Deterministic (rank + stable sort)."""
     import numpy as np
 
-    cols = [c for c in cols if c in t.column_names][:4]  # 4×16 bits = u64
-    assert len(cols) >= 2, "z-order needs >= 2 columns (else plain sort)"
+    cols = [c for c in cols if c in t.column_names]
+    assert 2 <= len(cols) <= 4, \
+        "z-order takes 2-4 columns (4x16 bits = one u64 key); " \
+        "fewer -> plain cluster_by sort, more -> pick the query dimensions"
     import pandas as pd
 
     codes = []
@@ -64,29 +66,24 @@ def make_compact_task_fn(root: str, compression: str,
         for item in batch.to_pylist():
             pid, salt, kind, epoch = int(item["pid"]), int(item["salt"]), item["kind"], int(item["epoch"])
             tabs = [pq.read_table(lake.abspath(p)) for p in item["paths"]]
-            t = pa.concat_tables(tabs, promote_options="permissive")
+            t = pa.concat_tables(tabs, promote_options="permissive").combine_chunks()
             if (zorder and cluster_by
                     and len([c for c in cluster_by
                              if c in t.column_names]) >= 2):
-                t = t.combine_chunks()
-                t = t.take(pa.array(zorder_indices(t, cluster_by)))
-                frag = lake.stage_fragment(t, epoch, pid, salt, kind,
-                                           compression, suffix="c",
-                                           row_group_size=row_group_size)
-                rows.append({"fragments_json": json.dumps([frag.__dict__]),
-                             "replaced_json": json.dumps(list(item["paths"]))})
-                continue
-            if cluster_by:
-                sort_keys = [(c, "ascending") for c in cluster_by
-                             if c in t.column_names]
-                # the primary key as tie-break keeps the layout deterministic
-                sort_keys += [(c, "ascending") for c in ("repo", "path", "commit")
-                              if c in t.column_names and c not in cluster_by]
+                idx = pa.array(zorder_indices(t, cluster_by))
             else:
-                sort_keys = [("repo", "ascending"), ("path", "ascending")]
-                if "commit" in t.column_names:
-                    sort_keys.append(("commit", "ascending"))
-            t = t.combine_chunks().take(pc.sort_indices(t, sort_keys=sort_keys))
+                if cluster_by:
+                    sort_keys = [(c, "ascending") for c in cluster_by
+                                 if c in t.column_names]
+                    # the primary key as tie-break keeps the layout deterministic
+                    sort_keys += [(c, "ascending") for c in ("repo", "path", "commit")
+                                  if c in t.column_names and c not in cluster_by]
+                else:
+                    sort_keys = [("repo", "ascending"), ("path", "ascending")]
+                    if "commit" in t.column_names:
+                        sort_keys.append(("commit", "ascending"))
+                idx = pc.sort_indices(t, sort_keys=sort_keys)
+            t = t.take(idx)
             frag = lake.stage_fragment(t, epoch, pid, salt, kind, compression,
                                        suffix="c", row_group_size=row_group_size)
             rows.append({"fragments_json": json.dumps([frag.__dict__]),

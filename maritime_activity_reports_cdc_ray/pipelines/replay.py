@@ -1716,10 +1716,14 @@ class CDCReplay:
             out = pd.concat(parts, ignore_index=True)
             for c in out_cols:  # outer-merge NaN promotion → restore dtypes
                 f = schema.field(c)
+                has_na = out[c].isna().any()
                 if pa.types.is_integer(f.type):
-                    out[c] = out[c].astype("int64")
+                    # nullable source column (e.g. evolved size_hint): the
+                    # plain int64 cast raises IntCastingNaNError; use the
+                    # masked extension dtype so genuine NULLs survive
+                    out[c] = out[c].astype("Int64" if has_na else "int64")
                 elif pa.types.is_boolean(f.type):
-                    out[c] = out[c].astype(bool)
+                    out[c] = out[c].astype("boolean" if has_na else bool)
             return out
 
         return un.groupby("_part").map_groups(diff, batch_format="pandas")

@@ -243,7 +243,10 @@ class IncrementalAggView:
             out = df[gcols].copy()
             out["_sgn"] = sgn
             for c in scols:
-                out[c] = df[c].to_numpy() * sgn
+                # null-safe (SQL SUM skips NULLs): nullable Int64 feeds would
+                # otherwise propagate NA through the partial sums
+                out[c] = np.nan_to_num(
+                    df[c].astype("float64").to_numpy()) * sgn
             for a, c, s in exts:
                 v = s * df[c].astype("float64").to_numpy()
                 out[f"_ins_{a}"] = np.where(sgn > 0, v, np.nan)
@@ -291,8 +294,13 @@ class IncrementalAggView:
             if need_rc.any():
                 vals = merged.loc[need_rc, gcols[0]].dropna().unique().tolist()
                 srcs = list(dict.fromkeys(c for _, c, _ in exts))
+                # pinned AS OF the refresh's epoch: reading LATEST would
+                # break refresh(to_epoch=) backfills and race a concurrent
+                # replay commit (same snapshot discipline as the streaming
+                # emission floor)
                 scoped = self.replay.read_silver(
                     columns=list(dict.fromkeys(gcols + srcs)),
+                    as_of_epoch=cur,
                     predicate=(gcols[0], "in", vals)).to_pandas()
                 for a, c, s in exts:
                     scoped[f"_v_{a}"] = s * scoped[c].astype("float64")
@@ -301,8 +309,10 @@ class IncrementalAggView:
                 merged = merged.merge(rc, on=gcols, how="left",
                                       suffixes=("", "_rc"))
                 for a, _, _ in exts:
-                    hit = merged[f"{a}_rc"].notna() & need_rc
-                    merged.loc[hit, a] = merged.loc[hit, f"{a}_rc"]
+                    # unconditional on need_rc: NaN from the recompute means
+                    # the group's surviving rows have no non-null value — a
+                    # notna() guard would keep the DELETED extremum forever
+                    merged.loc[need_rc, a] = merged.loc[need_rc, f"{a}_rc"]
                 merged = merged.drop(columns=[f"{a}_rc" for a, _, _ in exts])
             merged = merged.drop(
                 columns=[f"_del_ext_{a}" for a, _, _ in exts])

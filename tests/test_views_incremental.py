@@ -223,3 +223,76 @@ def test_incremental_view_max_with_delete_recompute(ray_session, tmp_path):
             exp["max_content_bytes"].tolist()
         assert got["min_content_bytes"].astype("int64").tolist() == \
             exp["min_content_bytes"].tolist()
+
+
+def _mini_stream(tmp_path, epochs):
+    """epochs = list of row lists (repo, path, commit, lang, content,
+    size_hint_or_None) — explicit extra column exercises null extrema."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "mini")
+    os.makedirs(d)
+    for e, rows in enumerate(epochs):
+        t = pa.table({
+            "repo": pa.array([r[0] for r in rows], pa.string()),
+            "path": pa.array([r[1] for r in rows], pa.string()),
+            "commit": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "content": pa.array([r[4] for r in rows], pa.large_string()),
+            "size_hint": pa.array([r[5] for r in rows], pa.int64()),
+        })
+        pq.write_table(t, f"{d}/part-{e:05d}.parquet")
+    return d
+
+
+def test_incremental_view_max_recompute_pins_epoch(ray_session, tmp_path):
+    """The max-invalidating recompute must read silver AS OF the refresh's
+    epoch: a backfill refresh(to_epoch=1) after epoch 2 committed must
+    report epoch 1's max, not the live one."""
+    from maritime_activity_reports_cdc_ray.schemas import TOMBSTONE
+
+    d = _mini_stream(tmp_path, [
+        [("r", "A", "c000000000001", "py", "aaaaa", 5),
+         ("r", "B", "c000000000002", "py", "bbb", 3)],
+        [("r", "A", "c000000000003", "", TOMBSTONE, None)],   # delete the max
+        [("r", "C", "c000000000004", "py", "c" * 100, 100)],  # later bigger
+    ])
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(d)  # all three epochs committed
+    v = IncrementalAggView(r, "pin", ["lang"], max_cols=["size_hint"])
+    v.refresh(to_epoch=0)
+    assert v.read()["max_size_hint"].tolist() == [5.0]
+    v.refresh(to_epoch=1)  # delete fired the recompute — must pin epoch 1
+    assert v.read()["max_size_hint"].tolist() == [3.0]
+    v.refresh()
+    assert v.read()["max_size_hint"].tolist() == [100.0]
+
+
+def test_incremental_view_max_null_survivors(ray_session, tmp_path):
+    """Deleting the group's only non-null extremum leaves survivors whose
+    values are all NULL — the stored max must become NULL, not keep the
+    deleted value forever."""
+    import numpy as np
+
+    from maritime_activity_reports_cdc_ray.schemas import TOMBSTONE
+
+    d = _mini_stream(tmp_path, [
+        [("r", "A", "c000000000001", "py", "aaaaa", 7),
+         ("r", "B", "c000000000002", "py", "bbb", None)],
+        [("r", "A", "c000000000003", "", TOMBSTONE, None)],
+    ])
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(d, max_epochs=1)
+    v = IncrementalAggView(r, "nullmax", ["lang"], max_cols=["size_hint"])
+    v.refresh()
+    assert v.read()["max_size_hint"].tolist() == [7.0]
+    r.run(d)
+    v.refresh()
+    got = v.read()
+    assert got["n"].tolist() == [1]  # B survives
+    assert np.isnan(got["max_size_hint"].iloc[0])
