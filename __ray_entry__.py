@@ -956,7 +956,27 @@ def cdc_silver_asof(sf_dir: str):
         "last_event_id": ch.commit.str.slice(-8).astype("int64"),
         "change_type": ch["_change_type"],
     })
-    return (pd.concat([a, c], ignore_index=True)
+    # method='window': the append-mode streaming window aggregation
+    # (pipelines/streaming.StreamingWindowAgg) consuming the SAME lake's
+    # bronze, windowed over the epoch column (size 2 → epochs {0,1} and
+    # {2,3}), grouped by event_type. No watermark on this lake → windows
+    # finalize at flush() (query-stop semantics). Column carriage in the
+    # shared face schema: user_id = the window's COUNT, last_event_id =
+    # window_start. The SQL replays the adapter's exact quartile split.
+    from maritime_activity_reports_cdc_ray.pipelines.streaming import StreamingWindowAgg
+
+    w = StreamingWindowAgg(r, "asof_win2", 2, ["path"], time_col="epoch")
+    w.refresh()
+    w.flush()
+    res = w.results()
+    wf = pd.DataFrame({
+        "method": "window",
+        "user_id": res["n"].astype("int64"),
+        "event_type": res["path"],
+        "last_event_id": res["window_start"].astype("int64"),
+        "change_type": "window",
+    })
+    return (pd.concat([a, c, wf], ignore_index=True)
             .sort_values(["method", "user_id", "event_type", "change_type"])
             .reset_index(drop=True))
 
@@ -3427,6 +3447,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'changes', user_id, event_type, new_id, 'update_postimage'
             FROM j WHERE old_id IS NOT NULL AND old_id <> new_id
+            UNION ALL
+            SELECT 'window', CAST(COUNT(*) AS BIGINT), event_type,
+                   CAST(w AS BIGINT), 'window'
+            FROM (SELECT event_type,
+                         CASE WHEN rn < 2 * n // 4 THEN 0 ELSE 2 END AS w
+                  FROM ranked)
+            GROUP BY event_type, w
         """,
         "docs_lsh_pairs": f"""
             SELECT 'minhash' AS method, id_a, id_b, jaccard AS score
