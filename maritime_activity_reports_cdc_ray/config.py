@@ -144,6 +144,10 @@ class EngineConfig:
 
     # --- gold refresh cadence (reference: gold/streaming_processor.py:98-105) ---
     gold_refresh_every_epochs: int = 1
+    # auto-OPTIMIZE at run end: compact silver history/current chains when
+    # any (pid, salt, kind) chain exceeds this many fragments (None/0 = off;
+    # reference analogue: the Airflow-scheduled optimize-tables job)
+    auto_compact_min_chain: int | None = None
 
     # --- lookup cache (reference G4, silver/streaming_processor.py:150-191) ---
     # when set, each epoch MERGEs its distinct key tuples into a keyed cache

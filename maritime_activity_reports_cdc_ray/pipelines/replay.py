@@ -471,8 +471,11 @@ class CDCReplay:
             prefetch.join()
         self._drain_premap()
         self.finalize_gold()
+        compacted = self._auto_compact() if done else None
+        out_extra = {"auto_compacted": compacted} if compacted else {}
         return {
             "epochs_run": done,
+            **out_extra,
             "silver_epoch": self.silver.latest_manifest().epoch,
             "gold_epoch": self.gold.latest_manifest().epoch,
             "stats": self.silver.latest_manifest().stats,
@@ -717,6 +720,31 @@ class CDCReplay:
             shutil.copy(os.path.join(cache_root, _META),
                         os.path.join(dst_cache, _META))
         return dst
+
+    def _auto_compact(self) -> dict | None:
+        """Threshold-based auto-OPTIMIZE at run end (the reference schedules
+        ``optimize-tables`` via Airflow, ``airflow_dags/
+        maritime_reports_cdc_dag.py``; here it is an engine knob): when any
+        silver (pid, salt, kind) fragment chain exceeds
+        ``cfg.auto_compact_min_chain``, compact history+current chains.
+        Runs strictly AFTER the replay loop and gold finalize — no overlap
+        with premap/presalt threads; the maintenance commit keeps the epoch
+        watermark, so resume semantics are untouched."""
+        thr = self.cfg.auto_compact_min_chain
+        if not thr:
+            return None
+        from maritime_activity_reports_cdc_ray.pipelines.maintenance import compact_table
+
+        m = self.silver.latest_manifest()
+        chains: dict = {}
+        for f in m.fragments:
+            if f.kind in ("history", "current"):
+                k = (f.pid, f.salt, f.kind)
+                chains[k] = chains.get(k, 0) + 1
+        if not chains or max(chains.values()) <= thr:
+            return None
+        return compact_table(self.silver, kinds=("history", "current"),
+                             compression=self.cfg.write_compression)
 
     def finalize_gold(self) -> None:
         """Bring gold up to the silver watermark regardless of cadence (also

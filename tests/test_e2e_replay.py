@@ -795,3 +795,25 @@ def test_export_snapshot_partitioned(ray_session, stream, tmp_path):
     res2 = _json.loads(out2.stdout.strip().splitlines()[-1])
     assert res2["partitions_written"] == 0
     assert res2["partitions_skipped"] == res["partitions_written"]
+
+
+def test_auto_compact_at_run_end(ray_session, stream, tmp_path):
+    """auto_compact_min_chain: a run whose silver chains exceed the
+    threshold compacts them at run end — same oracle state, single-fragment
+    chains, rerun still a no-op."""
+    src, files, oracle = stream
+    cfg = EngineConfig(num_partitions=4, auto_compact_min_chain=2)
+    r = CDCReplay(str(tmp_path / "lake"), cfg)
+    r.setup()
+    out = r.run(src)  # 4 epochs -> history chains of up to 4 fragments
+    assert out.get("auto_compacted", {}).get("compacted_groups", 0) > 0
+    m = r.silver.latest_manifest()
+    chains = {}
+    for f in m.fragments:
+        if f.kind in ("history", "current"):
+            k = (f.pid, f.salt, f.kind)
+            chains[k] = chains.get(k, 0) + 1
+    assert max(chains.values()) == 1
+    _assert_matches_oracle(r, oracle)
+    assert r.run(src)["epochs_run"] == 0  # watermark untouched
+    _assert_matches_oracle(r, oracle)
