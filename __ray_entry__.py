@@ -487,18 +487,31 @@ def events_dedup_exact(sf_dir: str):
 
 
 def events_hourly(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    """A10 daily/hourly summary, now as a GROUP BY ROLLUP face: one corpus
+    scan through ``functions/stats.rollup_agg`` over (isodow, hour) — the
+    finest grain, the per-dow subtotal, and the grand total in one attested
+    result (rolled-up keys NULL, the SQL convention). Values in exact
+    integer cents so every level re-reduces bit-identically; keys cast to
+    float64 both sides (ROLLUP NULLs promote the oracle's dtype)."""
+    from maritime_activity_reports_cdc_ray.functions.stats import rollup_agg
 
     ds = _t(sf_dir, "events", ["ts", "value"])
 
-    def hour(t: pa.Table) -> pa.Table:
-        return t.append_column("hour_of_day", pc.cast(pc.hour(t.column("ts")), pa.int64()))
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dow": (df["ts"].dt.dayofweek + 1).astype("int64"),  # ISO Mon=1
+            "hour_of_day": df["ts"].dt.hour.astype("int64"),
+            "v_cents": _r(df["value"] * 100.0, 0).astype("int64"),
+        })
 
-    out = ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("hour_of_day").aggregate(
-            Count(alias_name="n_events"), Sum("value", alias_name="total_value")
-        ).to_pandas()
-    out["total_value"] = _r(out["total_value"], 2)
+    out = rollup_agg(ds.map_batches(keys, batch_format="pandas"),
+                     ["dow", "hour_of_day"],
+                     {"n_events": ("v_cents", "count"),
+                      "total_cents": ("v_cents", "sum")})
+    out["dow"] = out["dow"].astype("float64")
+    out["hour_of_day"] = out["hour_of_day"].astype("float64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
     return out
 
 
@@ -2958,9 +2971,15 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ts, event_id) = 1
         """,
         "events_hourly": """
-            SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
-                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
-            FROM events GROUP BY 1
+            WITH b AS (
+                SELECT isodow(ts) AS dow, hour(ts) AS hour_of_day,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS v_cents
+                FROM events)
+            SELECT CAST(dow AS DOUBLE) AS dow,
+                   CAST(hour_of_day AS DOUBLE) AS hour_of_day,
+                   CAST(COUNT(v_cents) AS BIGINT) AS n_events,
+                   CAST(SUM(v_cents) AS BIGINT) AS total_cents
+            FROM b GROUP BY ROLLUP(dow, hour_of_day)
         """,
         "events_props_extract": """
             SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) % 10 AS k_bucket,
