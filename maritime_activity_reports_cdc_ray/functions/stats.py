@@ -436,7 +436,9 @@ def rollup_agg(ds, keys: list[str], aggs: dict, num_partitions: int = 16):
     small-side contract as every rollup here). Re-reduction is exact because
     the agg set is associative: count re-reduces as sum; sum/max/min as
     themselves. ``aggs`` = {alias: (col, fn)} with fn in
-    {sum, count, max, min}."""
+    {sum, count, max, min}. Semantics pins: count = COUNT(*) (row count,
+    nulls included); sum skips NULLs and an all-NULL group sums to 0
+    (= SQL ``COALESCE(SUM(v), 0)``), pandas' convention."""
     import pandas as pd
 
     finest = hash_agg(ds, keys, aggs, num_partitions=num_partitions) \

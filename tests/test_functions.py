@@ -1638,3 +1638,53 @@ def test_pivot_wide_matches_duckdb(ray_session):
     for c in ("a", "b", "c"):
         assert got[c].astype("int64").tolist() == \
             exp[c].fillna(0).astype("int64").tolist(), c
+
+
+def test_rollup_pivot_fuzz_vs_duckdb(ray_session):
+    """Randomized differential for rollup_agg/pivot_wide vs DuckDB across
+    frames with skewed keys, negative values and NaN values (SUM skips
+    NULLs; COUNT is COUNT(*) row semantics)."""
+    import duckdb
+
+    from maritime_activity_reports_cdc_ray.functions.stats import (
+        pivot_wide,
+        rollup_agg,
+    )
+
+    rng = np.random.default_rng(21)
+    for trial in range(6):
+        n = int(rng.integers(1, 300))
+        df = pd.DataFrame({
+            "a": rng.choice(["x", "y", "z", "w"][: int(rng.integers(1, 5))], n),
+            "b": rng.choice(["p", "q", "r"][: int(rng.integers(1, 4))], n),
+            "v": rng.integers(-50, 100, n).astype("float64"),
+        })
+        df.loc[rng.random(n) < 0.15, "v"] = np.nan
+        con = duckdb.connect()
+        con.register("t", df)
+
+        got = rollup_agg(_ds(df).repartition(int(rng.integers(1, 6))),
+                         ["a", "b"],
+                         {"n": ("v", "count"), "s": ("v", "sum")})
+        exp = con.execute("""
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n,
+                   COALESCE(SUM(v), 0) AS s
+            FROM t GROUP BY ROLLUP(a, b)""").df()
+        key = lambda d: (d.assign(a=d["a"].fillna("~"), b=d["b"].fillna("~"))
+                         .sort_values(["a", "b"]).reset_index(drop=True))
+        g, e = key(got), key(exp)
+        assert g["a"].tolist() == e["a"].tolist(), trial
+        assert g["n"].astype("int64").tolist() == \
+            e["n"].astype("int64").tolist(), trial
+        gs = g["s"].fillna(np.inf).astype("float64")
+        es = e["s"].fillna(np.inf).astype("float64")
+        assert np.allclose(gs, es), trial
+
+        got_p = pivot_wide(_ds(df), "a", "b", "v", agg="sum")
+        exp_p = con.execute(
+            "PIVOT t ON b USING SUM(v) GROUP BY a ORDER BY a").df()
+        assert got_p["a"].tolist() == exp_p["a"].tolist(), trial
+        for c in sorted(set(df["b"])):
+            assert np.allclose(
+                got_p[c].fillna(0).astype("float64"),
+                exp_p[c].fillna(0).astype("float64")), (trial, c)
