@@ -1811,8 +1811,18 @@ def media_decode_features(sf_dir: str):
         Sum("zero_bytes", alias_name="n_zero_bytes"),
     )
     hsum = sums.aggregate(Sum("hexsum", alias_name="payload_hexsum"))
+    # perceptual-hash near-dup face: aHash buckets over the same payloads
+    # (functions/multimodal.AverageHasher — the image analogue of the text
+    # MinHash bucket stage); the SQL replays the integer bit rule per media
+    from maritime_activity_reports_cdc_ray.functions.multimodal import AverageHasher
+
+    ah = (media.map_batches(AverageHasher, batch_format="pyarrow",
+                            batch_size=64, concurrency=(1, 2))
+          .groupby("ahash").count().to_pandas())
     row = dict(stats)
     row.update(hsum)
+    row["n_ahash_buckets"] = int(len(ah))
+    row["max_ahash_bucket"] = int(ah["count()"].max()) if len(ah) else 0
     return pd.DataFrame([row])
 
 
@@ -2313,11 +2323,27 @@ def _media_oracle_sql(n: int = 256, seed: int = 7, payload_bytes: int = 4096) ->
         pay AS (SELECT i, string_agg(hx, '' ORDER BY j) AS hex FROM chk GROUP BY i),
         hs AS (SELECT i, ('0x' || substr(md5(hex), 1, 16))::UBIGINT % 2147483648 AS hsum,
                       length(hex) // 2 AS nbytes
-               FROM pay)
+               FROM pay),
+        byt AS (
+            SELECT i, CAST(('0x' || substr(hx, CAST(2 * b + 1 AS INT), 2))::UBIGINT
+                           AS BIGINT) AS bv
+            FROM chk, unnest(range(16)) u(b)),
+        low AS (SELECT i, bv, COUNT(*) AS c FROM byt WHERE bv < 60 GROUP BY i, bv),
+        tot AS (SELECT i, SUM(c) AS t60 FROM low GROUP BY i),
+        ah AS (
+            SELECT low.i,
+                   CAST(SUM(CASE WHEN 60 * c > t60
+                                 THEN CAST(power(2, bv) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS h
+            FROM low JOIN tot USING (i) GROUP BY low.i),
+        ab AS (SELECT COALESCE(ah.h, 0) AS h FROM hs LEFT JOIN ah ON ah.i = hs.i),
+        abk AS (SELECT h, COUNT(*) AS cnt FROM ab GROUP BY h)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
                CAST(SUM(hs.nbytes) AS BIGINT) AS total_payload_bytes,
                CAST(SUM(zc.z) AS BIGINT) AS n_zero_bytes,
-               CAST(SUM(hs.hsum) AS BIGINT) AS payload_hexsum
+               CAST(SUM(hs.hsum) AS BIGINT) AS payload_hexsum,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM abk) AS n_ahash_buckets,
+               (SELECT CAST(MAX(cnt) AS BIGINT) FROM abk) AS max_ahash_bucket
         FROM hs JOIN zc USING (i)
     """
 

@@ -116,6 +116,38 @@ def decode_features(ds, backend: str = DecodeBackend.FAKE, concurrency=(1, 4),
     )
 
 
+class AverageHasher:
+    """Actor-pool perceptual-hash stage (aHash family): bit ``v`` of the
+    60-bit hash is set iff the payload's byte-value-``v`` count exceeds the
+    mean over values 0..59 (integer form ``60·hist[v] > Σ hist[0:60]`` — no
+    float boundary, SQL-replayable). With ``backend="fake"`` the "image" is
+    the byte stream itself, mirroring :class:`ImageDecoder`'s histogram
+    feature; a real backend would average 8×8 grayscale pixels instead
+    (classic aHash) — same plumbing, stubbed like the other codecs. Media
+    rows sharing a hash are near-dup candidates (the image analogue of the
+    text MinHash bucket stage)."""
+
+    def __init__(self, backend: str = DecodeBackend.FAKE, n_bits: int = 60):
+        if backend != DecodeBackend.FAKE:
+            raise NotImplementedError(
+                "perceptual hashing over real pixels requires an image "
+                "decoder that is not available in this container")
+        assert n_bits <= 62  # BIGINT-safe
+        self.n_bits = n_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.n_bits
+        weights = (np.uint64(1) << np.arange(k, dtype=np.uint64))
+        hs = []
+        for buf in batch.column("payload"):
+            b = np.frombuffer(buf.as_py(), dtype=np.uint8)
+            hist = np.bincount(b, minlength=256)[:k].astype(np.int64)
+            bits = k * hist > hist.sum()
+            hs.append(int(weights[bits].sum()))
+        return pa.table({"media_id": batch.column("media_id"),
+                         "ahash": pa.array(hs, pa.int64())})
+
+
 class FrameSampler:
     """Video frame-sampling stage (STUB): emits every k-th synthetic "frame"
     reference per video row — the flat_map-shaped plumbing for video pipelines.

@@ -1688,3 +1688,24 @@ def test_rollup_pivot_fuzz_vs_duckdb(ray_session):
             assert np.allclose(
                 got_p[c].fillna(0).astype("float64"),
                 exp_p[c].fillna(0).astype("float64")), (trial, c)
+
+
+def test_average_hasher_near_dup_buckets(ray_session):
+    """aHash (perceptual-hash family) over media payloads: identical
+    payloads share a bucket, a heavily skewed payload lands elsewhere, and
+    the bit rule is the exact integer form 60*hist[v] > sum(hist[:60])."""
+    import pyarrow as pa
+
+    from maritime_activity_reports_cdc_ray.functions.multimodal import AverageHasher
+
+    a = bytes(range(60)) * 10          # uniform low bytes
+    b = bytes([3]) * 600               # all mass on byte 3
+    t = pa.table({"media_id": pa.array([1, 2, 3], pa.int64()),
+                  "payload": pa.array([a, a, b], pa.binary())})
+    out = AverageHasher()(t).to_pandas()
+    h = dict(zip(out["media_id"], out["ahash"]))
+    assert h[1] == h[2]            # identical payloads -> same bucket
+    assert h[1] != h[3]
+    assert h[3] == 1 << 3          # only bit 3 set: 60*600 > 600, rest 0
+    # uniform: 60*c == tot for every v -> strict '>' sets NO bits
+    assert h[1] == 0
