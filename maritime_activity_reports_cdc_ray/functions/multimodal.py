@@ -132,7 +132,8 @@ class AverageHasher:
             raise NotImplementedError(
                 "perceptual hashing over real pixels requires an image "
                 "decoder that is not available in this container")
-        assert n_bits <= 62  # BIGINT-safe
+        if not 1 <= n_bits <= 62:  # BIGINT-safe; a bare assert would strip
+            raise ValueError(f"n_bits must be in [1, 62], got {n_bits}")
         self.n_bits = n_bits
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -438,10 +438,25 @@ def rollup_agg(ds, keys: list[str], aggs: dict, num_partitions: int = 16):
     themselves. ``aggs`` = {alias: (col, fn)} with fn in
     {sum, count, max, min}. Semantics pins: count = COUNT(*) (row count,
     nulls included); sum skips NULLs and an all-NULL group sums to 0
-    (= SQL ``COALESCE(SUM(v), 0)``), pandas' convention."""
+    (= SQL ``COALESCE(SUM(v), 0)``), pandas' convention. NULL GROUP KEYS
+    are real groups (SQL GROUP BY semantics — pandas' dropna would silently
+    drop their rows from every subtotal and the grand total): keys pass
+    through a sentinel before the combiner and restore to None on output,
+    so the result rows match DuckDB's ROLLUP output exactly (where, as in
+    SQL, a data-NULL key row and a rolled-up row print identically)."""
     import pandas as pd
 
-    finest = hash_agg(ds, keys, aggs, num_partitions=num_partitions) \
+    _SENT = "\x00\x00__null__"
+
+    def mask_nulls(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for k in keys:
+            if df[k].isna().any():
+                df[k] = df[k].astype(object).where(df[k].notna(), _SENT)
+        return df
+
+    finest = hash_agg(ds.map_batches(mask_nulls, batch_format="pandas"),
+                      keys, aggs, num_partitions=num_partitions) \
         .to_pandas()
     if "_part" in finest.columns:
         finest = finest.drop(columns=["_part"])
@@ -465,6 +480,8 @@ def rollup_agg(ds, keys: list[str], aggs: dict, num_partitions: int = 16):
         levels.append(lv[keys + list(aggs)])
     out = pd.concat([lv[keys + list(aggs)] for lv in levels],
                     ignore_index=True)
+    for k in keys:  # sentinel back to a real NULL group key
+        out[k] = out[k].where(out[k] != _SENT, None)
     return out.sort_values(keys, na_position="last").reset_index(drop=True)
 
 
@@ -476,7 +493,9 @@ def pivot_wide(ds, key: str, pivot_col: str, value_col: str,
     driver — wide outputs are small by contract; a pivot with millions of
     distinct pivot values belongs in a table, not a matrix). Missing cells
     are 0 for sum/count, NaN for max/min; pivot columns sort
-    deterministically."""
+    deterministically. Rows with a NULL key or NULL pivot value are
+    EXCLUDED (pandas pivot semantics; DuckDB PIVOT would mint a "NULL"
+    column) — filter-or-fill upstream if a NULL bucket is needed."""
     finest = hash_agg(ds, [key, pivot_col], {"_v": (value_col, agg)},
                       num_partitions=num_partitions).to_pandas()
     if "_part" in finest.columns:

@@ -99,7 +99,8 @@ def make_compact_task_fn(root: str, compression: str,
 def compact_table(lake, kinds: tuple = ("history",), compression: str = "zstd",
                   cluster_by: list[str] | None = None,
                   row_group_size: int | None = None,
-                  include_single: bool = False, zorder: bool = False) -> dict:
+                  include_single: bool = False, zorder: bool = False,
+                  trigger_min_chain: int | None = None) -> dict:
     """Merge multi-fragment chains per (pid, salt, kind) into single sorted
     fragments. Returns counts. Safe to re-run; crash-safe (maintenance commit).
 
@@ -122,6 +123,12 @@ def compact_table(lake, kinds: tuple = ("history",), compression: str = "zstd",
     for f in m.fragments:
         if f.kind in kinds:
             chains.setdefault((f.pid, f.salt, f.kind), []).append(f)
+    if trigger_min_chain and (
+            not chains or max(len(v) for v in chains.values())
+            <= trigger_min_chain):
+        # threshold gate (the auto-OPTIMIZE knob): nothing exceeds the
+        # chain-length trigger — one source of truth with the scan above
+        return {"compacted_groups": 0, "fragments_removed": 0}
     min_frags = 0 if include_single else 1
     items = [
         {"pid": pid, "salt": salt, "kind": kind, "epoch": m.epoch,

@@ -735,16 +735,10 @@ class CDCReplay:
             return None
         from maritime_activity_reports_cdc_ray.pipelines.maintenance import compact_table
 
-        m = self.silver.latest_manifest()
-        chains: dict = {}
-        for f in m.fragments:
-            if f.kind in ("history", "current"):
-                k = (f.pid, f.salt, f.kind)
-                chains[k] = chains.get(k, 0) + 1
-        if not chains or max(chains.values()) <= thr:
-            return None
-        return compact_table(self.silver, kinds=("history", "current"),
-                             compression=self.cfg.write_compression)
+        out = compact_table(self.silver, kinds=("history", "current"),
+                            compression=self.cfg.write_compression,
+                            trigger_min_chain=thr)
+        return out if out["compacted_groups"] else None
 
     def finalize_gold(self) -> None:
         """Bring gold up to the silver watermark regardless of cadence (also

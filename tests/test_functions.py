@@ -1660,6 +1660,8 @@ def test_rollup_pivot_fuzz_vs_duckdb(ray_session):
             "v": rng.integers(-50, 100, n).astype("float64"),
         })
         df.loc[rng.random(n) < 0.15, "v"] = np.nan
+        # NULL group keys are real groups (SQL semantics, unlike pandas)
+        df.loc[rng.random(n) < 0.1, "b"] = None
         con = duckdb.connect()
         con.register("t", df)
 
@@ -1670,8 +1672,11 @@ def test_rollup_pivot_fuzz_vs_duckdb(ray_session):
             SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n,
                    COALESCE(SUM(v), 0) AS s
             FROM t GROUP BY ROLLUP(a, b)""").df()
-        key = lambda d: (d.assign(a=d["a"].fillna("~"), b=d["b"].fillna("~"))
-                         .sort_values(["a", "b"]).reset_index(drop=True))
+        key = lambda d: (d.assign(a=d["a"].fillna("~"), b=d["b"].fillna("~"),
+                                  s=d["s"].fillna(np.inf).astype("float64")
+                                  .round(6))
+                         .sort_values(["a", "b", "n", "s"])
+                         .reset_index(drop=True))
         g, e = key(got), key(exp)
         assert g["a"].tolist() == e["a"].tolist(), trial
         assert g["n"].astype("int64").tolist() == \
@@ -1680,11 +1685,15 @@ def test_rollup_pivot_fuzz_vs_duckdb(ray_session):
         es = e["s"].fillna(np.inf).astype("float64")
         assert np.allclose(gs, es), trial
 
-        got_p = pivot_wide(_ds(df), "a", "b", "v", agg="sum")
+        # pivot contract excludes NULL pivot values (documented) — compare
+        # on the non-null slice both sides
+        dfp = df[df["b"].notna()]
+        con.register("tp", dfp)
+        got_p = pivot_wide(_ds(dfp), "a", "b", "v", agg="sum")
         exp_p = con.execute(
-            "PIVOT t ON b USING SUM(v) GROUP BY a ORDER BY a").df()
+            "PIVOT tp ON b USING SUM(v) GROUP BY a ORDER BY a").df()
         assert got_p["a"].tolist() == exp_p["a"].tolist(), trial
-        for c in sorted(set(df["b"])):
+        for c in sorted(set(dfp["b"])):
             assert np.allclose(
                 got_p[c].fillna(0).astype("float64"),
                 exp_p[c].fillna(0).astype("float64")), (trial, c)
