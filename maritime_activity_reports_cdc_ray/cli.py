@@ -50,7 +50,21 @@ def _replay(args):
     from maritime_activity_reports_cdc_ray.config import EngineConfig
     from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
 
-    cfg = EngineConfig(num_partitions=args.partitions)
+    nparts = args.partitions
+    if nparts is None:
+        # adopt the EXISTING lake's partition count (pid assignment derives
+        # from it — a mismatching default would fail run()'s guard); only a
+        # fresh `setup` needs the knob, defaulting to 32
+        import json as _json
+        import os as _os
+
+        mdir = _os.path.join(args.root, "silver", "_manifests")
+        if _os.path.isdir(mdir) and _os.listdir(mdir):
+            latest = sorted(_os.listdir(mdir))[-1]
+            nparts = _json.load(open(_os.path.join(mdir, latest)))["num_partitions"]
+        else:
+            nparts = 32
+    cfg = EngineConfig(num_partitions=nparts)
     if getattr(args, "salt", None):
         cfg.default_salt = args.salt
     return CDCReplay(args.root, cfg)
@@ -63,7 +77,9 @@ def main(argv=None):
 
     def common(sp):
         sp.add_argument("--root", required=True, help="lake root directory")
-        sp.add_argument("--partitions", type=int, default=32)
+        sp.add_argument("--partitions", type=int, default=None,
+                        help="partition count — defaults to the lake's own "
+                             "manifest value when the lake exists, else 32")
         sp.add_argument("--salt", type=int, default=1)
 
     sp = sub.add_parser("setup", help="create bronze/silver/gold tables (DDL analogue)")
@@ -170,6 +186,19 @@ def main(argv=None):
     sp.add_argument("--sum-cols", default="",
                     help="comma-separated int columns to SUM (COUNT is implicit)")
     sp.add_argument("--limit", type=int, default=50)
+
+    sp = sub.add_parser("delete", help="DELETE FROM silver WHERE ... as a "
+                                       "deletion feed: writes one tombstone "
+                                       "event per matching live key to a "
+                                       "stream part file; drop it into the "
+                                       "input dir and `replay` applies it "
+                                       "exactly-once (deletes surface in "
+                                       "history, CDF, gold and views)")
+    common(sp)
+    sp.add_argument("--where", required=True, help="col=value[,value...]")
+    sp.add_argument("--out", required=True,
+                    help="output parquet path (name it to sort as the next "
+                         "epoch, e.g. part-00007.parquet)")
 
     sp = sub.add_parser("export", help="export a consistent table snapshot "
                                        "(optionally AS OF an epoch) to hive-"
@@ -311,6 +340,11 @@ def main(argv=None):
             out["state"] = json.loads(
                 v.read().head(args.limit).to_json(orient="records"))
             print(json.dumps(out, indent=1))
+        elif args.cmd == "delete":
+            col, _, val = args.where.partition("=")
+            vals = val.split(",")
+            pred = (col, "==", vals[0]) if len(vals) == 1 else (col, "in", vals)
+            print(json.dumps(r.make_tombstones(pred, args.out)))
         elif args.cmd == "export":
             from maritime_activity_reports_cdc_ray.sources.writers import write_partitioned
 

@@ -721,6 +721,46 @@ class CDCReplay:
                         os.path.join(dst_cache, _META))
         return dst
 
+    def make_tombstones(self, predicate: tuple, out_path: str) -> dict:
+        """``DELETE FROM silver WHERE <predicate>`` as a DELETION FEED
+        (GDPR/right-to-erasure shape; Delta analogue: ``DELETE FROM`` whose
+        deletes surface in the CDF): write one tombstone event per LIVE key
+        matching ``predicate`` to ``out_path`` — a normal stream part file
+        the caller drops into the input dir as the NEXT epoch, so the
+        deletes flow through the exactly-once replay path (bronze log, LWW
+        merge, SCD2 close, gold/IVM/CDF all see them) instead of mutating
+        state out-of-band. Epochs stay positional: the feed is data, not a
+        side-channel commit.
+
+        Tombstone commit = the key's winning commit numerically bumped by 1
+        (strictly greater → wins LWW against the current state; a later
+        REAL commit of the key re-inserts it, the CDC contract). The scan is
+        a predicate-pruned, column-pruned silver read — never a full table.
+        """
+        import pyarrow.parquet as _pq
+
+        from maritime_activity_reports_cdc_ray.schemas import TOMBSTONE
+
+        sil = self.read_silver(columns=["repo", "path", "commit"],
+                               predicate=predicate).to_pandas()
+        n = len(sil)
+        if n:
+            width = sil["commit"].str.len().max() - 1
+            num = sil["commit"].str.slice(1).astype("int64") + 1
+            commits = ("c" + num.astype(str).str.zfill(int(width))).tolist()
+        else:
+            commits = []
+        t = pa.table({
+            "repo": pa.array(sil["repo"].tolist(), pa.string()),
+            "path": pa.array(sil["path"].tolist(), pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array([""] * n, pa.string()),
+            "content": pa.array([TOMBSTONE] * n, pa.large_string()),
+        })
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        _pq.write_table(t, out_path, compression=self.cfg.write_compression)
+        return {"tombstones": n, "out": out_path}
+
     def _auto_compact(self) -> dict | None:
         """Threshold-based auto-OPTIMIZE at run end (the reference schedules
         ``optimize-tables`` via Airflow, ``airflow_dags/

@@ -817,3 +817,41 @@ def test_auto_compact_at_run_end(ray_session, stream, tmp_path):
     _assert_matches_oracle(r, oracle)
     assert r.run(src)["epochs_run"] == 0  # watermark untouched
     _assert_matches_oracle(r, oracle)
+
+
+def test_delete_where_tombstone_feed(ray_session, stream, tmp_path):
+    """DELETE FROM as a deletion feed: make_tombstones writes tombstone
+    events for the matching live keys; appended as the next epoch and
+    replayed, the keys vanish from silver, gold drops them, the CDF reports
+    deletes, and the whole lake equals the dict oracle of the extended
+    stream (exactly-once rerun included)."""
+    import shutil
+
+    src, files, oracle = stream
+    d2 = str(tmp_path / "stream2")
+    os.makedirs(d2)
+    for f in files:
+        shutil.copy(f, d2)
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(d2)
+    sil = r.read_silver(columns=["repo", "path"]).to_pandas()
+    victim = sorted(set(sil["repo"]))[0]
+    n_victim = int((sil["repo"] == victim).sum())
+    out = r.make_tombstones(("repo", "==", victim),
+                            os.path.join(d2, "part-00004.parquet"))
+    assert out["tombstones"] == n_victim > 0
+    ran = r.run(d2)
+    assert ran["epochs_run"] == 1
+    sil2 = r.read_silver(columns=["repo", "path"]).to_pandas()
+    assert victim not in set(sil2["repo"])
+    g = r.read_gold().to_pandas()
+    grow = g[g["repo"] == victim]
+    assert len(grow) == 0 or int(grow["file_count"].iloc[0]) == 0
+    ch = r.table_changes(3, 4).to_pandas()
+    assert set(ch[ch["repo"] == victim]["_change_type"]) == {"delete"}
+    assert len(ch[ch["repo"] == victim]) == n_victim
+    # the extended stream replays to the same state in the dict oracle
+    d2_files = sorted(__import__("glob").glob(os.path.join(d2, "*.parquet")))
+    _assert_matches_oracle(r, replay_files(d2_files))
+    assert r.run(d2)["epochs_run"] == 0  # exactly-once
