@@ -200,6 +200,17 @@ def main(argv=None):
                     help="output parquet path (name it to sort as the next "
                          "epoch, e.g. part-00007.parquet)")
 
+    sp = sub.add_parser("update", help="UPDATE ... SET as an update feed "
+                                       "(make_tombstones' companion): one "
+                                       "upsert event per matching live key "
+                                       "with the given column overridden; "
+                                       "`replay` applies it exactly-once")
+    common(sp)
+    sp.add_argument("--where", required=True, help="col=value[,value...]")
+    sp.add_argument("--set", required=True, dest="set_expr",
+                    help="col=value (lang or content)")
+    sp.add_argument("--out", required=True)
+
     sp = sub.add_parser("export", help="export a consistent table snapshot "
                                        "(optionally AS OF an epoch) to hive-"
                                        "partitioned parquet via the resumable "
@@ -345,6 +356,14 @@ def main(argv=None):
             vals = val.split(",")
             pred = (col, "==", vals[0]) if len(vals) == 1 else (col, "in", vals)
             print(json.dumps(r.make_tombstones(pred, args.out)))
+        elif args.cmd == "update":
+            col, _, val = args.where.partition("=")
+            vals = val.split(",")
+            pred = (col, "==", vals[0]) if len(vals) == 1 else (col, "in", vals)
+            scol, _, sval = args.set_expr.partition("=")
+            if scol not in ("lang", "content"):
+                raise SystemExit("--set supports lang=... or content=...")
+            print(json.dumps(r.make_updates(pred, {scol: sval}, args.out)))
         elif args.cmd == "export":
             from maritime_activity_reports_cdc_ray.sources.writers import write_partitioned
 

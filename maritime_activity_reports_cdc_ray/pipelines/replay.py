@@ -761,6 +761,43 @@ class CDCReplay:
         _pq.write_table(t, out_path, compression=self.cfg.write_compression)
         return {"tombstones": n, "out": out_path}
 
+    def make_updates(self, predicate: tuple, set_cols: dict,
+                     out_path: str) -> dict:
+        """``UPDATE silver SET col=value WHERE <predicate>`` as an UPDATE
+        FEED — :meth:`make_tombstones`' companion, completing the DML triad
+        (MERGE is the engine itself): one upsert event per matching LIVE
+        key with the requested columns overridden, the rest (including
+        content, resolved through the pointer join) carried forward, and
+        the commit numerically bumped so the event wins LWW. Applied via
+        the normal replay path, so the update mints an SCD2 version and a
+        CDF pre/post pair like any organic change."""
+        import pyarrow.parquet as _pq
+
+        sil = self.read_silver(columns=["repo", "path", "commit", "lang",
+                                        "content"],
+                               predicate=predicate).to_pandas()
+        n = len(sil)
+        if n:
+            width = int(sil["commit"].str.len().max()) - 1
+            num = sil["commit"].str.slice(1).astype("int64") + 1
+            commits = ("c" + num.astype(str).str.zfill(width)).tolist()
+        else:
+            commits = []
+        lang = [set_cols["lang"]] * n if "lang" in set_cols \
+            else sil["lang"].tolist()
+        content = [set_cols["content"]] * n if "content" in set_cols \
+            else sil["content"].tolist()
+        t = pa.table({
+            "repo": pa.array(sil["repo"].tolist(), pa.string()),
+            "path": pa.array(sil["path"].tolist(), pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(lang, pa.string()),
+            "content": pa.array(content, pa.large_string()),
+        })
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        _pq.write_table(t, out_path, compression=self.cfg.write_compression)
+        return {"updates": n, "out": out_path}
+
     def _auto_compact(self) -> dict | None:
         """Threshold-based auto-OPTIMIZE at run end (the reference schedules
         ``optimize-tables`` via Airflow, ``airflow_dags/

@@ -855,3 +855,39 @@ def test_delete_where_tombstone_feed(ray_session, stream, tmp_path):
     d2_files = sorted(__import__("glob").glob(os.path.join(d2, "*.parquet")))
     _assert_matches_oracle(r, replay_files(d2_files))
     assert r.run(d2)["epochs_run"] == 0  # exactly-once
+
+
+def test_update_where_feed(ray_session, stream, tmp_path):
+    """UPDATE ... SET as an update feed: matching keys get the new column
+    value with content carried forward, a fresh SCD2 version is minted, the
+    CDF shows pre/post pairs, and the lake equals the dict oracle of the
+    extended stream."""
+    import shutil
+
+    src, files, oracle = stream
+    d2 = str(tmp_path / "stream2")
+    os.makedirs(d2)
+    for f in files:
+        shutil.copy(f, d2)
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(d2)
+    sil = r.read_silver(columns=["repo", "path", "content_sha256"]).to_pandas()
+    victim = sorted(set(sil["repo"]))[0]
+    before = sil[sil["repo"] == victim].set_index("path")["content_sha256"]
+    out = r.make_updates(("repo", "==", victim), {"lang": "zz"},
+                         os.path.join(d2, "part-00004.parquet"))
+    assert out["updates"] == len(before) > 0
+    r.run(d2)
+    sil2 = r.read_silver(
+        columns=["repo", "path", "lang", "content_sha256"]).to_pandas()
+    vic = sil2[sil2["repo"] == victim]
+    assert set(vic["lang"]) == {"zz"}
+    # content untouched: same sha per key
+    after = vic.set_index("path")["content_sha256"]
+    assert after.sort_index().equals(before.sort_index())
+    ch = r.table_changes(3, 4).to_pandas()
+    vch = ch[ch["repo"] == victim]
+    assert set(vch["_change_type"]) == {"update_preimage", "update_postimage"}
+    d2_files = sorted(__import__("glob").glob(os.path.join(d2, "*.parquet")))
+    _assert_matches_oracle(r, replay_files(d2_files))
