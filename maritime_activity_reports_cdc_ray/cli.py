@@ -54,16 +54,17 @@ def _replay(args):
     if nparts is None:
         # adopt the EXISTING lake's partition count (pid assignment derives
         # from it — a mismatching default would fail run()'s guard); only a
-        # fresh `setup` needs the knob, defaulting to 32
-        import json as _json
+        # fresh `setup` needs the knob, defaulting to 32. Go through
+        # LakeTable.latest_manifest() — a raw listdir sort can pick up a
+        # crashed writer's 'manifest-N.json.tmp-<pid>' leftover.
         import os as _os
 
-        mdir = _os.path.join(args.root, "silver", "_manifests")
-        if _os.path.isdir(mdir) and _os.listdir(mdir):
-            latest = sorted(_os.listdir(mdir))[-1]
-            nparts = _json.load(open(_os.path.join(mdir, latest)))["num_partitions"]
-        else:
-            nparts = 32
+        from maritime_activity_reports_cdc_ray.state.table import LakeTable
+
+        sroot = _os.path.join(args.root, "silver")
+        m = (LakeTable(sroot).latest_manifest()
+             if _os.path.isdir(_os.path.join(sroot, "_manifests")) else None)
+        nparts = m.num_partitions if m is not None else 32
     cfg = EngineConfig(num_partitions=nparts)
     if getattr(args, "salt", None):
         cfg.default_salt = args.salt

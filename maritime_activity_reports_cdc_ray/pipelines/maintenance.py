@@ -118,6 +118,14 @@ def compact_table(lake, kinds: tuple = ("history",), compression: str = "zstd",
 
     from maritime_activity_reports_cdc_ray.state.table import Fragment
 
+    if zorder and cluster_by is not None and not 2 <= len(cluster_by) <= 4:
+        # validate BEFORE dispatching (mirrors the CLI check) — otherwise
+        # zorder_indices' assert fires inside a Ray map task as an opaque
+        # remote traceback
+        raise ValueError(
+            f"zorder takes 2-4 cluster columns, got {len(cluster_by)}: "
+            "fewer -> plain cluster_by sort, more -> pick the query "
+            "dimensions (4x16 bits = one u64 key)")
     m = lake.latest_manifest()
     chains: dict = {}
     for f in m.fragments:

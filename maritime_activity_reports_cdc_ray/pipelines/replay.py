@@ -213,6 +213,65 @@ def _make_bucketed_bronze_writer(outdir: str, compression: str, nbuckets: int,
     return write
 
 
+def _feed_schema(with_event_time: bool) -> pa.Schema:
+    """Schema of a DML feed part file — the stream's event shape, plus an
+    explicit ``event_time`` on watermark-enabled lakes (the stamper lets a
+    source-supplied event_time win, see stages/stamp.py)."""
+    fields = [pa.field("repo", pa.string()), pa.field("path", pa.string()),
+              pa.field("commit", pa.string()), pa.field("lang", pa.string()),
+              pa.field("content", pa.large_string())]
+    if with_event_time:
+        fields.append(pa.field("event_time", pa.int64()))
+    return pa.schema(fields)
+
+
+def _bump_commits(commit) -> pa.Array:
+    """Numerically bump each zero-padded commit by 1, preserving each row's
+    OWN digit width (LWW compares commits lexicographically per key, so
+    'c0042' must bump to 'c0043', never re-pad to another key's width).
+    Vectorized per distinct width — real streams have one."""
+    ser = commit.to_pandas().astype(str)
+    num = ser.str.slice(1).astype("int64") + 1
+    digits = num.astype(str)
+    widths = ser.str.len() - 1
+    out = digits.copy()
+    for wv in widths.unique():
+        m = widths == wv
+        out[m] = digits[m].str.zfill(int(wv))
+    return pa.array(("c" + out).tolist(), pa.string())
+
+
+def _feed_kernel(set_cols: dict | None, event_time: int | None):
+    """Per-batch DML-feed builder: bump the winning commit, override the SET
+    columns (``set_cols=None`` = tombstone feed), carry the rest forward.
+    Runs inside ``map_batches`` — content bytes never touch the driver."""
+    from maritime_activity_reports_cdc_ray.schemas import TOMBSTONE
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols: dict = {
+            "repo": t.column("repo").cast(pa.string()),
+            "path": t.column("path").cast(pa.string()),
+            "commit": _bump_commits(t.column("commit")),
+        }
+        if set_cols is None:
+            cols["lang"] = pa.array([""] * n, pa.string())
+            cols["content"] = pa.array([TOMBSTONE] * n, pa.large_string())
+        else:
+            cols["lang"] = (pa.array([set_cols["lang"]] * n, pa.string())
+                            if "lang" in set_cols
+                            else t.column("lang").cast(pa.string()))
+            cols["content"] = (
+                pa.array([set_cols["content"]] * n, pa.large_string())
+                if "content" in set_cols
+                else t.column("content").cast(pa.large_string()))
+        if event_time is not None:
+            cols["event_time"] = pa.array(np.full(n, event_time, np.int64))
+        return pa.table(cols)
+
+    return kernel
+
+
 def align_empty(schema: pa.Schema) -> pa.Table:
     return pa.Table.from_pylist([], schema=schema)
 
@@ -378,12 +437,43 @@ class CDCReplay:
     @staticmethod
     def discover_epochs(input_path: str, files_per_epoch: int = 1) -> list[list[str]]:
         """One epoch = ``files_per_epoch`` consecutive input files (sorted) —
-        the generic analogue of the CDF ``startingVersion`` offset ranges."""
-        if os.path.isdir(input_path):
-            files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
-        else:
-            files = [input_path]
-        return [files[i : i + files_per_epoch] for i in range(0, len(files), files_per_epoch)]
+        the generic analogue of the CDF ``startingVersion`` offset ranges.
+
+        A subdirectory named ``*.feed`` is a MULTI-FILE FEED EPOCH (the
+        streamed output of :meth:`make_tombstones` / :meth:`make_updates`):
+        all its parquet files form ONE epoch, positioned among its siblings
+        by name — so one DML statement surfaces as one CDF commit, like a
+        Delta ``DELETE FROM``. A feed dir without its ``_SUCCESS`` sentinel
+        is a crashed generation; fail fast rather than ingest a partial feed.
+        Plain files are chunked ``files_per_epoch`` at a time between feed
+        boundaries."""
+        if not os.path.isdir(input_path):
+            return [[input_path]]
+        epochs: list[list[str]] = []
+        chunk: list[str] = []
+
+        def flush():
+            nonlocal chunk
+            for i in range(0, len(chunk), files_per_epoch):
+                epochs.append(chunk[i : i + files_per_epoch])
+            chunk = []
+
+        for name in sorted(os.listdir(input_path)):
+            p = os.path.join(input_path, name)
+            if name.endswith(".feed") and os.path.isdir(p):
+                if not os.path.exists(os.path.join(p, "_SUCCESS")):
+                    raise RuntimeError(
+                        f"feed dir {p} has no _SUCCESS sentinel — its "
+                        "generation crashed mid-write; re-run make_tombstones"
+                        "/make_updates (idempotent) or remove the directory")
+                flush()
+                epochs.append(sorted(
+                    glob.glob(os.path.join(p, "**", "*.parquet"),
+                              recursive=True)))
+            elif name.endswith(".parquet") and os.path.isfile(p):
+                chunk.append(p)
+        flush()
+        return epochs
 
     def run(self, input_path: str, files_per_epoch: int = 1, max_epochs: int | None = None) -> dict:
         """Replay all (or the next ``max_epochs``) uncommitted epochs.
@@ -725,41 +815,29 @@ class CDCReplay:
         """``DELETE FROM silver WHERE <predicate>`` as a DELETION FEED
         (GDPR/right-to-erasure shape; Delta analogue: ``DELETE FROM`` whose
         deletes surface in the CDF): write one tombstone event per LIVE key
-        matching ``predicate`` to ``out_path`` — a normal stream part file
-        the caller drops into the input dir as the NEXT epoch, so the
-        deletes flow through the exactly-once replay path (bronze log, LWW
-        merge, SCD2 close, gold/IVM/CDF all see them) instead of mutating
-        state out-of-band. Epochs stay positional: the feed is data, not a
+        matching ``predicate`` to ``out_path`` — stream part file(s) the
+        caller drops into the input dir as the NEXT epoch, so the deletes
+        flow through the exactly-once replay path (bronze log, LWW merge,
+        SCD2 close, gold/IVM/CDF all see them) instead of mutating state
+        out-of-band. Epochs stay positional: the feed is data, not a
         side-channel commit.
 
         Tombstone commit = the key's winning commit numerically bumped by 1
         (strictly greater → wins LWW against the current state; a later
         REAL commit of the key re-inserts it, the CDC contract). The scan is
-        a predicate-pruned, column-pruned silver read — never a full table.
-        """
-        import pyarrow.parquet as _pq
+        a predicate-pruned, column-pruned silver read — never a full table —
+        and the feed is produced by a STREAMING ``map_batches`` kernel
+        (never a driver ``to_pandas()``): ``out_path`` ending in ``.feed``
+        writes a multi-file feed directory (one replay epoch, see
+        :meth:`discover_epochs`; idempotent — an existing ``_SUCCESS``
+        short-circuits), ending in ``.parquet`` writes a single compat file
+        (small feeds only — the whole feed passes through one worker task).
 
-        from maritime_activity_reports_cdc_ray.schemas import TOMBSTONE
-
-        sil = self.read_silver(columns=["repo", "path", "commit"],
-                               predicate=predicate).to_pandas()
-        n = len(sil)
-        if n:
-            width = sil["commit"].str.len().max() - 1
-            num = sil["commit"].str.slice(1).astype("int64") + 1
-            commits = ("c" + num.astype(str).str.zfill(int(width))).tolist()
-        else:
-            commits = []
-        t = pa.table({
-            "repo": pa.array(sil["repo"].tolist(), pa.string()),
-            "path": pa.array(sil["path"].tolist(), pa.string()),
-            "commit": pa.array(commits, pa.string()),
-            "lang": pa.array([""] * n, pa.string()),
-            "content": pa.array([TOMBSTONE] * n, pa.large_string()),
-        })
-        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-        _pq.write_table(t, out_path, compression=self.cfg.write_compression)
-        return {"tombstones": n, "out": out_path}
+        On a watermark-enabled lake the feed carries an explicit
+        ``event_time`` pinned to the current stream maximum, so tombstones
+        for OLD keys (exactly the GDPR-erasure case) are never dropped as
+        late — the stamper lets a source-supplied event_time win."""
+        return self._make_feed(predicate, None, out_path)
 
     def make_updates(self, predicate: tuple, set_cols: dict,
                      out_path: str) -> dict:
@@ -767,36 +845,68 @@ class CDCReplay:
         FEED — :meth:`make_tombstones`' companion, completing the DML triad
         (MERGE is the engine itself): one upsert event per matching LIVE
         key with the requested columns overridden, the rest (including
-        content, resolved through the pointer join) carried forward, and
-        the commit numerically bumped so the event wins LWW. Applied via
-        the normal replay path, so the update mints an SCD2 version and a
-        CDF pre/post pair like any organic change."""
-        import pyarrow.parquet as _pq
+        content, resolved through the distributed pointer join) carried
+        forward, and the commit numerically bumped so the event wins LWW.
+        Applied via the normal replay path, so the update mints an SCD2
+        version and a CDF pre/post pair like any organic change. Same
+        streaming write contract as :meth:`make_tombstones` — content bytes
+        move worker→worker, never through the driver."""
+        return self._make_feed(predicate, dict(set_cols), out_path)
 
-        sil = self.read_silver(columns=["repo", "path", "commit", "lang",
-                                        "content"],
-                               predicate=predicate).to_pandas()
-        n = len(sil)
-        if n:
-            width = int(sil["commit"].str.len().max()) - 1
-            num = sil["commit"].str.slice(1).astype("int64") + 1
-            commits = ("c" + num.astype(str).str.zfill(width)).tolist()
-        else:
-            commits = []
-        lang = [set_cols["lang"]] * n if "lang" in set_cols \
-            else sil["lang"].tolist()
-        content = [set_cols["content"]] * n if "content" in set_cols \
-            else sil["content"].tolist()
-        t = pa.table({
-            "repo": pa.array(sil["repo"].tolist(), pa.string()),
-            "path": pa.array(sil["path"].tolist(), pa.string()),
-            "commit": pa.array(commits, pa.string()),
-            "lang": pa.array(lang, pa.string()),
-            "content": pa.array(content, pa.large_string()),
-        })
+    def _make_feed(self, predicate: tuple, set_cols: dict | None,
+                   out_path: str) -> dict:
+        kind = "tombstones" if set_cols is None else "updates"
+        is_dir = not out_path.endswith(".parquet")
+        if is_dir and os.path.exists(os.path.join(out_path, "_SUCCESS")):
+            files = sorted(glob.glob(os.path.join(out_path, "*.parquet")))
+            n = sum(pq.read_metadata(f).num_rows for f in files)
+            return {kind: n, "out": out_path, "files": len(files),
+                    "skipped": True}
+        cols = ["repo", "path", "commit"]
+        if set_cols is not None:
+            cols += [c for c in ("lang", "content") if c not in set_cols]
+        ds = self.read_silver(columns=cols, predicate=predicate)
+        event_time = None
+        if self.cfg.watermark_delay is not None:
+            met = (self.bronze.latest_manifest().stats or {}).get("max_event_time")
+            if met is not None:
+                event_time = int(met)
+        ds = ds.map_batches(_feed_kernel(set_cols, event_time),
+                            batch_format="pyarrow", zero_copy_batch=True)
+        schema = _feed_schema(event_time is not None)
+        comp = self.cfg.write_compression
+        if is_dir:
+            shutil.rmtree(out_path, ignore_errors=True)
+            ds.write_parquet(out_path, compression=comp)
+            files = sorted(glob.glob(os.path.join(out_path, "*.parquet")))
+            if not files:  # empty predicate match still yields a valid epoch
+                os.makedirs(out_path, exist_ok=True)
+                empty = os.path.join(out_path, "part-empty.parquet")
+                pq.write_table(schema.empty_table(), empty, compression=comp)
+                files = [empty]
+            n = sum(pq.read_metadata(f).num_rows for f in files)
+            open(os.path.join(out_path, "_SUCCESS"), "w").close()
+            return {kind: n, "out": out_path, "files": len(files)}
+        # single-file compat path: still streamed (one worker task writes
+        # the merged block), but the whole feed sits in one object — fine
+        # for the tombstone shape, avoid for content-carrying updates at scale
+        tmp = out_path + ".tmp-feed"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.repartition(1).write_parquet(tmp, compression=comp)
+        parts = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
         os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-        _pq.write_table(t, out_path, compression=self.cfg.write_compression)
-        return {"updates": n, "out": out_path}
+        if len(parts) == 1:
+            n = pq.read_metadata(parts[0]).num_rows
+            os.replace(parts[0], out_path)
+        elif parts:  # write_parquet split the single block (row limits etc.)
+            t = pa.concat_tables([pq.read_table(f) for f in parts])
+            n = t.num_rows
+            pq.write_table(t, out_path, compression=comp)
+        else:
+            n = 0
+            pq.write_table(schema.empty_table(), out_path, compression=comp)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {kind: n, "out": out_path, "files": 1}
 
     def _auto_compact(self) -> dict | None:
         """Threshold-based auto-OPTIMIZE at run end (the reference schedules

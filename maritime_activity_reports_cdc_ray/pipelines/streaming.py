@@ -44,6 +44,11 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# NULL-group-key sentinel (same trick as functions/stats.py rollup_agg):
+# pandas groupby drops NaN keys by default; Spark's groupBy(window, key)
+# keeps them, and so do we.
+_NULL_SENT = "\x00\x00__null__"
+
 
 class StreamingWindowAgg:
     def __init__(self, replay, name: str, window_size: int,
@@ -91,7 +96,8 @@ class StreamingWindowAgg:
         return self._read("results")
 
     def _commit(self, epoch: int, state: pd.DataFrame,
-                results: pd.DataFrame, tag: str = "") -> None:
+                results: pd.DataFrame, tag: str = "",
+                flushed: bool = False) -> None:
         vdir = os.path.join(self.dir, f"v{epoch:010d}{tag}")
         os.makedirs(vdir, exist_ok=True)
         for which, df in (("state", state), ("results", results)):
@@ -99,7 +105,8 @@ class StreamingWindowAgg:
                            os.path.join(vdir, f"{which}.parquet"))
         with open(os.path.join(vdir, "meta.json"), "w") as f:
             json.dump({"epoch": epoch, "open_windows": len(state),
-                       "emitted_windows": len(results)}, f)
+                       "emitted_windows": len(results),
+                       "flushed": flushed}, f)
         fd, tmp = tempfile.mkstemp(dir=self.dir)
         os.close(fd)
         with open(tmp, "w") as f:
@@ -143,6 +150,13 @@ class StreamingWindowAgg:
                                      + scols})
             t = df[tcol].astype("int64")
             out = df[gcols].copy()
+            # NULL group keys are real groups (Spark groupBy keeps them;
+            # pandas' dropna would silently drop their rows) — sentinel
+            # through the combiner, restored to None after the reduce
+            for k in gcols:
+                if out[k].isna().any():
+                    out[k] = out[k].astype(object).where(out[k].notna(),
+                                                         _NULL_SENT)
             out["window_start"] = (t // size * size).to_numpy()
             out["n"] = 1
             for c in scols:
@@ -155,6 +169,9 @@ class StreamingWindowAgg:
         delta = hash_agg(ds.map_batches(windows, batch_format="pandas"),
                          ["window_start"] + gcols, aggs,
                          num_partitions=self.num_partitions).to_pandas()
+        for k in gcols:  # sentinel back to a real NULL group key
+            if (delta[k] == _NULL_SENT).any():
+                delta[k] = delta[k].where(delta[k] != _NULL_SENT, None)
         return delta.drop(columns=[c for c in ("_part",) if c in delta])
 
     def _emit_floor(self, consumed_epoch: int) -> int | None:
@@ -178,9 +195,18 @@ class StreamingWindowAgg:
     def refresh(self) -> dict:
         """Consume bronze epochs since the consumer watermark, update open
         windows, emit the ones finalized by the event-time watermark."""
+        meta = self._meta()
+        if meta.get("flushed"):
+            # flush() is terminal: re-consuming after it would re-emit
+            # already-finalized (window, group) rows, breaking the
+            # append-exactly-once contract
+            raise RuntimeError(
+                f"streaming consumer '{self.name}' was flushed (end-of-"
+                "stream); it cannot refresh again — create a new consumer "
+                "for the continuation")
         bm = self.replay.bronze.latest_manifest()
         cur = bm.epoch
-        e = int(self._meta()["epoch"])
+        e = int(meta["epoch"])
         if cur <= e:
             return {"status": "fresh", "epoch": e, "emitted": 0}
 
@@ -188,8 +214,10 @@ class StreamingWindowAgg:
         state = self.state().drop(columns=["window_end"])
         merged = pd.concat([state, delta], ignore_index=True)
         if len(merged):
+            # dropna=False: NULL group keys are real groups (see _NULL_SENT)
             merged = (merged.groupby(["window_start"] + self.group_cols,
-                                     as_index=False, sort=False).sum())
+                                     as_index=False, sort=False,
+                                     dropna=False).sum())
         merged["window_end"] = merged.get(
             "window_start", pd.Series(dtype="int64")) + self.size
 
@@ -213,11 +241,15 @@ class StreamingWindowAgg:
 
     def flush(self) -> dict:
         """End-of-stream: finalize every still-open window (Spark's
-        query-stop semantics — no more data can arrive)."""
-        st = self.state()
-        if not len(st):  # idempotent: nothing open, nothing to write
+        query-stop semantics — no more data can arrive). TERMINAL: the
+        flushed flag is committed with the results, and any later
+        :meth:`refresh` raises — re-consuming after a flush would re-emit
+        already-finalized (window, group) rows. Idempotent."""
+        if self._meta().get("flushed"):
             return {"status": "flushed", "emitted": 0}
-        res = pd.concat([self.results(), st], ignore_index=True)
+        st = self.state()
+        res = (pd.concat([self.results(), st], ignore_index=True)
+               if len(st) else self.results())
         self._commit(int(self._meta()["epoch"]), st.iloc[0:0], res,
-                     tag="-flush")
+                     tag="-flush", flushed=True)
         return {"status": "flushed", "emitted": len(st)}

@@ -876,9 +876,12 @@ def test_update_where_feed(ray_session, stream, tmp_path):
     victim = sorted(set(sil["repo"]))[0]
     before = sil[sil["repo"] == victim].set_index("path")["content_sha256"]
     out = r.make_updates(("repo", "==", victim), {"lang": "zz"},
-                         os.path.join(d2, "part-00004.parquet"))
+                         os.path.join(d2, "part-00004.feed"))
     assert out["updates"] == len(before) > 0
-    r.run(d2)
+    assert out["files"] >= 1
+    assert os.path.exists(os.path.join(d2, "part-00004.feed", "_SUCCESS"))
+    ran = r.run(d2)
+    assert ran["epochs_run"] == 1  # the whole multi-file feed is ONE epoch
     sil2 = r.read_silver(
         columns=["repo", "path", "lang", "content_sha256"]).to_pandas()
     vic = sil2[sil2["repo"] == victim]
@@ -889,5 +892,59 @@ def test_update_where_feed(ray_session, stream, tmp_path):
     ch = r.table_changes(3, 4).to_pandas()
     vch = ch[ch["repo"] == victim]
     assert set(vch["_change_type"]) == {"update_preimage", "update_postimage"}
-    d2_files = sorted(__import__("glob").glob(os.path.join(d2, "*.parquet")))
+    _glob = __import__("glob")
+    d2_files = sorted(_glob.glob(os.path.join(d2, "*.parquet"))) + sorted(
+        _glob.glob(os.path.join(d2, "part-00004.feed", "*.parquet")))
     _assert_matches_oracle(r, replay_files(d2_files))
+
+
+def test_dml_feed_streams_no_driver_collect(ray_session, stream, tmp_path,
+                                            monkeypatch):
+    """The DML feeds are produced by a streaming map_batches kernel over the
+    pruned silver read — never a full-predicate driver collect. Guarded by
+    poisoning Dataset.to_pandas for the duration of the feed build; also
+    checks feed-dir idempotence (an existing _SUCCESS short-circuits) and
+    the crashed-feed guard in discover_epochs."""
+    import shutil
+
+    import pytest
+    import ray.data
+
+    src, files, oracle = stream
+    d2 = str(tmp_path / "stream2")
+    os.makedirs(d2)
+    for f in files:
+        shutil.copy(f, d2)
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(d2)
+    sil = r.read_silver(columns=["repo"]).to_pandas()
+    victim = sorted(set(sil["repo"]))[0]
+    feed = os.path.join(d2, "part-00004.feed")
+
+    def _boom(self, *a, **k):
+        raise AssertionError("DML feed path collected the Dataset on the driver")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", _boom)
+    out = r.make_tombstones(("repo", "==", victim), feed)
+    monkeypatch.undo()
+    assert out["tombstones"] == int((sil["repo"] == victim).sum()) > 0
+    # idempotent re-invocation: _SUCCESS short-circuits, same counts
+    again = r.make_tombstones(("repo", "==", victim), feed)
+    assert again.get("skipped") is True
+    assert again["tombstones"] == out["tombstones"]
+    assert again["files"] == out["files"]
+    # a crashed generation (no _SUCCESS) must fail fast, not half-apply
+    os.remove(os.path.join(feed, "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        CDCReplay.discover_epochs(d2)
+    open(os.path.join(feed, "_SUCCESS"), "w").close()
+    ran = r.run(d2)
+    assert ran["epochs_run"] == 1
+    assert victim not in set(r.read_silver(columns=["repo"]).to_pandas()["repo"])
+    # empty-match feed: still a valid (empty) epoch, applied exactly-once
+    feed2 = os.path.join(d2, "part-00005.feed")
+    out2 = r.make_tombstones(("repo", "==", "no-such-repo"), feed2)
+    assert out2["tombstones"] == 0 and out2["files"] >= 1
+    assert r.run(d2)["epochs_run"] == 1
+    assert r.run(d2)["epochs_run"] == 0

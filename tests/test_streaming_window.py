@@ -156,3 +156,75 @@ def test_streaming_window_crash_mid_commit_recovers(ray_session, tmp_path):
     exp = _expected(r)
     assert got["n"].astype("int64").tolist() == exp["n"].tolist()
     assert len(got) == len(_key(got))  # still no duplicate emits
+
+
+def test_flush_is_terminal(ray_session, tmp_path):
+    """flush() commits a terminal flag: a later refresh() after new bronze
+    epochs raises instead of re-emitting already-finalized (window, group)
+    rows (append-exactly-once); flush itself is idempotent."""
+    import pytest
+
+    d = str(tmp_path / "stream")
+    generate_events(d, n_events=1500, n_repos=6, n_epochs=3, seed=31)
+    r = CDCReplay(str(tmp_path / "lake"),
+                  EngineConfig(num_partitions=4, watermark_delay=50))
+    r.setup()
+    r.run(d, max_epochs=2)
+    w = StreamingWindowAgg(r, "w_term", SIZE, ["lang"])
+    w.refresh()
+    out = w.flush()
+    assert out["status"] == "flushed"
+    n_res = len(w.results())
+    assert w.flush() == {"status": "flushed", "emitted": 0}  # idempotent
+    assert len(w.results()) == n_res
+    r.run(d)  # a 3rd bronze epoch lands after the flush
+    with pytest.raises(RuntimeError, match="flushed"):
+        w.refresh()
+    # a FRESH consumer object on the same name sees the same terminal state
+    with pytest.raises(RuntimeError, match="flushed"):
+        StreamingWindowAgg(r, "w_term", SIZE, ["lang"]).refresh()
+    assert len(w.results()) == n_res
+
+
+def test_null_group_keys_are_real_groups(ray_session, tmp_path):
+    """Rows whose group column is NULL aggregate into a real NULL-keyed
+    window group (Spark groupBy keeps null keys), instead of silently
+    vanishing through pandas' dropna."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+
+    def row(repo, path, commit, lang):
+        return pa.table({
+            "repo": pa.array([repo], pa.string()),
+            "path": pa.array([path], pa.string()),
+            "commit": pa.array([commit], pa.string()),
+            "lang": pa.array([lang], pa.string()),
+            "content": pa.array(["x"], pa.large_string()),
+        })
+
+    e0 = pa.concat_tables([
+        row("r1", "a", "c000000000010", None),
+        row("r1", "b", "c000000000020", None),
+        row("r2", "a", "c000000000030", "py"),
+    ])
+    pq.write_table(e0, os.path.join(d, "part-00000.parquet"))
+    pq.write_table(row("r3", "z", "c000000001000", "py"),
+                   os.path.join(d, "part-00001.parquet"))
+
+    r = CDCReplay(str(tmp_path / "lake"),
+                  EngineConfig(num_partitions=4, watermark_delay=50))
+    r.setup()
+    r.run(d)
+    w = StreamingWindowAgg(r, "w_null", SIZE, ["lang"])
+    w.refresh()
+    res = w.flush() and w.results()
+    win0 = res[res["window_start"] == 0]
+    nullg = win0[win0["lang"].isna()]
+    assert len(nullg) == 1 and int(nullg["n"].iloc[0]) == 2
+    pyg = win0[win0["lang"] == "py"]
+    assert len(pyg) == 1 and int(pyg["n"].iloc[0]) == 1

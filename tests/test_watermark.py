@@ -202,3 +202,56 @@ def test_null_event_time_is_not_late(ray_session, tmp_path):
     q = r.read_quarantine().to_pandas()
     if len(q):
         assert "repo-nullet" not in set(q["repo"])
+
+
+def test_dml_feed_applies_to_old_keys_under_watermark(ray_session, tmp_path):
+    """GDPR-erasure regression: on a watermark-enabled lake, a tombstone/
+    update feed for a key whose winning commit is OLDER than the watermark
+    floor must still apply — the feed ships an explicit event_time pinned to
+    the current stream max (the stamper lets a source event_time win), so
+    the validator never drops the DML as 'late'. Without that column the
+    stamper would derive event_time from the bumped old commit and the
+    delete would silently never happen."""
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    schema = pa.schema([
+        pa.field("repo", pa.string()), pa.field("path", pa.string()),
+        pa.field("commit", pa.string()), pa.field("lang", pa.string()),
+        pa.field("content", pa.large_string()),
+    ])
+    # epoch 0: the victim commits early (event time 10), peers at ~100
+    e0 = pa.concat_tables([
+        _mk_row(schema, "repo-old", "p", "c000000000010"),
+        _mk_row(schema, "repo-a", "p", "c000000000100"),
+    ])
+    pq.write_table(e0, os.path.join(d, "part-00000.parquet"))
+    # epoch 1: the stream races ahead → floor = 1000 - 50 ≫ 11
+    e1 = _mk_row(schema, "repo-a", "q", "c000000001000")
+    pq.write_table(e1, os.path.join(d, "part-00001.parquet"))
+
+    r = CDCReplay(str(tmp_path / "lake"),
+                  EngineConfig(num_partitions=4, watermark_delay=50))
+    r.setup()
+    r.run(d)
+    sil = r.read_silver(columns=["repo", "path"]).to_pandas()
+    assert ("repo-old", "p") in set(zip(sil["repo"], sil["path"]))
+
+    out = r.make_tombstones(("repo", "==", "repo-old"),
+                            os.path.join(d, "part-00002.feed"))
+    assert out["tombstones"] == 1
+    feed_parts = sorted(
+        __import__("glob").glob(os.path.join(out["out"], "*.parquet")))
+    feed = pq.read_table(feed_parts[0])
+    assert "event_time" in feed.column_names  # pinned ≥ the watermark
+    assert feed.column("event_time")[0].as_py() >= 1000 - 50
+    assert r.run(d)["epochs_run"] == 1
+    sil2 = r.read_silver(columns=["repo", "path"]).to_pandas()
+    assert ("repo-old", "p") not in set(zip(sil2["repo"], sil2["path"]))
+
+    # same guarantee for the UPDATE feed on another old key
+    out2 = r.make_updates(("repo", "==", "repo-a"), {"lang": "zz"},
+                          os.path.join(d, "part-00003.feed"))
+    assert out2["updates"] == 2
+    assert r.run(d)["epochs_run"] == 1
+    sil3 = r.read_silver(columns=["repo", "lang"]).to_pandas()
+    assert set(sil3[sil3["repo"] == "repo-a"]["lang"]) == {"zz"}

@@ -100,3 +100,26 @@ def test_zorder_null_safe():
     })
     idx = zorder_indices(t, ["lang", "repo"])
     assert sorted(idx.tolist()) == [0, 1, 2, 3]
+
+
+def test_zorder_column_bound_validated_on_driver(ray_session, tmp_path):
+    """compact_table(zorder=True) validates the 2-4 cluster-column bound
+    BEFORE dispatching Ray tasks (the API mirror of the CLI check) — a 5+
+    column request fails with a clear ValueError, not an opaque remote
+    assert."""
+    import pytest
+
+    from maritime_activity_reports_cdc_ray.pipelines.maintenance import compact_table
+
+    from maritime_activity_reports_cdc_ray.state.table import LakeTable
+
+    t = _table()
+    lake = LakeTable.create(str(tmp_path / "zb"), "zb", t.schema, 4)
+    f0 = lake.stage_fragment(t, 0, 0, 0, "history")
+    lake.commit_epoch(0, [f0])
+    with pytest.raises(ValueError, match="2-4"):
+        compact_table(lake, kinds=("history",), zorder=True,
+                      cluster_by=["a", "b", "c", "d", "e"])
+    with pytest.raises(ValueError, match="2-4"):
+        compact_table(lake, kinds=("history",), zorder=True,
+                      cluster_by=["a"])
