@@ -188,6 +188,22 @@ def main(argv=None):
                     help="comma-separated int columns to SUM (COUNT is implicit)")
     sp.add_argument("--limit", type=int, default=50)
 
+    sp = sub.add_parser("gold", help="drive gold as its OWN checkpointed "
+                                     "CDF consumer (reference: the silver→"
+                                     "gold StreamingQuery): status, one-"
+                                     "epoch step, or catch-up refresh — "
+                                     "pair with a replay run under "
+                                     "gold_refresh_every_epochs=0 to fully "
+                                     "decouple the two streams")
+    common(sp)
+    sp.add_argument("--status", action="store_true",
+                    help="print watermark/lag only, no refresh")
+    sp.add_argument("--step", action="store_true",
+                    help="consume exactly one silver epoch (pinned "
+                         "time-travel read) instead of catching up")
+    sp.add_argument("--to-epoch", type=int, default=None,
+                    help="refresh to this silver epoch (default: latest)")
+
     sp = sub.add_parser("delete", help="DELETE FROM silver WHERE ... as a "
                                        "deletion feed: writes one tombstone "
                                        "event per matching live key to a "
@@ -331,11 +347,24 @@ def main(argv=None):
                           "fragments": len(dm.fragments)}))
         return 0
 
+    if args.cmd == "gold" and args.status:
+        # pure manifest-file operation — no Ray session needed
+        from maritime_activity_reports_cdc_ray.pipelines.gold_consumer import GoldConsumer
+
+        print(json.dumps(GoldConsumer(r).status()))
+        return 0
+
     _ray_up(args.num_cpus)
     import ray
 
     try:
-        if args.cmd == "replay":
+        if args.cmd == "gold":
+            from maritime_activity_reports_cdc_ray.pipelines.gold_consumer import GoldConsumer
+
+            c = GoldConsumer(r)
+            out = c.step() if args.step else c.refresh(args.to_epoch)
+            print(json.dumps({**out, **c.status()}))
+        elif args.cmd == "replay":
             out = r.run(args.input, files_per_epoch=args.files_per_epoch,
                         max_epochs=args.max_epochs)
             print(json.dumps(out))

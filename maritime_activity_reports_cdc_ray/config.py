@@ -143,6 +143,11 @@ class EngineConfig:
     detect_changes: bool = False
 
     # --- gold refresh cadence (reference: gold/streaming_processor.py:98-105) ---
+    # 0 (or None) fully DECOUPLES gold from the replay loop: silver advances
+    # alone and a GoldConsumer (pipelines/gold_consumer.py) — the analogue of
+    # the reference's independently-checkpointed silver→gold StreamingQuery,
+    # gold/cdf_processor.py:75-80,125-130 — catches gold up on its own
+    # cadence via its own watermark (the gold manifest epoch).
     gold_refresh_every_epochs: int = 1
     # auto-OPTIMIZE at run end: compact silver history/current chains when
     # any (pid, salt, kind) chain exceeds this many fragments (None/0 = off;

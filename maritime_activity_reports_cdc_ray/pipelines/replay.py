@@ -560,7 +560,10 @@ class CDCReplay:
         if prefetch is not None:
             prefetch.join()
         self._drain_premap()
-        self.finalize_gold()
+        if self.cfg.gold_refresh_every_epochs:
+            self.finalize_gold()
+        else:
+            self._join_gold()  # decoupled: gold advances only via GoldConsumer
         compacted = self._auto_compact() if done else None
         out_extra = {"auto_compacted": compacted} if compacted else {}
         return {
@@ -647,7 +650,9 @@ class CDCReplay:
         # cadence knob (reference: MV refresh every 10 ticks,
         # gold/streaming_processor.py:98-105): skipped epochs leave the gold
         # watermark lagging; the next refresh folds in all lineage since it.
-        if gm.epoch < epoch and (epoch + 1) % self.cfg.gold_refresh_every_epochs == 0:
+        # 0/None = gold fully DECOUPLED — only a GoldConsumer advances it.
+        cad = self.cfg.gold_refresh_every_epochs
+        if cad and gm.epoch < epoch and (epoch + 1) % cad == 0:
             # gold reads the silver fragments committed THIS epoch (never
             # vacuumed mid-run) and commits only the gold manifest, so it can
             # overlap everything up to the next gold dispatch — the joins in
@@ -1627,7 +1632,11 @@ class CDCReplay:
         if os.environ.get("ENGINE_STATS"):
             print(f"[gold e{epoch}] refresh={_time.monotonic() - _tg:.1f}s")
 
-    def _gold_refresh_inner(self, epoch: int) -> None:
+    def _gold_refresh_inner(self, epoch: int, pinned_silver=None) -> None:
+        """Refresh gold to silver-state ``epoch``. ``pinned_silver`` reads a
+        time-travel silver manifest instead of the latest — the decoupled
+        :class:`GoldConsumer` uses it to step through historical epochs a
+        lagging consumer has not caught up to yet (valid until vacuum)."""
         import ray
         import ray.data as rd
 
@@ -1642,7 +1651,8 @@ class CDCReplay:
         if not affected:
             self.gold.commit_epoch(epoch, [], lineage=[])
             return
-        sm = self.silver.latest_manifest()
+        sm = pinned_silver if pinned_silver is not None \
+            else self.silver.latest_manifest()
         repos_by_pid: dict[int, list[str]] = {}
         for repo in sorted(affected):
             repos_by_pid.setdefault(pid_of_repo(repo, self.cfg.num_partitions), []).append(repo)
