@@ -1948,7 +1948,8 @@ class CDCReplay:
         return un.groupby("_part").map_groups(diff, batch_format="pandas")
 
     def read_gold(self, as_of_epoch: int | None = None,
-                  predicate: tuple | None = None):
+                  predicate: tuple | None = None,
+                  columns: list[str] | None = None):
         import ray.data as rd
 
         from maritime_activity_reports_cdc_ray.stages.partition import (
@@ -1964,8 +1965,16 @@ class CDCReplay:
             read_kwargs["filter"] = predicate_expression(predicate)
         paths = [self.gold.abspath(f.path) for f in frags]
         if not paths:
-            return rd.from_arrow(pa.Table.from_pylist([], schema=GOLD_SCHEMA))
-        return rd.read_parquet(paths, partitioning=None, **read_kwargs)
+            t = pa.Table.from_pylist([], schema=GOLD_SCHEMA)
+            return rd.from_arrow(t.select(columns) if columns else t)
+        ds = rd.read_parquet(paths, partitioning=None, **read_kwargs)
+        if columns is not None:
+            # select_columns, not read_parquet(columns=...): Ray's projection
+            # pushdown moves it into the scan, and read_parquet's own columns=
+            # arg is broken under partitioning=None (UnboundLocalError in
+            # parquet_datasource._infer_user_specified_columns, ray 2.49)
+            ds = ds.select_columns(list(columns))
+        return ds
 
     def read_history(self, as_of_epoch: int | None = None,
                      predicate: tuple | None = None):

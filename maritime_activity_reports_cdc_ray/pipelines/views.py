@@ -76,7 +76,18 @@ class ViewRegistry:
 
     def refresh_due(self, force: bool = False) -> dict:
         """Refresh every view whose lag exceeds its staleness budget (or all,
-        when ``force``). Returns {name: 'refreshed' | 'fresh'}."""
+        when ``force``). Returns {name: 'refreshed' | 'fresh'}.
+
+        A view fn may return a pandas DataFrame (small results — one
+        driver-side parquet) or a ray Dataset — then the result is written
+        DISTRIBUTED (streamed, multi-file) and never materializes on the
+        driver: the scale path for table-cardinality views like the per-repo
+        built-ins. Either way the swap is atomic: files land in a versioned
+        subdir, the meta pointer flips in one rename, the superseded version
+        is removed after."""
+        import glob as _glob
+        import shutil as _shutil
+
         cur = self.replay.silver.latest_manifest().epoch
         out = {}
         for name, v in self.views.items():
@@ -87,27 +98,57 @@ class ViewRegistry:
                 out[name] = "fresh"
                 continue
             res = v.fn(self.replay)
-            if not isinstance(res, pd.DataFrame):
-                res = res.to_pandas()  # view results are small by contract
             d = self._dir(name)
-            os.makedirs(d, exist_ok=True)
-            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-            os.close(fd)
-            try:
-                pq.write_table(pa.Table.from_pandas(res, preserve_index=False), tmp)
-                os.replace(tmp, os.path.join(d, "data.parquet"))
-            finally:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
+            prev = self._meta(name).get("path")
+            vdir = os.path.join(d, f"v{cur:010d}")
+            _shutil.rmtree(vdir, ignore_errors=True)  # crashed prior attempt
+            os.makedirs(vdir, exist_ok=True)
+            if isinstance(res, pd.DataFrame):
+                pq.write_table(pa.Table.from_pandas(res, preserve_index=False),
+                               os.path.join(vdir, "part-0.parquet"))
+                rows = len(res)
+            else:  # ray Dataset: distributed streamed write, no driver collect
+                schema = res.schema()
+                res.write_parquet(vdir)
+                parts = _glob.glob(os.path.join(vdir, "*.parquet"))
+                if not parts:  # empty result still needs a readable file
+                    pq.write_table(
+                        pa.Table.from_pylist([], schema=pa.schema(
+                            zip(schema.names, schema.types))),
+                        os.path.join(vdir, "part-0.parquet"))
+                    parts = [os.path.join(vdir, "part-0.parquet")]
+                rows = sum(pq.read_metadata(f).num_rows for f in parts)
             mp = os.path.join(d, "_meta.json")
             with open(mp + ".tmp", "w") as f:
-                json.dump({"epoch": cur, "rows": len(res)}, f)
+                json.dump({"epoch": cur, "rows": rows,
+                           "path": os.path.basename(vdir)}, f)
             os.replace(mp + ".tmp", mp)
+            if prev and prev != os.path.basename(vdir):
+                _shutil.rmtree(os.path.join(d, prev), ignore_errors=True)
+            legacy = os.path.join(d, "data.parquet")
+            if os.path.exists(legacy):
+                os.unlink(legacy)
             out[name] = "refreshed"
         return out
 
     def read(self, name: str) -> pd.DataFrame:
-        return pq.read_table(os.path.join(self._dir(name), "data.parquet")).to_pandas()
+        meta = self._meta(name)
+        if "path" not in meta:  # pre-versioned layout
+            return pq.read_table(
+                os.path.join(self._dir(name), "data.parquet")).to_pandas()
+        import glob as _glob
+
+        parts = sorted(_glob.glob(
+            os.path.join(self._dir(name), meta["path"], "*.parquet")))
+        return pa.concat_tables([pq.read_table(f) for f in parts]).to_pandas()
+
+    def read_dataset(self, name: str):
+        """The view result as a streamed ray Dataset (for big views)."""
+        import ray.data as rd
+
+        meta = self._meta(name)
+        return rd.read_parquet(os.path.join(self._dir(name),
+                                            meta.get("path", "data.parquet")))
 
 
 class IncrementalAggView:
@@ -350,37 +391,45 @@ class IncrementalAggView:
 # ---------------------------------------------------------------------------
 # Built-in views — the A7-A9 analytics products over the code-change domain.
 # ---------------------------------------------------------------------------
-def _activity_summary(replay) -> pd.DataFrame:
+def _activity_summary(replay):
     """A7: per-repo activity rollup straight off gold (already aggregated —
-    the view is a cheap projection, refresh every epoch)."""
-    g = replay.read_gold().to_pandas()
-    if not len(g):
-        return pd.DataFrame(columns=["repo", "file_count", "total_bytes",
-                                     "total_versions", "deleted_count"])
-    return (g[["repo", "file_count", "total_bytes", "total_versions", "deleted_count"]]
-            .sort_values("repo").reset_index(drop=True))
+    the view is a column-pruned streamed projection; gold never touches the
+    driver, the result lands as a distributed multi-file parquet)."""
+    return replay.read_gold(columns=["repo", "file_count", "total_bytes",
+                                     "total_versions", "deleted_count"]) \
+        .sort("repo")
 
 
-def _latest_repo_status(replay) -> pd.DataFrame:
-    """A9/J2-style: latest commit + live file count per repo (argmax over
-    gold's latest_commit watermark)."""
-    g = replay.read_gold().to_pandas()
-    if not len(g):
-        return pd.DataFrame(columns=["repo", "latest_commit", "file_count"])
-    return (g[["repo", "latest_commit", "file_count"]]
-            .sort_values("repo").reset_index(drop=True))
+def _latest_repo_status(replay):
+    """A9/J2-style: latest commit + live file count per repo (gold's
+    latest_commit watermark is already the argmax — streamed projection)."""
+    return replay.read_gold(
+        columns=["repo", "latest_commit", "file_count"]).sort("repo")
 
 
-def _lang_breakdown(replay) -> pd.DataFrame:
-    """A10-style: global language histogram from gold's per-repo lang_counts
-    (small: one row per lang)."""
-    g = replay.read_gold().to_pandas()
-    rows: dict[str, int] = {}
-    for lc in g.get("lang_counts", []):
-        for d in lc:
-            rows[d["lang"]] = rows.get(d["lang"], 0) + int(d["n"])
-    return (pd.DataFrame({"lang": list(rows), "n_files": list(rows.values())})
-            .sort_values("lang").reset_index(drop=True))
+def _lang_breakdown(replay):
+    """A10-style: global language histogram from gold's per-repo lang_counts.
+
+    Scale shape: a vectorized Arrow ``list_flatten`` explode per batch feeds
+    the combiner-first ``hash_agg`` — the exchange carries (lang, partial-n)
+    pairs (≤ |langs| per batch), never gold rows; only the lang-cardinality
+    result sorts. No driver collect, no per-row Python loop."""
+    import pyarrow.compute as pc
+
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t.column("lang_counts"))
+        return pa.table({
+            "lang": pc.struct_field(flat, "lang"),
+            "n": pc.cast(pc.struct_field(flat, "n"), pa.int64())})
+
+    pairs = replay.read_gold(columns=["lang_counts"]) \
+        .map_batches(explode, batch_format="pyarrow")
+    agg = hash_agg(pairs, "lang", {"n_files": ("n", "sum")}, num_partitions=8)
+    return agg.map_batches(
+        lambda df: df[["lang", "n_files"]].astype({"n_files": "int64"}),
+        batch_format="pandas").sort("lang")
 
 
 def default_views() -> list[ViewDef]:

@@ -257,6 +257,62 @@ def test_materialized_views_staleness(ray_session, stream, tmp_path):
     assert int(lb.n_files.sum()) == int(g.file_count.sum())
 
 
+def test_views_distributed_layout(ray_session, stream, tmp_path):
+    """Scale-proofed built-ins (round-3 verdict #3): view fns return streamed
+    Datasets — results land as versioned multi-file parquet with an atomic
+    meta-pointer swap, superseded versions are pruned, the legacy single-file
+    layout still reads, and lang_breakdown matches a per-row driver oracle."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from maritime_activity_reports_cdc_ray.pipelines.views import ViewRegistry
+
+    src, files, oracle = stream
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(src, max_epochs=2)
+    reg = ViewRegistry(r)
+    reg.refresh_due()
+    # versioned layout: meta points at a v-dir holding >=1 parquet part
+    d = os.path.join(r.root, "views", "repo_activity_summary")
+    meta = json.load(open(os.path.join(d, "_meta.json")))
+    assert meta["path"].startswith("v")
+    parts = glob.glob(os.path.join(d, meta["path"], "*.parquet"))
+    assert parts and not os.path.exists(os.path.join(d, "data.parquet"))
+    # the distributed result equals gold exactly (values, not just counts)
+    g = r.read_gold().to_pandas()
+    v = reg.read("repo_activity_summary").sort_values("repo")
+    pd.testing.assert_frame_equal(
+        v.reset_index(drop=True),
+        g[["repo", "file_count", "total_bytes", "total_versions",
+           "deleted_count"]].sort_values("repo").reset_index(drop=True))
+    # read_dataset streams the same rows
+    assert reg.read_dataset("repo_activity_summary").count() == len(v)
+    # lang_breakdown: distributed explode+hash_agg vs per-row driver oracle
+    lb = reg.read("lang_breakdown")
+    exp: dict[str, int] = {}
+    for lc in g["lang_counts"]:
+        for rec in lc:
+            exp[rec["lang"]] = exp.get(rec["lang"], 0) + int(rec["n"])
+    assert dict(zip(lb["lang"], lb["n_files"].astype(int))) == exp
+    assert list(lb["lang"]) == sorted(exp)
+    # a second refresh swaps the pointer and prunes the old version
+    old = meta["path"]
+    r.run(src)
+    reg.refresh_due()
+    meta2 = json.load(open(os.path.join(d, "_meta.json")))
+    assert meta2["path"] != old
+    assert not os.path.exists(os.path.join(d, old))
+    # legacy single-file layout (pre-versioned) still reads
+    ld = os.path.join(r.root, "views", "legacy_view")
+    os.makedirs(ld, exist_ok=True)
+    _pq.write_table(pa.table({"a": [1, 2]}), os.path.join(ld, "data.parquet"))
+    json.dump({"epoch": 0, "rows": 2}, open(os.path.join(ld, "_meta.json"), "w"))
+    assert list(reg.read("legacy_view")["a"]) == [1, 2]
+
+
 def test_bronze_bucket_exchange_matches_oracle(ray_session, stream, tmp_path):
     """The map-side-file exchange (bucketed bronze persist doubles as the
     shuffle) converges to the same oracle state as the other exchanges, and
