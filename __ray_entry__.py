@@ -771,17 +771,112 @@ def _replay_events_as_cdc(sf_dir: str):
     return r
 
 
+_CDC_SPEC_V = "v1"  # bump when the spec-merge lake shape changes
+
+
+def _spec_merge_lake(sf_dir: str):
+    """Declarative-MERGE lake (round-4: stages/merge_spec.py — the reference's
+    eight MERGE shapes, bronze/cdc_ingestion.py:169-224 +
+    gold/cdf_processor.py:206-328, as a user spec). Epoch 1 seeds the table
+    with the even-custkey customers (insert-only spec); epoch 2 MERGEs the
+    per-customer order rollup through custom branches: matched+open → 'OPEN'
+    counter/balance update, matched → 'SETTLED', unmatched source with ≥2
+    orders → conditional insert 'NEW', target rows the source missed →
+    delete when overdrawn ('NOT MATCHED BY SOURCE'). Money is integer cents
+    so both engines agree bit-for-bit."""
+    import shutil
+
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+    from maritime_activity_reports_cdc_ray.stages.merge_spec import (
+        MergeBranch, MergeSpec, SpecTable)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    work = os.path.join("/tmp", f"cdc_spec_{tag}_{_CDC_SPEC_V}")
+    done = os.path.join(work, "_DONE")
+    root = os.path.join(work, "table")
+    if os.path.exists(done):
+        return SpecTable(root)
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    schema = pa.schema([("k", pa.int64()), ("bal", pa.int64()),
+                        ("status", pa.string()), ("n", pa.int64())])
+    st = SpecTable.create(root, ["k"], schema, num_partitions=8)
+
+    def seed_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df.c_custkey % 2 == 0]
+        return pd.DataFrame({
+            "k": d.c_custkey.astype("int64"),
+            "bal": np.rint(d.c_acctbal.to_numpy() * 100).astype("int64"),
+            "status": "NONE",
+            "n": np.int64(0)})
+
+    seed = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
+        .map_batches(seed_rows, batch_format="pandas")
+    st.merge_epoch(seed, MergeSpec(keys=["k"], when_not_matched=[
+        MergeBranch("insert")]), epoch=1)
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": df.o_custkey.astype("int64"),
+            "cents": np.rint(df.o_totalprice.to_numpy() * 100).astype("int64"),
+            "is_open": (df.o_orderstatus == "O").astype("int64"),
+            "one": np.int64(1)})
+
+    src = hash_agg(
+        _t(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+        .map_batches(order_rows, batch_format="pandas"),
+        "k", {"cnt": ("one", "sum"), "total": ("cents", "sum"),
+              "has_open": ("is_open", "max")}, num_partitions=8) \
+        .map_batches(lambda d: d[["k", "cnt", "total", "has_open"]],
+                     batch_format="pandas")
+    spec = MergeSpec(
+        keys=["k"],
+        when_matched=[
+            MergeBranch("update", condition="s_has_open == 1",
+                        set={"bal": "t_bal + s_total", "status": "'OPEN'",
+                             "n": "s_cnt"}),
+            MergeBranch("update", set={"bal": "t_bal + s_total",
+                                       "status": "'SETTLED'", "n": "s_cnt"}),
+        ],
+        when_not_matched=[
+            MergeBranch("insert", condition="s_cnt >= 2",
+                        set={"bal": "s_total", "status": "'NEW'",
+                             "n": "s_cnt"})],
+        when_not_matched_by_source=[
+            MergeBranch("delete", condition="t_bal < 0")],
+    )
+    st.merge_epoch(src, spec, epoch=2)
+    with open(done, "w") as f:
+        f.write("ok")
+    return st
+
+
 def cdc_lww_merge(sf_dir: str):
-    """THE flagship operator driven through the real engine: replay the
-    adapted change stream and read the silver current state. SQL oracle:
-    latest event per key."""
+    """THE flagship operator driven through the real engine, two faces.
+    method='lww': replay the adapted change stream and read the silver
+    current state (oracle: latest event per key). method='spec': the
+    declarative-MERGE SpecTable after a seed epoch + a custom-branch merge
+    epoch (oracle: the equivalent FULL OUTER JOIN + CASE — DuckDB 1.0 has no
+    MERGE INTO, so the oracle states the branch algebra directly)."""
     r = _replay_events_as_cdc(sf_dir)
     sil = r.read_silver(columns=["repo", "path", "content"]).to_pandas()
-    return pd.DataFrame({
-        "user_id": sil.repo.str.slice(1).astype("int64"),
-        "event_type": sil.path,
-        "last_event_id": sil.content.astype("int64"),
+    lww = pd.DataFrame({
+        "method": "lww",
+        "k1": sil.repo.str.slice(1).astype("int64"),
+        "k2": sil.path,
+        "v_int": sil.content.astype("int64"),
+        "v_num": np.int64(0),
     })
+    sp = _spec_merge_lake(sf_dir).read().to_pandas()
+    spec_face = pd.DataFrame({
+        "method": "spec",
+        "k1": sp.k.astype("int64"),
+        "k2": sp.status,
+        "v_int": sp.n.astype("int64"),
+        "v_num": sp.bal.astype("int64"),
+    })
+    return (pd.concat([lww, spec_face], ignore_index=True)
+            .sort_values(["method", "k1", "k2"]).reset_index(drop=True))
 
 
 def cdc_scd2_history(sf_dir: str):
@@ -3128,9 +3223,44 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY tier
         """,
         "cdc_lww_merge": """
-            SELECT user_id, event_type, event_id AS last_event_id FROM events
+            SELECT 'lww' AS method, user_id AS k1, event_type AS k2,
+                   event_id AS v_int, CAST(0 AS BIGINT) AS v_num
+            FROM events
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                        ORDER BY ts DESC, event_id DESC) = 1
+            UNION ALL
+            -- the declarative MERGE's branch algebra, stated directly
+            -- (DuckDB 1.0 lacks MERGE INTO): seed = even-custkey customers,
+            -- source = per-customer order rollup, branches as in
+            -- __ray_entry__._spec_merge_lake
+            SELECT 'spec' AS method, k AS k1,
+                   CASE WHEN in_t AND in_s AND has_open = 1 THEN 'OPEN'
+                        WHEN in_t AND in_s THEN 'SETTLED'
+                        WHEN in_s THEN 'NEW'
+                        ELSE 'NONE' END AS k2,
+                   CASE WHEN in_s THEN cnt ELSE 0 END AS v_int,
+                   CASE WHEN in_t AND in_s THEN bal + total
+                        WHEN in_s THEN total
+                        ELSE bal END AS v_num
+            FROM (
+                SELECT COALESCE(t.k, s.k) AS k,
+                       t.k IS NOT NULL AS in_t, s.k IS NOT NULL AS in_s,
+                       t.bal, s.cnt, s.total, s.has_open
+                FROM (SELECT c_custkey AS k,
+                             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+                      FROM customer WHERE c_custkey % 2 = 0) t
+                FULL OUTER JOIN
+                     (SELECT o_custkey AS k, COUNT(*) AS cnt,
+                             -- SUM(BIGINT) is HUGEINT in DuckDB → float64 in
+                             -- pandas; pin it back to BIGINT
+                             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                                  AS BIGINT) AS total,
+                             MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS has_open
+                      FROM orders GROUP BY o_custkey) s
+                ON t.k = s.k
+            )
+            WHERE NOT (in_s AND NOT in_t AND cnt < 2)
+              AND NOT (in_t AND NOT in_s AND bal < 0)
         """,
         "cdc_scd2_history": """
             SELECT user_id, event_type,
