@@ -46,29 +46,63 @@ def _resolve(ref):
     return val
 
 
-def broadcast_join(big_ds, small: pd.DataFrame, on: list[str],
+def broadcast_join(big_ds, small, on: list[str],
                    right_on: list[str] | None = None, how: str = "inner",
                    select: list[str] | None = None):
-    """Join ``big_ds`` (Dataset) with a driver-resident small frame.
+    """Join ``big_ds`` (Dataset) with a driver-resident small side (a pandas
+    frame or a pyarrow Table).
 
     ``how`` ∈ {"inner", "left"}; both key columns are kept (matching
     ``Dataset.join``'s output shape, so callers can swap strategies freely).
     ``select`` optionally projects the merged frame — pushing the projection
     into the same task avoids materializing unused columns downstream.
+
+    Arrow-native kernel: only the KEY columns round-trip through pandas (for
+    its hash-merge); payload columns — including large_string content and
+    nested list/struct evolved columns, which pandas block rebuilds would
+    mangle into TensorArray casts — move via zero-copy ``take`` on the Arrow
+    batch and the broadcast Table. pandas-merge column semantics are kept:
+    a right key sharing the left key's name collapses into one column,
+    overlapping non-key names get ``_x``/``_y`` suffixes, left row order is
+    preserved.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray
 
     assert how in ("inner", "left"), how
     right_on = list(right_on or on)
     on = list(on)
-    sref = ray.put(small)
+    s_tbl = small if isinstance(small, pa.Table) else \
+        pa.Table.from_pandas(small, preserve_index=False)
+    sref = ray.put(s_tbl.combine_chunks())
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        s = _resolve(sref)
-        out = df.merge(s, left_on=on, right_on=right_on, how=how)
-        return out[select] if select else out
+    def merge(t: pa.Table) -> pa.Table:
+        s: pa.Table = _resolve(sref)
+        kk = sref.hex() + ":keys"
+        rdf = _WORKER_CACHE.get(kk)
+        if rdf is None:  # right keys → pandas once per worker, not per batch
+            rdf = _cache_put(kk, pd.DataFrame(
+                {c: s.column(c).to_pandas() for c in right_on}).assign(
+                __ri=np.arange(s.num_rows, dtype=np.int64)))
+        ldf = pd.DataFrame({c: t.column(c).to_pandas() for c in on})
+        ldf["__li"] = np.arange(t.num_rows, dtype=np.int64)
+        m = ldf.merge(rdf, left_on=on, right_on=right_on, how=how)
+        left_out = t.take(pa.array(m["__li"].to_numpy(np.int64)))
+        ri = pa.array(pd.array(m["__ri"], dtype="Int64"), type=pa.int64())
+        same_key = {rc for lc, rc in zip(on, right_on) if lc == rc}
+        right_names = [c for c in s.column_names if c not in same_key]
+        overlap = set(left_out.column_names) & set(right_names)
+        if overlap:
+            left_out = left_out.rename_columns(
+                [f"{c}_x" if c in overlap else c for c in left_out.column_names])
+        out = left_out
+        for c in right_names:
+            out = out.append_column(f"{c}_y" if c in overlap else c,
+                                    pc.take(s.column(c), ri))
+        return out.select(select) if select else out
 
-    return big_ds.map_batches(merge, batch_format="pandas")
+    return big_ds.map_batches(merge, batch_format="pyarrow")
 
 
 def auto_join(left, right, on: list[str], right_on: list[str] | None = None,
@@ -94,7 +128,19 @@ def auto_join(left, right, on: list[str], right_on: list[str] | None = None,
     # rows but many GB — broadcasting it would land whole on the driver heap
     if (right.count() <= broadcast_limit_rows
             and (right.size_bytes() or 0) <= broadcast_limit_bytes):
-        return broadcast_join(left, right.to_pandas(), on, right_on,
+        import pyarrow as pa
+        import ray
+
+        # collect the small side as ARROW blocks — a to_pandas() here would
+        # object-box large_string payloads and nested columns just to have
+        # broadcast_join convert them straight back. A stage that produced
+        # pandas blocks hands DataFrames through to_arrow_refs; convert those.
+        blocks = [b if isinstance(b, pa.Table)
+                  else pa.Table.from_pandas(b, preserve_index=False)
+                  for b in ray.get(right.to_arrow_refs())]
+        s_tbl = pa.concat_tables(blocks, promote_options="default") if blocks \
+            else right.to_pandas()
+        return broadcast_join(left, s_tbl, on, right_on,
                               how="left" if how == "left_outer" else how,
                               select=select)
     joined = left.join(right, join_type=_HOW_TO_RAY[how],

@@ -60,6 +60,28 @@ def _erfinv(x: float) -> float:
     return math.copysign(math.sqrt(math.sqrt(t1 * t1 - ln1mx2 / a) - t1), x)
 
 
+NESTED_TAGS_TYPE = pa.list_(pa.string())
+NESTED_META_TYPE = pa.struct([("author", pa.string()), ("stars", pa.int64())])
+
+
+def nested_payload_for(repo: str, path: str, commit: str, lang) -> tuple:
+    """Deterministic (tags, meta) nested payload for one event row — derived
+    from H(repo,path,commit) like ``_content_for`` so duplicate/delayed
+    delivery reproduces the same values. ~14% null tags, ~9% null meta
+    (exercises nullable nested columns end-to-end). Reference analogue: the
+    ``ARRAY<STRING>`` silver column at silver/table_setup.py:197."""
+    h = hashlib.sha256(f"{repo}|{path}|{commit}|nested".encode()).digest()
+    if h[0] % 7 == 0:
+        tags = None
+    else:
+        tags = [lang if lang else "none"] + [f"t{h[i] % 10}" for i in range(1, 1 + h[1] % 3)]
+    if h[5] % 11 == 0:
+        meta = None
+    else:
+        meta = {"author": f"dev{h[2] % 50:03d}", "stars": int.from_bytes(h[3:5], "big") % 1000}
+    return tags, meta
+
+
 def generate_events(
     out_dir: str,
     n_events: int = 600,
@@ -75,6 +97,7 @@ def generate_events(
     zipf_s: float = 1.2,
     dirty_fraction: float = 0.0,
     schema_evolve_from_epoch: int | None = None,
+    nested_payload_from_epoch: int | None = None,
     row_group_size: int = 16384,
 ) -> list[str]:
     """Write ``n_epochs`` Parquet files of change events under ``out_dir``.
@@ -82,6 +105,12 @@ def generate_events(
     ``schema_evolve_from_epoch``: if set, files from that epoch on carry an
     additional ``size_hint`` int64 column (exercises additive schema evolution,
     reference analogue ``mergeSchema=true`` at bronze/cdc_ingestion.py:59).
+
+    ``nested_payload_from_epoch``: if set, files from that epoch on carry a
+    ``tags`` list<string> and a ``meta`` struct<author,stars> column (nested
+    additive evolution — the reference's silver schema carries ARRAY<STRING>,
+    silver/table_setup.py:197). Values are content-hash-deterministic
+    (``nested_payload_for``) so the dict oracle can replay them.
 
     Returns the ordered list of file paths (epoch order).
     """
@@ -188,6 +217,14 @@ def generate_events(
         if schema_evolve_from_epoch is not None and epoch >= schema_evolve_from_epoch:
             tbl = tbl.append_column(
                 "size_hint", pa.array([len(c) if c is not None else 0 for c in cols[4]], pa.int64())
+            )
+        if nested_payload_from_epoch is not None and epoch >= nested_payload_from_epoch:
+            nested = [nested_payload_for(r, p, c, l)
+                      for r, p, c, l in zip(cols[0], cols[1], cols[2], cols[3])]
+            tbl = tbl.append_column(
+                "tags", pa.array([t for t, _ in nested], NESTED_TAGS_TYPE)
+            ).append_column(
+                "meta", pa.array([m for _, m in nested], NESTED_META_TYPE)
             )
         fp = os.path.join(out_dir, f"part-{epoch:05d}.parquet")
         # small row groups so readers can split one epoch file into parallel

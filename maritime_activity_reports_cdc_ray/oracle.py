@@ -41,6 +41,9 @@ class KeyState:
     ever_deleted: bool = False
     version_count: int = 0
     valid_from: str = ""
+    # evolved payload columns (scalar OR nested list/struct values) of the
+    # winning event; None per-column for tombstones and pre-evolution events
+    extra: dict | None = None
 
 
 @dataclass
@@ -56,10 +59,17 @@ class OracleState:
     # commit watermark included stays untouched. Mirrors EngineConfig.
     detect_changes: bool = False
 
-    def apply_epoch(self, rows: list[tuple]) -> None:
-        """rows: (repo, path, commit, lang, content) — one epoch's events."""
-        rows = sorted(rows, key=lambda r: r[2])
-        for repo, path, commit, lang, content in rows:
+    def apply_epoch(self, rows: list[tuple], extras: list[dict | None] | None = None) -> None:
+        """rows: (repo, path, commit, lang, content) — one epoch's events.
+        ``extras``: optional parallel list of evolved-payload dicts (one per
+        row; values may be nested lists/structs) carried onto the winning
+        silver row exactly like stages/merge.py's ``extra_fields`` path."""
+        if extras is None:
+            extras = [None] * len(rows)
+        order = sorted(range(len(rows)), key=lambda i: rows[i][2])
+        for i in order:
+            repo, path, commit, lang, content = rows[i]
+            ex = extras[i]
             k = (repo, path)
             st = self.keys.get(k)
             if st is not None:
@@ -87,6 +97,7 @@ class OracleState:
                 st.ever_deleted = True
                 st.lang = None
                 st.content = None
+                st.extra = None  # merge kernel nulls extras on tombstones
             else:
                 if not st.is_deleted:
                     self.history_rows += 1  # close the previous open version
@@ -95,6 +106,7 @@ class OracleState:
                 st.content = content
                 st.version_count += 1
                 st.valid_from = commit
+                st.extra = ex
             st.commit = commit
 
     # ------------------------------------------------------------------
@@ -109,6 +121,7 @@ class OracleState:
                 "lang": st.lang,
                 "content_sha256": hashlib.sha256(st.content.encode("utf-8", "surrogatepass")).hexdigest(),
                 "version_count": st.version_count,
+                "extra": st.extra,
             }
         return out
 
@@ -153,9 +166,19 @@ class OracleState:
 
 
 def replay_files(files: list[str]) -> OracleState:
-    """Replay event Parquet files in epoch (file) order."""
+    """Replay event Parquet files in epoch (file) order. Evolved payload
+    columns (anything beyond the 5 base event columns — scalars or nested
+    list/struct) are carried onto the winning row, None-backfilled for files
+    that predate the evolution."""
+    base = ["repo", "path", "commit", "lang", "content"]
     st = OracleState()
     for fp in files:
-        t = pq.read_table(fp, columns=["repo", "path", "commit", "lang", "content"])
-        st.apply_epoch(list(zip(*(t.column(c).to_pylist() for c in ["repo", "path", "commit", "lang", "content"]))))
+        t = pq.read_table(fp)
+        extra_names = [c for c in t.column_names if c not in base]
+        rows = list(zip(*(t.column(c).to_pylist() for c in base)))
+        extras = None
+        if extra_names:
+            cols = {c: t.column(c).to_pylist() for c in extra_names}
+            extras = [{c: cols[c][i] for c in extra_names} for i in range(t.num_rows)]
+        st.apply_epoch(rows, extras)
     return st

@@ -1894,21 +1894,46 @@ class CDCReplay:
         if not changed:
             return empty
 
+        from maritime_activity_reports_cdc_ray.stages.merge import align_to_schema
+
+        need_schema = pa.schema(
+            [sm_t.schema.field(c) if c in sm_t.schema.names
+             else pa.field(c, pa.string()) for c in need])
+
         def side(pmap, tag):
             paths = [self.silver.abspath(f.path) for pid in changed
                      for f in pmap.get(pid, [])]
             if not paths:
                 return None
-            ds = rd.read_parquet(paths, columns=need)
+            # a pid untouched since before an additive evolution still holds
+            # a pre-evolution fragment file — group paths by the columns they
+            # actually store (footer metadata only) and null-backfill
+            by_cols: dict[tuple, list[str]] = {}
+            for p in paths:
+                names = set(pq.read_schema(p).names)
+                by_cols.setdefault(tuple(c for c in need if c in names), []).append(p)
+            parts = []
+            for cols, ps in by_cols.items():
+                d = rd.read_parquet(ps, columns=list(cols))
+                parts.append(d.map_batches(
+                    lambda t, _s=need_schema: align_to_schema(t, _s),
+                    batch_format="pyarrow", zero_copy_batch=True))
+            ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
             return ds.map_batches(
-                lambda df: df.assign(_side=np.int8(tag)),
-                batch_format="pandas")
+                lambda t: t.append_column(
+                    "_side", pa.array(np.full(t.num_rows, tag, np.int8))),
+                batch_format="pyarrow", zero_copy_batch=True)
         P = sm_t.num_partitions
         sides = [s for s in (side(old_p, 0), side(new_p, 1)) if s is not None]
         un = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
-        un = un.map_batches(
-            lambda df: df.assign(_part=_hash_part(df, ["repo", "path"], P)),
-            batch_format="pandas")
+
+        def add_part(t: pa.Table) -> pa.Table:
+            kdf = pd.DataFrame({"repo": t.column("repo").to_pandas(),
+                                "path": t.column("path").to_pandas()})
+            return t.append_column(
+                "_part", pa.array(_hash_part(kdf, ["repo", "path"], P)))
+        un = un.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
         def diff(g: pd.DataFrame) -> pd.DataFrame:
             old = g[g["_side"] == 0]
@@ -1933,17 +1958,24 @@ class CDCReplay:
                      pick(changed_commit, "_n", "update_postimage"),
                      pick(old_live & ~new_live, "_o", "delete")]
             out = pd.concat(parts, ignore_index=True)
-            for c in out_cols:  # outer-merge NaN promotion → restore dtypes
-                f = schema.field(c)
-                has_na = out[c].isna().any()
-                if pa.types.is_integer(f.type):
-                    # nullable source column (e.g. evolved size_hint): the
-                    # plain int64 cast raises IntCastingNaNError; use the
-                    # masked extension dtype so genuine NULLs survive
-                    out[c] = out[c].astype("Int64" if has_na else "int64")
-                elif pa.types.is_boolean(f.type):
-                    out[c] = out[c].astype("boolean" if has_na else bool)
-            return out
+
+            # build the Arrow block EXPLICITLY against the declared schema:
+            # pandas' outer-merge NaN promotion would otherwise corrupt int/
+            # bool dtypes, and Ray's pandas block rebuild TensorArray-casts
+            # ragged nested (list/struct) evolved columns
+            def to_arrow(col: pd.Series, typ: pa.DataType) -> pa.Array:
+                if pa.types.is_nested(typ):
+                    vals = [None if v is None
+                            or (isinstance(v, float) and np.isnan(v))
+                            else (list(v) if pa.types.is_list(typ)
+                                  or pa.types.is_large_list(typ) else v)
+                            for v in col]
+                    return pa.array(vals, type=typ)
+                return pa.array(col, type=typ, from_pandas=True)
+
+            cols = {c: to_arrow(out[c], schema.field(c).type) for c in out_cols}
+            cols["_change_type"] = pa.array(out["_change_type"], pa.string())
+            return pa.table(cols)
 
         return un.groupby("_part").map_groups(diff, batch_format="pandas")
 

@@ -13,9 +13,17 @@ from maritime_activity_reports_cdc_ray.oracle import replay_files
 from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
 
 
+def _collect(ds):
+    """Driver-collect as pandas via Arrow — ``Dataset.to_pandas()`` trips
+    Ray's TensorArray cast on ragged nested (list/struct) columns;
+    ``pa.Table.to_pandas`` handles them as plain objects."""
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(batches).to_pandas() if batches else ds.to_pandas()
+
+
 def _assert_matches_oracle(replay: CDCReplay, oracle):
     exp_s = oracle.expected_silver()
-    sil = replay.read_silver().to_pandas()
+    sil = _collect(replay.read_silver())
     eng_s = {
         (r.repo, r.path): (r.commit, r.lang, r.content_sha256, r.version_count)
         for r in sil.itertuples()
@@ -125,6 +133,76 @@ def test_schema_evolution_e2e(ray_session, tmp_path):
     # evolved column is readable with nulls backfilled for pre-evolution rows
     sil = r.read_silver(live_only=False).to_pandas()
     assert "size_hint" in sil.columns
+
+
+def test_nested_payload_e2e(ray_session, tmp_path):
+    """List- and struct-typed payload columns through the full chain:
+    stamp → merge → SCD2 → CDF → schema evolution → parquet round-trip.
+
+    The reference's silver schema carries ARRAY<STRING>
+    (silver/table_setup.py:197); this engine's evolved-payload path must be
+    type-generic, not scalar-only. The generator evolves ``tags``
+    (list<string>) and ``meta`` (struct<author,stars>) in from epoch 1; the
+    dict oracle replays the same values (oracle.py KeyState.extra)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from maritime_activity_reports_cdc_ray.generate import (NESTED_META_TYPE,
+                                                            NESTED_TAGS_TYPE)
+
+    d = str(tmp_path / "nested")
+    files = generate_events(d, n_events=2500, n_repos=8, n_epochs=3, seed=7,
+                            nested_payload_from_epoch=1)
+    oracle = replay_files(files)
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(d)
+
+    # nested additive evolution reached the silver manifest schema
+    sm = r.silver.latest_manifest()
+    assert sm.schema.field("tags").type == NESTED_TAGS_TYPE
+    assert sm.schema.field("meta").type == NESTED_META_TYPE
+    _assert_matches_oracle(r, oracle)
+
+    def norm_tags(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        return list(v)
+
+    # per-key nested values match the dict-replay oracle (pre-evolution
+    # winners null-backfilled; tombstoned-then-reinserted keys rebuilt)
+    exp = oracle.expected_silver()
+    sil = _collect(r.read_silver(columns=["repo", "path", "tags", "meta"]))
+    assert len(sil) == len(exp)
+    for row in sil.itertuples():
+        ex = exp[(row.repo, row.path)]["extra"] or {}
+        assert norm_tags(row.tags) == ex.get("tags"), (row.repo, row.path)
+        assert (row.meta or None) == ex.get("meta"), (row.repo, row.path)
+    live_tags = [e["extra"].get("tags") for e in exp.values() if e["extra"]]
+    assert any(t is None for t in live_tags) and any(t for t in live_tags), \
+        "fixture must exercise both null and non-null nested values"
+
+    # CDF carries the evolved nested columns: from table start, every live
+    # key is one insert row with its current nested payload
+    ch = _collect(r.table_changes(None, columns=["repo", "path", "tags", "meta"]))
+    ins = ch[ch["_change_type"] == "insert"]
+    assert len(ins) == len(exp)
+    for row in ins.itertuples():
+        ex = exp[(row.repo, row.path)]["extra"] or {}
+        assert norm_tags(row.tags) == ex.get("tags"), (row.repo, row.path)
+        assert (row.meta or None) == ex.get("meta"), (row.repo, row.path)
+
+    # parquet round-trip of the evolved schema: exported file re-reads with
+    # identical nested types and values
+    out = str(tmp_path / "roundtrip.parquet")
+    t = pa.concat_tables(r.read_silver(live_only=False).iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    pq.write_table(t, out)
+    back = pq.read_table(out)
+    assert back.schema.field("tags").type == NESTED_TAGS_TYPE
+    assert back.schema.field("meta").type == NESTED_META_TYPE
+    assert back.num_rows == t.num_rows
+    assert back.equals(t)  # values identical regardless of chunking
 
 
 def test_gold_cadence_lag_and_finalize(ray_session, stream, tmp_path):
