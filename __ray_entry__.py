@@ -1245,21 +1245,23 @@ def docs_quality(sf_dir: str):
     broadcast the O(V²) model, score per doc in fixed-point — the oracle
     replays the entire model: counts, vocab, backoff NLL of every token).
     Faces run concurrently."""
-    from ray.data.aggregate import Count
-
+    from maritime_activity_reports_cdc_ray.functions.stats import group_count_small
     from maritime_activity_reports_cdc_ray.functions.text import (
         HashedLinearClassifier,
         lm_perplexity,
         quality_score,
     )
 
+    # label rollups use the zero-exchange combiner + driver reduce
+    # (group_count_small): ≤ |batches| × ≤5 category partials — a full
+    # sort-shuffle per face costs more in barriers than the whole count
+
     def heuristic():
         ds = _t(sf_dir, "documents", ["doc_id", "text"])
         scored = ds.map_batches(
             lambda df: quality_score(df)[["doc_id", "doc_quality_category"]],
             batch_format="pandas")
-        out = scored.groupby("doc_quality_category").aggregate(
-            Count(alias_name="n_docs")).to_pandas()
+        out = group_count_small(scored, "doc_quality_category", "n_docs")
         out = out.rename(columns={"doc_quality_category": "category"})
         out.insert(0, "method", "heuristic")
         return out
@@ -1267,9 +1269,8 @@ def docs_quality(sf_dir: str):
     def classifier():
         ds = _t(sf_dir, "documents", ["doc_id", "text"])
         scored = ds.map_batches(HashedLinearClassifier(),
-                                batch_format="pandas")
-        out = scored.groupby("clf_label").aggregate(
-            Count(alias_name="n_docs")).to_pandas()
+                                batch_format="pyarrow")
+        out = group_count_small(scored, "clf_label", "n_docs")
         out = out.rename(columns={"clf_label": "category"})
         out.insert(0, "method", "classifier")
         return out
@@ -1280,8 +1281,7 @@ def docs_quality(sf_dir: str):
                                t_low_bits=_LM_TLOW, t_high_bits=_LM_THIGH,
                                train_hex_gate=_LM_GATE,
                                materialize_train=True)
-        out = scored.groupby("lm_band").aggregate(
-            Count(alias_name="n_docs")).to_pandas()
+        out = group_count_small(scored, "lm_band", "n_docs")
         out = out.rename(columns={"lm_band": "category"})
         out.insert(0, "method", "lm")
         return out
@@ -1572,7 +1572,8 @@ def docs_repetition(sf_dir: str):
 
     def _within():
         ds = _t(sf_dir, "documents", ["doc_id", "text"])
-        return ds.map_batches(repetition_metrics, batch_format="pandas").to_pandas()
+        return ds.map_batches(repetition_metrics,
+                              batch_format="pyarrow").to_pandas()
 
     def _cross():
         ds = _t(sf_dir, "documents", ["doc_id", "text"])

@@ -21,6 +21,8 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _shingles(text: str, k: int) -> set:
@@ -173,31 +175,96 @@ class MinHasher:
         prod = (self.a[:, None] * base[None, :] + self.b[:, None]) % self.prime
         return prod.min(axis=1)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t) for t in df[self.text_col].fillna("")]
-        return pd.DataFrame({self.id_col: df[self.id_col].to_numpy(),
-                             "minhash": [s.tolist() for s in sigs]})
+    def batch_signatures(self, texts) -> np.ndarray:
+        """(n, num_perm) signatures for a whole batch in one vectorized pass:
+        shingle sets concatenate, md5 runs once per FACTORIZE-distinct
+        shingle (replacing the per-actor hash cache), each permutation is
+        computed on the uniques and gathered, per-doc minima fall out of one
+        ``np.minimum.reduceat`` per permutation. Same arithmetic as
+        :meth:`signature` (pinned by tests + the SQL oracle)."""
+        n = len(texts)
+        sig = np.zeros((n, self.num_perm), dtype=np.uint64)
+        if not n:
+            return sig
+        sh_lists = [list(_shingles(t if t is not None else "", self.k))
+                    for t in texts]
+        counts = np.fromiter((len(s) for s in sh_lists), dtype=np.int64, count=n)
+        total = int(counts.sum())
+        if not total:
+            return sig
+        all_sh = np.empty(total, dtype=object)
+        i = 0
+        for lst in sh_lists:
+            all_sh[i:i + len(lst)] = lst
+            i += len(lst)
+        codes, uniques = pd.factorize(all_sh, use_na_sentinel=False)
+        md5 = hashlib.md5
+        uh = np.fromiter(
+            (int.from_bytes(md5(s.encode("utf-8", "surrogatepass")).digest()[:8],
+                            "big") for s in uniques),
+            dtype=np.uint64, count=len(uniques))
+        starts = np.r_[np.int64(0), np.cumsum(counts)[:-1]]
+        nonempty = counts > 0
+        # pad one neutral element so a trailing empty segment's boundary
+        # (== total) stays a valid reduceat index WITHOUT clipping — a clip
+        # would silently shorten the PRECEDING segment's reduction
+        for p in range(self.num_perm):
+            vals = ((self.a[p] * uh + self.b[p]) % self.prime)[codes]
+            vals = np.r_[vals, np.uint64(0xFFFFFFFFFFFFFFFF)]
+            mins = np.minimum.reduceat(vals, starts)
+            sig[:, p] = np.where(nonempty, mins, np.uint64(0))
+        return sig
+
+    def __call__(self, batch):
+        if isinstance(batch, pa.Table):
+            texts = pc.fill_null(batch.column(self.text_col), "").to_pylist()
+            sig = self.batch_signatures(texts)
+            flat = pa.array(sig.reshape(-1))
+            return pa.table({
+                self.id_col: batch.column(self.id_col),
+                "minhash": pa.FixedSizeListArray.from_arrays(flat, self.num_perm),
+            })
+        sigs = self.batch_signatures(batch[self.text_col].fillna("").tolist())
+        return pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(),
+                             "minhash": list(sigs)})
 
 
 BAND_FOLD_INIT = 1469598103934665603
 BAND_FOLD_MUL = 1099511628211
 
 
-def lsh_bands(df: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
+def lsh_bands(batch, bands: int = 16):
     """Explode signatures into (id, band_id, band_hash int64) rows — the LSH
     bucket key. Fully vectorized: each band's r signature lanes are folded
     into one 64-bit multiply-add hash across ALL docs at once (no per-doc
     loop, no hex strings through the shuffle). The fold is pure mod-2^64
     multiply-add (``acc = acc*M + lane``) so a SQL oracle reproduces it in
-    HUGEINT arithmetic."""
-    id_col = df.columns[0]
-    if not len(df):
-        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                             "band_id": pd.Series(dtype="int64"),
-                             "band_hash": pd.Series(dtype="int64")})
-    sigs = np.asarray([np.asarray(s, dtype=np.uint64) for s in df["minhash"]],
-                      dtype=np.uint64)  # (n, num_perm)
-    n, num_perm = sigs.shape
+    HUGEINT arithmetic. Accepts a pyarrow Table whose ``minhash`` column is
+    a fixed-size-list (zero-copy reshape of the flat values buffer) or a
+    pandas frame of per-row sequences."""
+    is_arrow = isinstance(batch, pa.Table)
+    if is_arrow:
+        id_col = batch.column_names[0]
+        n = batch.num_rows
+        if not n:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "band_id": pa.array([], pa.int64()),
+                             "band_hash": pa.array([], pa.int64())})
+        mh = batch.column("minhash").combine_chunks()
+        sigs = mh.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False).reshape(n, -1)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    else:
+        id_col = batch.columns[0]
+        if not len(batch):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "band_id": pd.Series(dtype="int64"),
+                                 "band_hash": pd.Series(dtype="int64")})
+        sigs = np.asarray([np.asarray(s, dtype=np.uint64)
+                           for s in batch["minhash"]], dtype=np.uint64)
+        ids = batch[id_col].to_numpy()
+        n = len(batch)
+    num_perm = sigs.shape[1]
     r = num_perm // bands
     mul = np.uint64(BAND_FOLD_MUL)
     out = np.empty((n, bands), dtype=np.uint64)
@@ -206,11 +273,15 @@ def lsh_bands(df: pd.DataFrame, bands: int = 16) -> pd.DataFrame:
         for j in range(r):
             acc = acc * mul + sigs[:, b * r + j]  # wraps mod 2^64 — by design
         out[:, b] = acc
-    return pd.DataFrame({
-        id_col: np.repeat(df[id_col].to_numpy(), bands),
-        "band_id": np.tile(np.arange(bands, dtype="int64"), n),
-        "band_hash": out.reshape(-1).astype("int64"),
-    })
+    rep_ids = np.repeat(ids, bands)
+    band_id = np.tile(np.arange(bands, dtype="int64"), n)
+    band_hash = out.reshape(-1).astype("int64")
+    if is_arrow:
+        return pa.table({id_col: pa.array(rep_ids),
+                         "band_id": pa.array(band_id),
+                         "band_hash": pa.array(band_hash)})
+    return pd.DataFrame({id_col: rep_ids, "band_id": band_id,
+                         "band_hash": band_hash})
 
 
 def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
@@ -233,9 +304,9 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16, k: int = 5,
     bounds the O(c²) blowup of a degenerate hot bucket (e.g. empty docs)."""
     hasher = MinHasher(num_perm=num_perm, k=k, text_col=text_col, id_col=id_col)
     kw = {} if concurrency is None else {"concurrency": int(np.max(concurrency))}
-    sigs = ds.map_batches(hasher, batch_format="pandas", **kw)
-    banded = sigs.map_batches(lambda df: lsh_bands(df, bands),
-                              batch_format="pandas")
+    sigs = ds.map_batches(hasher, batch_format="pyarrow", **kw)
+    banded = sigs.map_batches(lambda t: lsh_bands(t, bands),
+                              batch_format="pyarrow")
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -686,11 +757,58 @@ class SimHasher:
         v = (2 * bits - 1).sum(axis=0)
         return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def batch_simhash(self, text: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        """int64 simhash per doc, one vectorized pass for the whole batch:
+        Arrow whitespace tokenize (``str.split()`` semantics), md5 once per
+        dictionary-distinct word, per-unique 64-bit matrix gathered to
+        tokens, per-doc bit votes via one ``np.add.reduceat``. Same
+        arithmetic as :meth:`simhash64` (pinned by tests + SQL oracle)."""
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if text.type != pa.string():
+            text = text.cast(pa.string())
+        la = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(text, "")))
+        flat = la.flatten()
+        off = la.offsets.to_numpy()
+        rows = np.repeat(np.arange(len(la), dtype=np.int64), np.diff(off))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.all():
+            rows = rows[keep]
+            flat = flat.filter(pa.array(keep))
+        n = len(la)
+        out = np.zeros(n, dtype=np.uint64)
+        if not len(rows):
+            return out.astype("int64")
+        from maritime_activity_reports_cdc_ray.functions.kernels import dict_encode_md5
+
+        _, codes, uh = dict_encode_md5(flat)
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        bits_u = ((uh[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        bits = bits_u[codes]  # (total_tokens, 64)
+        n_tok = np.bincount(rows, minlength=n).astype(np.int64)
+        nonempty = n_tok > 0
+        starts = np.r_[np.int64(0), np.cumsum(n_tok)[:-1]]
+        # zero-row pad: a trailing empty segment's boundary (== len(rows))
+        # stays valid for reduceat without corrupting the last real segment
+        bits = np.vstack([bits, np.zeros((1, 64), dtype=np.int64)])
+        ones = np.add.reduceat(bits, starts, axis=0)  # (n, 64)
+        v = 2 * ones - n_tok[:, None]  # vote sum = ones - zeros
+        sig = ((v > 0).astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+        out[nonempty] = sig[nonempty]
+        return out.astype("int64")
+
+    def __call__(self, batch):
+        if isinstance(batch, pa.Table):
+            return pa.table({
+                self.id_col: batch.column(self.id_col),
+                "simhash": pa.array(self.batch_simhash(
+                    batch.column(self.text_col))),
+            })
         return pd.DataFrame({
-            self.id_col: df[self.id_col].to_numpy(),
-            "simhash": np.fromiter((self.simhash64(t) for t in df[self.text_col].fillna("")),
-                                   dtype=np.uint64, count=len(df)).astype("int64"),
+            self.id_col: batch[self.id_col].to_numpy(),
+            "simhash": self.batch_simhash(
+                pa.array(batch[self.text_col], pa.string(), from_pandas=True)),
         })
 
 
@@ -715,7 +833,7 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4,
     (path-equivalence pinned by test)."""
     kw = {} if concurrency is None else {"concurrency": int(np.max(concurrency))}
     sigs = ds.map_batches(SimHasher(text_col=text_col, id_col=id_col),
-                          batch_format="pandas", **kw)
+                          batch_format="pyarrow", **kw)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sig = df["simhash"].to_numpy().astype(np.uint64)

@@ -106,6 +106,24 @@ def grouped_percentiles(ds, key, value_col: str, qs: list[float],
                 lambda g: pct(g.drop(columns=["_part"])), batch_format="pandas"))
 
 
+def group_count_small(ds, key: str, alias: str = "n") -> pd.DataFrame:
+    """COUNT(*) GROUP BY a LOW-CARDINALITY key with NO exchange at all:
+    per-batch partial counts (combiner) → driver reduce.
+
+    Contract (same small-side shape as ``rollup_agg``): the driver holds
+    ≤ |batches| × |distinct keys| partial rows — right for label/category/
+    band rollups (|keys| ≤ dozens) where a shuffle's barrier costs more than
+    the whole aggregation; use :func:`hash_agg` for high-cardinality keys."""
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key, as_index=False, sort=False).size() \
+            .rename(columns={"size": alias})
+
+    parts = ds.map_batches(local, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return parts
+    return parts.groupby(key, as_index=False, sort=False)[alias].sum()
+
+
 def hash_agg(ds, keys, aggs: dict, num_partitions: int = 16):
     """Grouped aggregation with a REAL global reduce: per-batch partial pandas
     agg (combiner — shrinks the shuffle to ≤ |batches|×|keys-in-batch| rows)

@@ -14,6 +14,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 # Stopword tables for the n-gram/stopword language heuristic. Tiny on purpose:
 # deterministic, dependency-free, broadcastable.
@@ -240,58 +241,88 @@ class PiiRedactor:
 # ---------------------------------------------------------------------------
 # repetition / diversity metrics (Gopher-style quality signals)
 # ---------------------------------------------------------------------------
-def repetition_metrics(df: pd.DataFrame, id_col: str = "doc_id",
+def repetition_metrics(batch, id_col: str = "doc_id",
                        text_col: str = "text",
                        top_word_max: float = 0.125,
-                       dup_2gram_max: float = 0.06) -> pd.DataFrame:
+                       dup_2gram_max: float = 0.06):
     """Per-doc repetition signals à la Gopher's quality filters (Rae et al.
     2021 §A1.1): most-common-word fraction, duplicate-2-gram fraction,
     distinct-token count — plus an ``is_repetitive`` flag when either
     fraction exceeds its threshold.
 
     Tokenization is ``lower().split(' ')`` with empty tokens dropped — chosen
-    bit-reproducible in SQL (``string_split(lower(text), ' ')``). Fully
-    vectorized: one explode, C-level groupbys/bincounts, a shifted-array
-    2-gram construction; no per-row Python loop."""
-    s = df[text_col].fillna("").str.lower().str.split(" ").reset_index(drop=True)
-    n = len(df)
-    ex = s.explode()
-    ex = ex[ex.notna() & (ex != "")]
-    rows = ex.index.to_numpy(dtype=np.int64)
-    toks = ex.to_numpy(dtype=object)
-    n_tokens = np.bincount(rows, minlength=n) if len(rows) else np.zeros(n, np.int64)
+    bit-reproducible in SQL (``string_split(lower(text), ' ')``). Arrow-
+    native: the tokenize/explode runs as C-level Arrow kernels, token and
+    2-gram identity is dictionary CODES (never object strings), per-doc
+    stats are lexsort run-length reductions. Accepts a pyarrow Table
+    (zero-copy batch, returns a Table) or a pandas frame (returns a frame,
+    the unit-test surface)."""
+    from maritime_activity_reports_cdc_ray.functions.kernels import arrow_tokenize
+
+    is_arrow = isinstance(batch, pa.Table)
+    if is_arrow:
+        ids, text = batch.column(id_col), batch.column(text_col)
+        n = batch.num_rows
+    else:
+        ids = pa.array(batch[id_col])
+        text = pa.array(batch[text_col], pa.string(), from_pandas=True)
+        n = len(batch)
+    rows, flat = arrow_tokenize(text)
+    codes = flat.dictionary_encode().indices.to_numpy().astype(np.int64) \
+        if len(flat) else np.empty(0, dtype=np.int64)
+    n_tokens = np.bincount(rows, minlength=n).astype(np.int64) if len(rows) \
+        else np.zeros(n, np.int64)
 
     top = np.zeros(n, dtype=np.int64)
     n_distinct = np.zeros(n, dtype=np.int64)
     if len(rows):
-        ct = pd.DataFrame({"r": rows, "t": toks}).groupby(["r", "t"], sort=False).size()
-        per = ct.groupby(level=0)
-        mx, nd = per.max(), per.size()
-        top[mx.index.to_numpy()] = mx.to_numpy()
-        n_distinct[nd.index.to_numpy()] = nd.to_numpy()
+        # (row, code) run-lengths: rows are already sorted (explode order)
+        idx = np.lexsort((codes, rows))
+        r, c = rows[idx], codes[idx]
+        new = np.ones(len(r), dtype=bool)
+        new[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(r)])
+        rr = r[starts]
+        n_distinct = np.bincount(rr, minlength=n).astype(np.int64)
+        row_new = np.ones(len(rr), dtype=bool)
+        row_new[1:] = rr[1:] != rr[:-1]
+        rstarts = np.flatnonzero(row_new)
+        top[rr[rstarts]] = np.maximum.reduceat(cnt, rstarts)
 
     tot2 = np.zeros(n, dtype=np.int64)
     dist2 = np.zeros(n, dtype=np.int64)
     if len(rows) > 1:
-        nxt_t = np.concatenate([toks[1:], np.asarray([None], dtype=object)])
-        nxt_r = np.concatenate([rows[1:], [-1]])
-        valid = nxt_r == rows  # 2-gram stays within one doc
-        grams = toks[valid] + " " + nxt_t[valid]
-        grows = rows[valid]
-        tot2 = np.bincount(grows, minlength=n)
-        gdist = pd.DataFrame({"r": grows, "g": grams}).drop_duplicates()
-        dist2 = np.bincount(gdist["r"].to_numpy(), minlength=n)
+        adj = rows[1:] == rows[:-1]  # 2-gram stays within one doc
+        g1, g2, gr = codes[:-1][adj], codes[1:][adj], rows[:-1][adj]
+        tot2 = np.bincount(gr, minlength=n).astype(np.int64)
+        if len(gr):
+            idx = np.lexsort((g2, g1, gr))
+            a, b, r = g1[idx], g2[idx], gr[idx]
+            new = np.ones(len(r), dtype=bool)
+            new[1:] = (r[1:] != r[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            dist2 = np.bincount(r[new], minlength=n).astype(np.int64)
 
     top_word_frac = np.where(n_tokens > 0, top / np.maximum(n_tokens, 1), 0.0)
     dup_2gram_frac = np.where(tot2 > 0, (tot2 - dist2) / np.maximum(tot2, 1), 0.0)
+    rep = ((top_word_frac > top_word_max)
+           | (dup_2gram_frac > dup_2gram_max)).astype("int64")
+    if is_arrow:
+        return pa.table({
+            id_col: ids,
+            "n_tokens": pa.array(n_tokens),
+            "n_distinct": pa.array(n_distinct),
+            "top_word_frac": pa.array(top_word_frac),
+            "dup_2gram_frac": pa.array(dup_2gram_frac),
+            "is_repetitive": pa.array(rep),
+        })
     return pd.DataFrame({
-        id_col: df[id_col].to_numpy(),
-        "n_tokens": n_tokens.astype("int64"),
-        "n_distinct": n_distinct.astype("int64"),
+        id_col: batch[id_col].to_numpy(),
+        "n_tokens": n_tokens,
+        "n_distinct": n_distinct,
         "top_word_frac": top_word_frac,
         "dup_2gram_frac": dup_2gram_frac,
-        "is_repetitive": ((top_word_frac > top_word_max)
-                          | (dup_2gram_frac > dup_2gram_max)).astype("int64"),
+        "is_repetitive": rep,
     })
 
 
@@ -320,25 +351,32 @@ class HashedLinearClassifier:
             [(md5_u64(f"w:{b}") % 2001) - 1000 for b in range(n_buckets)],
             dtype=np.int64)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
+    def __call__(self, batch):
+        from maritime_activity_reports_cdc_ray.functions.kernels import (
+            arrow_tokenize, dict_encode_md5)
 
-        n = len(df)
+        is_arrow = isinstance(batch, pa.Table)
+        if is_arrow:
+            ids, text = batch.column(self.id_col), batch.column(self.text_col)
+            n = batch.num_rows
+        else:
+            ids = batch[self.id_col].to_numpy()
+            text = pa.array(batch[self.text_col], pa.string(), from_pandas=True)
+            n = len(batch)
+        rows, flat = arrow_tokenize(text)
         score = np.zeros(n, dtype=np.int64)
-        s = (df[self.text_col].fillna("").str.lower().str.split(" ")
-             .reset_index(drop=True).explode())
-        s = s[s.notna() & (s != "")]
-        if len(s):
-            rows = s.index.to_numpy(dtype=np.int64)
-            h = md5_u64_array(s.to_numpy(dtype=object))
+        if len(rows):
+            h, _, _ = dict_encode_md5(flat)
             w = self.weights[(h % np.uint64(self.n_buckets)).astype(np.int64)]
             # bincount-with-weights is float64 but exact here (|score| ≪ 2^53)
             score = np.bincount(rows, weights=w, minlength=n).astype(np.int64)
-        return pd.DataFrame({
-            self.id_col: df[self.id_col].to_numpy(),
-            "clf_score": score,
-            "clf_label": np.where(score > 0, "pos", "neg"),
-        })
+        label = np.where(score > 0, "pos", "neg")
+        if is_arrow:
+            return pa.table({self.id_col: ids,
+                             "clf_score": pa.array(score),
+                             "clf_label": pa.array(label)})
+        return pd.DataFrame({self.id_col: ids, "clf_score": score,
+                             "clf_label": label})
 
 
 def make_term_exploder(text_col: str = "text", stopwords=()):
@@ -865,21 +903,20 @@ def qlog2_fp(n) -> np.ndarray:
     return (bl << np.int64(20)) + ((n << np.int64(20)) >> bl) - np.int64(LOG2_SCALE)
 
 
-def _lm_tokens(df: pd.DataFrame, id_col: str, text_col: str):
+def _lm_tokens(batch, id_col: str, text_col: str):
     """(row_idx, pos_in_doc, md5_u64 hash) for every token. Tokenize =
     ``lower().split(' ')`` with empties dropped (the WordNgramExploder /
     repetition_metrics rule — SQL: ``list_filter(string_split(lower(
-    COALESCE(text,'')), ' '), x -> x <> '')``)."""
-    from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
+    COALESCE(text,'')), ' '), x -> x <> '')``). Arrow-native: tokens never
+    box into Python strings (md5 runs once per dictionary-distinct token);
+    accepts a pyarrow Table or a pandas frame."""
+    from maritime_activity_reports_cdc_ray.functions.kernels import (
+        arrow_tokenize, dict_encode_md5, group_positions)
 
-    s = df[text_col].fillna("").str.lower().str.split(" ").reset_index(drop=True)
-    ex = s.explode()
-    ex = ex[ex.notna() & (ex != "")]
-    rows = ex.index.to_numpy(dtype=np.int64)
-    toks = ex.to_numpy(dtype=object)
-    hs = md5_u64_array(toks)
-    from maritime_activity_reports_cdc_ray.functions.kernels import group_positions
-
+    text = batch.column(text_col) if isinstance(batch, pa.Table) \
+        else pa.array(batch[text_col], pa.string(), from_pandas=True)
+    rows, flat = arrow_tokenize(text)
+    hs, _, _ = dict_encode_md5(flat)
     _, _, pos = group_positions(rows)
     return rows, pos, hs
 
@@ -918,26 +955,29 @@ def train_bigram_lm(ds, vocab_size: int = 128, num_partitions: int = 16,
 
     from maritime_activity_reports_cdc_ray.functions.dedup import hash_count
 
-    def gate(df: pd.DataFrame) -> pd.DataFrame:
-        if train_hex_gate >= 16 or not len(df):
-            return df
+    import pyarrow.compute as pc
+
+    def gate(t: pa.Table) -> pa.Table:
+        if train_hex_gate >= 16 or not t.num_rows:
+            return t
         from maritime_activity_reports_cdc_ray.hashing import md5_u64_array
 
         # top 4 bits of md5_u64 == the md5 hexdigest's first hex digit
-        h = md5_u64_array(df[id_col].astype(str).to_numpy(dtype=object))
-        return df[(h >> np.uint64(60)) < np.uint64(train_hex_gate)]
+        ids = pc.cast(t.column(id_col), pa.string()).to_numpy(zero_copy_only=False)
+        h = md5_u64_array(np.asarray(ids, dtype=object))
+        return t.filter(pa.array((h >> np.uint64(60)) < np.uint64(train_hex_gate)))
 
     if materialize_train:
-        src = ds.map_batches(gate, batch_format="pandas").materialize()
-        gate = lambda df: df  # noqa: E731 — already gated upstream
+        src = ds.map_batches(gate, batch_format="pyarrow").materialize()
+        gate = lambda t: t  # noqa: E731 — already gated upstream
     else:
         src = ds
 
-    def tok_batch(df: pd.DataFrame) -> pd.DataFrame:
-        _, _, hs = _lm_tokens(gate(df), id_col, text_col)
-        return pd.DataFrame({"h": hs.astype(np.uint64)})
+    def tok_batch(t: pa.Table) -> pa.Table:
+        _, _, hs = _lm_tokens(gate(t), id_col, text_col)
+        return pa.table({"h": pa.array(hs)})
 
-    counts = hash_count(src.map_batches(tok_batch, batch_format="pandas"),
+    counts = hash_count(src.map_batches(tok_batch, batch_format="pyarrow"),
                         ["h"], num_partitions)
 
     def part_top(df: pd.DataFrame) -> pd.DataFrame:
@@ -961,18 +1001,17 @@ def train_bigram_lm(ds, vocab_size: int = 128, num_partitions: int = 16,
 
     varr = np.sort(vocab["h"].to_numpy(np.uint64))
 
-    def big_batch(df: pd.DataFrame) -> pd.DataFrame:
-        rows, pos, hs = _lm_tokens(gate(df), id_col, text_col)
+    def big_batch(t: pa.Table) -> pa.Table:
+        rows, pos, hs = _lm_tokens(gate(t), id_col, text_col)
         if not len(rows):
-            return pd.DataFrame({"h1": np.zeros(0, np.uint64),
-                                 "h2": np.zeros(0, np.uint64)})
+            return pa.table({"h1": pa.array(np.zeros(0, np.uint64)),
+                             "h2": pa.array(np.zeros(0, np.uint64))})
         adj = pos[1:] > 0  # next token continues the same doc
         h1, h2 = hs[:-1][adj], hs[1:][adj]
         m = _in_sorted(varr, h1) & _in_sorted(varr, h2)
-        return pd.DataFrame({"h1": h1[m].astype(np.uint64),
-                             "h2": h2[m].astype(np.uint64)})
+        return pa.table({"h1": pa.array(h1[m]), "h2": pa.array(h2[m])})
 
-    big = hash_count(src.map_batches(big_batch, batch_format="pandas"),
+    big = hash_count(src.map_batches(big_batch, batch_format="pyarrow"),
                      ["h1", "h2"], num_partitions).to_pandas()
     if not len(big):
         big = pd.DataFrame({"h1": np.zeros(0, np.uint64),
@@ -1014,9 +1053,12 @@ class LmPerplexityScorer:
         self.t_low_fp = lm_threshold_fp(t_low_bits)
         self.t_high_fp = lm_threshold_fp(t_high_bits)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        rows, pos, hs = _lm_tokens(df, self.id_col, self.text_col)
+    def __call__(self, batch):
+        is_arrow = isinstance(batch, pa.Table)
+        n = batch.num_rows if is_arrow else len(batch)
+        ids = batch.column(self.id_col) if is_arrow \
+            else batch[self.id_col].to_numpy()
+        rows, pos, hs = _lm_tokens(batch, self.id_col, self.text_col)
         n_tok = (np.bincount(rows, minlength=n).astype(np.int64)
                  if len(rows) else np.zeros(n, np.int64))
         if len(rows) and self.total > 0:
@@ -1045,7 +1087,12 @@ class LmPerplexityScorer:
         hi = np.int64(self.t_high_fp) * n_tok
         band = np.select([n_tok == 0, sums < lo, sums < hi],
                          ["empty", "low", "mid"], default="high")
-        return pd.DataFrame({self.id_col: df[self.id_col].to_numpy(),
+        if is_arrow:
+            return pa.table({self.id_col: ids,
+                             "n_tokens": pa.array(n_tok),
+                             "nll_fp": pa.array(sums),
+                             "lm_band": pa.array(band)})
+        return pd.DataFrame({self.id_col: ids,
                              "n_tokens": n_tok, "nll_fp": sums,
                              "lm_band": band})
 
@@ -1070,7 +1117,7 @@ def lm_perplexity(ds, vocab_size: int = 128, num_partitions: int = 16,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
                                "t_low_bits": t_low_bits,
                                "t_high_bits": t_high_bits},
-        batch_format="pandas", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=concurrency)
 
 
 # ---------------------------------------------------------------------------

@@ -150,6 +150,27 @@ def test_ngram_jaccard():
     assert D.ngram_jaccard("abcdef", "uvwxyz") == 0.0
 
 
+def test_batch_signature_kernels_equal_per_doc():
+    """The batch-vectorized MinHash/SimHash kernels must equal the per-doc
+    reference implementations EXACTLY, including empty/whitespace-only docs
+    in any batch position (a trailing empty segment once corrupted the
+    preceding doc's reduceat window — regression)."""
+    import pyarrow as pa
+
+    sh = D.SimHasher()
+    mh = D.MinHasher(num_perm=16, k=5)
+    batches = [["a a", ""], ["", "a a"], ["x y z", "", "a a", "  "], [""],
+               ["abc def ghi jkl", "qq"], ["　", "tab\twide  run"]]
+    for b in batches:
+        got_s = sh.batch_simhash(pa.array(b, pa.string()))
+        want_s = np.array([np.uint64(sh.simhash64(t)) for t in b],
+                          dtype=np.uint64).astype(np.int64)
+        assert np.array_equal(got_s, want_s), b
+        got_m = mh.batch_signatures(b)
+        want_m = np.array([mh.signature(t) for t in b])
+        assert np.array_equal(got_m, want_m), b
+
+
 def test_minhash_lsh_finds_near_dups(ray_session, docs_df):
     cand = D.minhash_lsh_candidates(_ds(docs_df), num_perm=64, bands=16, concurrency=2)
     ver = D.verify_pairs_jaccard(cand, _ds(docs_df), threshold=0.7).to_pandas()
