@@ -29,4 +29,28 @@ from maritime_activity_reports_cdc_ray.state.table import ConcurrentCommitError
 
 __version__ = "0.1.0"
 
-__all__ = ["ConcurrentCommitError", "EngineConfig", "__version__"]
+
+def collect_table(ds):
+    """Driver-collect a (small-result) Dataset as ONE pyarrow Table.
+
+    Use instead of ``Dataset.to_pandas()`` when the schema may carry nested
+    (list/struct) evolved columns: Ray's pandas collect TensorArray-casts
+    ragged nested columns and fails, while Arrow concatenation is exact.
+    Pandas-block datasets convert per block. Same driver-size contract as
+    ``to_pandas`` — bounded results only."""
+    import pyarrow as pa
+
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:  # empty result: no ragged data, the pandas path is safe
+        return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return pa.concat_tables(batches, promote_options="default")
+
+
+def collect_pandas(ds):
+    """``collect_table`` then ``pa.Table.to_pandas`` (nested columns become
+    plain Python lists/dicts instead of failing the TensorArray cast)."""
+    return collect_table(ds).to_pandas()
+
+
+__all__ = ["ConcurrentCommitError", "EngineConfig", "collect_pandas",
+           "collect_table", "__version__"]

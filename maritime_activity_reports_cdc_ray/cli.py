@@ -465,7 +465,11 @@ def main(argv=None):
                                     columns=cols), pred)
             else:
                 ds = r.read_history(as_of_epoch=args.as_of_epoch, predicate=pred)
-            rows = ds.limit(args.limit).to_pandas()
+            from maritime_activity_reports_cdc_ray import collect_pandas
+
+            # arrow-first collect: a lake with nested evolved columns would
+            # fail Dataset.to_pandas()'s TensorArray cast
+            rows = collect_pandas(ds.limit(args.limit))
             print(json.dumps({"table": args.table, "as_of_epoch": args.as_of_epoch,
                               "rows": json.loads(rows.to_json(orient="records"))},
                              indent=1))
@@ -476,7 +480,9 @@ def main(argv=None):
             files = [f for ep in CDCReplay.discover_epochs(args.input) for f in ep]
             oracle = replay_files(files)
             exp = oracle.expected_silver()
-            sil = r.read_silver().to_pandas()
+            from maritime_activity_reports_cdc_ray import collect_pandas
+
+            sil = collect_pandas(r.read_silver())
             eng = {(row.repo, row.path): (row.commit, row.content_sha256, row.version_count)
                    for row in sil.itertuples()}
             ok = set(eng) == set(exp) and all(

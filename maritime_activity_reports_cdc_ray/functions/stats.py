@@ -106,6 +106,28 @@ def grouped_percentiles(ds, key, value_col: str, qs: list[float],
                 lambda g: pct(g.drop(columns=["_part"])), batch_format="pandas"))
 
 
+#: guard for the documented small-side driver reductions below — a rollup /
+#: pivot whose GROUP CARDINALITY exceeds this belongs in a distributed
+#: re-reduce, not a driver frame (the aggregation itself already ran
+#: distributed; only the group-cardinality result lands here)
+GROUP_RESULT_DRIVER_LIMIT = 2_000_000
+
+
+def _collect_group_result(ds, op: str) -> pd.DataFrame:
+    """Collect a distributed group-cardinality result with the driver-size
+    contract ENFORCED: count first (blocks stay in the object store), fail
+    loudly past :data:`GROUP_RESULT_DRIVER_LIMIT` instead of silently OOMing
+    the driver on a high-cardinality key set."""
+    ds = ds.materialize()
+    n = ds.count()
+    if n > GROUP_RESULT_DRIVER_LIMIT:
+        raise ValueError(
+            f"{op}: {n} groups exceed the driver-side reshape contract "
+            f"({GROUP_RESULT_DRIVER_LIMIT}); re-aggregate on a coarser key "
+            "or keep the result long (hash_agg) instead of reshaping wide")
+    return ds.to_pandas()
+
+
 def group_count_small(ds, key: str, alias: str = "n") -> pd.DataFrame:
     """COUNT(*) GROUP BY a LOW-CARDINALITY key with NO exchange at all:
     per-batch partial counts (combiner) → driver reduce.
@@ -473,9 +495,9 @@ def rollup_agg(ds, keys: list[str], aggs: dict, num_partitions: int = 16):
                 df[k] = df[k].astype(object).where(df[k].notna(), _SENT)
         return df
 
-    finest = hash_agg(ds.map_batches(mask_nulls, batch_format="pandas"),
-                      keys, aggs, num_partitions=num_partitions) \
-        .to_pandas()
+    finest = _collect_group_result(
+        hash_agg(ds.map_batches(mask_nulls, batch_format="pandas"),
+                 keys, aggs, num_partitions=num_partitions), "rollup_agg")
     if "_part" in finest.columns:
         finest = finest.drop(columns=["_part"])
     refn = {a: (a, "sum" if f in ("sum", "count") else f)
@@ -514,8 +536,9 @@ def pivot_wide(ds, key: str, pivot_col: str, value_col: str,
     deterministically. Rows with a NULL key or NULL pivot value are
     EXCLUDED (pandas pivot semantics; DuckDB PIVOT would mint a "NULL"
     column) — filter-or-fill upstream if a NULL bucket is needed."""
-    finest = hash_agg(ds, [key, pivot_col], {"_v": (value_col, agg)},
-                      num_partitions=num_partitions).to_pandas()
+    finest = _collect_group_result(
+        hash_agg(ds, [key, pivot_col], {"_v": (value_col, agg)},
+                 num_partitions=num_partitions), "pivot_wide")
     if "_part" in finest.columns:
         finest = finest.drop(columns=["_part"])
     wide = finest.pivot(index=key, columns=pivot_col, values="_v")

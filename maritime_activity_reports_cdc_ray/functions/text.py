@@ -158,7 +158,10 @@ class RollingFingerprint:
     def _windows(self, s: str) -> np.ndarray:
         """Distinct window-min hashes (uint64) of one document."""
         k, w = self.k, self.w
-        arr = np.fromiter((ord(c) for c in s), dtype=np.uint64, count=len(s))
+        # one C-level UTF-32 encode == the per-char ord() loop, ~20x faster
+        # (surrogatepass: lone surrogates keep their ord() codepoint)
+        arr = np.frombuffer(s.encode("utf-32-le", "surrogatepass"),
+                            dtype=np.uint32).astype(np.uint64)
         if len(arr) < k:
             if not len(arr):
                 return np.zeros(1, dtype=np.uint64)

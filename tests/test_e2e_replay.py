@@ -204,6 +204,20 @@ def test_nested_payload_e2e(ray_session, tmp_path):
     assert back.num_rows == t.num_rows
     assert back.equals(t)  # values identical regardless of chunking
 
+    # CLI read serves nested columns (arrow-first collect — a plain
+    # Dataset.to_pandas() TensorArray-casts ragged lists and fails)
+    import json as _json
+    import subprocess
+    import sys
+
+    cp = subprocess.run(
+        [sys.executable, "-m", "maritime_activity_reports_cdc_ray.cli", "read",
+         "--root", str(tmp_path / "lake"), "--table", "silver",
+         "--columns", "repo,path,tags,meta", "--limit", "5"],
+        capture_output=True, text=True, check=True)
+    rows_out = _json.loads(cp.stdout)["rows"]
+    assert len(rows_out) == 5 and all("tags" in x and "meta" in x for x in rows_out)
+
 
 def test_gold_cadence_lag_and_finalize(ray_session, stream, tmp_path):
     src, files, oracle = stream
