@@ -97,6 +97,19 @@ def main(argv=None):
     sp.add_argument("--input", required=True)
     sp.add_argument("--files-per-epoch", type=int, default=1)
 
+    sp = sub.add_parser("supervise",
+                        help="monitor loop: poll the source dir, replay "
+                             "pending epochs, auto-restart a failed run "
+                             "(reference monitor_streaming_queries + "
+                             "restart_failed_queries)")
+    common(sp)
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--files-per-epoch", type=int, default=1)
+    sp.add_argument("--poll-interval", type=float, default=1.0)
+    sp.add_argument("--max-polls", type=int, default=None,
+                    help="stop after N monitor ticks (default: run until idle)")
+    sp.add_argument("--max-restarts", type=int, default=3)
+
     sp = sub.add_parser("compact", help="compact fragment chains (OPTIMIZE analogue)")
     common(sp)
     sp.add_argument("--table", choices=["silver", "gold"], default="silver")
@@ -370,6 +383,16 @@ def main(argv=None):
             print(json.dumps(out))
         elif args.cmd == "ingest":
             out = r.run(args.input, files_per_epoch=args.files_per_epoch, max_epochs=1)
+            print(json.dumps(out))
+        elif args.cmd == "supervise":
+            from maritime_activity_reports_cdc_ray.pipelines.supervisor import StreamSupervisor
+
+            sup = StreamSupervisor(lambda: _replay(args), args.input,
+                                   files_per_epoch=args.files_per_epoch,
+                                   poll_interval=args.poll_interval,
+                                   max_restarts=args.max_restarts)
+            out = sup.run(max_polls=args.max_polls,
+                          stop_when_idle=args.max_polls is None)
             print(json.dumps(out))
         elif args.cmd == "view":
             from maritime_activity_reports_cdc_ray.pipelines.views import IncrementalAggView
