@@ -43,13 +43,19 @@ class StreamSupervisor:
                  files_per_epoch: int = 1,
                  poll_interval: float = 1.0,
                  max_restarts: int = 3,
-                 backoff_base: float = 0.0):
+                 backoff_base: float = 0.0,
+                 manage_gold: bool = True):
         self._factory = replay_factory
         self.source_dir = source_dir
         self.files_per_epoch = files_per_epoch
         self.poll_interval = poll_interval
         self.max_restarts = max_restarts
         self.backoff_base = backoff_base
+        # manage_gold: on a DECOUPLED lake (gold_refresh_every_epochs=0 —
+        # gold as its own checkpointed consumer) the supervisor also steps
+        # the GoldConsumer each tick; without this, gold's lag would read as
+        # permanently-pending work that replay.run() never clears (livelock)
+        self.manage_gold = manage_gold
         self.replay = replay_factory()
         self.restart_history: list[dict] = []
         self.polls = 0
@@ -64,7 +70,12 @@ class StreamSupervisor:
 
         epochs = CDCReplay.discover_epochs(self.source_dir, self.files_per_epoch)
         m = self.replay.stream_metrics()
-        return len(epochs) - 1 > m["bronze_epoch"] or m["status"] == "active"
+        if len(epochs) - 1 > m["bronze_epoch"] or m["silver_epoch"] < m["bronze_epoch"]:
+            return True
+        # gold lag is pending work only when this supervisor clears it —
+        # replay.run() never advances a decoupled (cadence-0) gold, so
+        # counting its lag without manage_gold would poll-loop forever
+        return self.manage_gold and m["gold_epoch"] < m["silver_epoch"]
 
     def poll_once(self) -> dict:
         """One monitor tick: run pending work; on failure record + restart.
@@ -106,6 +117,12 @@ class StreamSupervisor:
                     time.sleep(self.backoff_base * failures)  # linear backoff
                 self.replay = self._factory()  # fresh driver state
                 rec["restarted"] = True
+        if self.manage_gold:
+            from maritime_activity_reports_cdc_ray.pipelines.gold_consumer import GoldConsumer
+
+            g = GoldConsumer(self.replay)
+            if g.lag() > 0:  # decoupled gold: step the consumer checkpoint
+                rec["gold"] = g.refresh()
         self._metrics = self.replay.stream_metrics()
         rec["metrics"] = self._metrics
         return rec

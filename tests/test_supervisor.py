@@ -117,6 +117,33 @@ def test_supervisor_picks_up_files_appearing_between_polls(ray_session, tmp_path
     assert len(sil) == len(exp)
 
 
+def test_supervisor_steps_decoupled_gold(ray_session, tmp_path):
+    """A fully-decoupled lake (gold_refresh_every_epochs=0): replay.run never
+    advances gold, so the supervisor must step the GoldConsumer itself — and
+    without manage_gold the lag must NOT read as pending work (livelock)."""
+    d = str(tmp_path / "events")
+    generate_events(d, n_events=900, n_repos=4, n_epochs=2, seed=7)
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(num_partitions=2, gold_refresh_every_epochs=0)
+    CDCReplay(lake, cfg).setup()
+
+    sup = StreamSupervisor(lambda: CDCReplay(lake, cfg), d, poll_interval=0.0)
+    out = sup.run(stop_when_idle=True)
+    m = out["metrics"]
+    assert m["silver_epoch"] == 1 and m["gold_epoch"] == 1  # consumer stepped
+    assert m["status"] == "idle"
+
+    # hands-off supervisor on a lagging-gold lake: not pending, no livelock
+    lake2 = str(tmp_path / "lake2")
+    CDCReplay(lake2, cfg).setup()
+    sup2 = StreamSupervisor(lambda: CDCReplay(lake2, cfg), d,
+                            poll_interval=0.0, manage_gold=False)
+    out2 = sup2.run(stop_when_idle=True)
+    m2 = out2["metrics"]
+    assert m2["silver_epoch"] == 1 and m2["gold_epoch"] < 1
+    assert not sup2.poll_once()["ran"]  # gold lag alone is not its work
+
+
 def test_supervise_cli(ray_session, tmp_path):
     d = str(tmp_path / "events")
     generate_events(d, n_events=800, n_repos=4, n_epochs=2, seed=6)
