@@ -1074,8 +1074,9 @@ def cdc_silver_asof(sf_dir: str):
     from maritime_activity_reports_cdc_ray.pipelines.streaming import StreamingWindowAgg
 
     w = StreamingWindowAgg(r, "asof_win2", 2, ["path"], time_col="epoch")
-    w.refresh()
-    w.flush()
+    if not w.is_flushed:  # cached lake: flush is terminal; results() stands
+        w.refresh()
+        w.flush()
     res = w.results()
     wf = pd.DataFrame({
         "method": "window",

@@ -135,15 +135,24 @@ def group_count_small(ds, key: str, alias: str = "n") -> pd.DataFrame:
     Contract (same small-side shape as ``rollup_agg``): the driver holds
     ≤ |batches| × |distinct keys| partial rows — right for label/category/
     band rollups (|keys| ≤ dozens) where a shuffle's barrier costs more than
-    the whole aggregation; use :func:`hash_agg` for high-cardinality keys."""
+    the whole aggregation; use :func:`hash_agg` for high-cardinality keys.
+    A NULL key is a REAL group (SQL GROUP BY semantics — the rollup_agg
+    sentinel contract), not silently dropped."""
+    _SENT = "\x00\x00__null__"
+
     def local(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key]
+        if k.isna().any():
+            df = df.assign(**{key: k.astype(object).where(k.notna(), _SENT)})
         return df.groupby(key, as_index=False, sort=False).size() \
             .rename(columns={"size": alias})
 
     parts = ds.map_batches(local, batch_format="pandas").to_pandas()
     if not len(parts):
         return parts
-    return parts.groupby(key, as_index=False, sort=False)[alias].sum()
+    out = parts.groupby(key, as_index=False, sort=False)[alias].sum()
+    out[key] = out[key].where(out[key] != _SENT, None)
+    return out
 
 
 def hash_agg(ds, keys, aggs: dict, num_partitions: int = 16):

@@ -171,10 +171,14 @@ def replay_files(files: list[str]) -> OracleState:
     list/struct) are carried onto the winning row, None-backfilled for files
     that predate the evolution."""
     base = ["repo", "path", "commit", "lang", "content"]
+    # engine-consumed stream metadata, never silver payload (mirror of
+    # stages/merge.py _EVENT_META_COLS for the columns a FEED file may carry:
+    # DML feeds ship an explicit event_time on watermark lakes)
+    meta = {"event_time"}
     st = OracleState()
     for fp in files:
         t = pq.read_table(fp)
-        extra_names = [c for c in t.column_names if c not in base]
+        extra_names = [c for c in t.column_names if c not in base and c not in meta]
         rows = list(zip(*(t.column(c).to_pylist() for c in base)))
         extras = None
         if extra_names:

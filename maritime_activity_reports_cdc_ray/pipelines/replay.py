@@ -213,37 +213,51 @@ def _make_bucketed_bronze_writer(outdir: str, compression: str, nbuckets: int,
     return write
 
 
-def _feed_schema(with_event_time: bool) -> pa.Schema:
+def _feed_schema(with_event_time: bool,
+                 extras: list | None = None) -> pa.Schema:
     """Schema of a DML feed part file — the stream's event shape, plus an
     explicit ``event_time`` on watermark-enabled lakes (the stamper lets a
-    source-supplied event_time win, see stages/stamp.py)."""
+    source-supplied event_time win, see stages/stamp.py), plus any evolved
+    payload columns an UPDATE feed carries forward."""
     fields = [pa.field("repo", pa.string()), pa.field("path", pa.string()),
               pa.field("commit", pa.string()), pa.field("lang", pa.string()),
               pa.field("content", pa.large_string())]
+    fields += list(extras or [])
     if with_event_time:
         fields.append(pa.field("event_time", pa.int64()))
     return pa.schema(fields)
 
 
 def _bump_commits(commit) -> pa.Array:
-    """Numerically bump each zero-padded commit by 1, preserving each row's
-    OWN digit width (LWW compares commits lexicographically per key, so
-    'c0042' must bump to 'c0043', never re-pad to another key's width).
-    Vectorized per distinct width — real streams have one."""
+    """Bump each zero-padded commit to a LEXICOGRAPHICALLY strictly-greater
+    commit, preserving each row's own digit width (LWW compares commits as
+    strings per key, so 'c0042' must bump to 'c0043', never re-pad to
+    another key's width). Carry overflow ('c999' + 1 = 1000 — one digit
+    wider, which would sort BELOW 'c999' and silently lose LWW) falls back
+    to appending '0' to the ORIGINAL digits: a prefix extension is strictly
+    greater under string order and stays format-valid. Vectorized per
+    distinct width — real streams have one."""
     ser = commit.to_pandas().astype(str)
-    num = ser.str.slice(1).astype("int64") + 1
+    digits0 = ser.str.slice(1)
+    num = digits0.astype("int64") + 1
     digits = num.astype(str)
     widths = ser.str.len() - 1
     out = digits.copy()
     for wv in widths.unique():
         m = widths == wv
         out[m] = digits[m].str.zfill(int(wv))
+    overflow = out.str.len() > widths  # zfill never truncates a carry
+    if overflow.any():
+        out[overflow] = digits0[overflow] + "0"
     return pa.array(("c" + out).tolist(), pa.string())
 
 
-def _feed_kernel(set_cols: dict | None, event_time: int | None):
+def _feed_kernel(set_cols: dict | None, event_time: int | None,
+                 extras: list | None = None):
     """Per-batch DML-feed builder: bump the winning commit, override the SET
-    columns (``set_cols=None`` = tombstone feed), carry the rest forward.
+    columns (``set_cols=None`` = tombstone feed), carry the rest forward —
+    including evolved payload columns (``extras``: pa.Fields), which the
+    winning feed event must re-ship or the LWW merge would null them.
     Runs inside ``map_batches`` — content bytes never touch the driver."""
     from maritime_activity_reports_cdc_ray.schemas import TOMBSTONE
 
@@ -265,6 +279,12 @@ def _feed_kernel(set_cols: dict | None, event_time: int | None):
                 pa.array([set_cols["content"]] * n, pa.large_string())
                 if "content" in set_cols
                 else t.column("content").cast(pa.large_string()))
+        for f in (extras or []):
+            if set_cols is not None and f.name in set_cols:
+                cols[f.name] = pa.array([set_cols[f.name]] * n, f.type)
+            else:
+                c = t.column(f.name)
+                cols[f.name] = c.cast(f.type) if c.type != f.type else c
         if event_time is not None:
             cols["event_time"] = pa.array(np.full(n, event_time, np.int64))
         return pa.table(cols)
@@ -868,17 +888,30 @@ class CDCReplay:
             return {kind: n, "out": out_path, "files": len(files),
                     "skipped": True}
         cols = ["repo", "path", "commit"]
+        extras: list = []
         if set_cols is not None:
             cols += [c for c in ("lang", "content") if c not in set_cols]
+            # evolved payload columns ride along (override or carry-forward):
+            # the bumped event WINS LWW, so omitting them would null them
+            sm_schema = self.silver.latest_manifest().schema
+            base = {f.name for f in SILVER_CURRENT_SCHEMA} | {"content"}
+            extras = [f for f in (sm_schema or []) if f.name not in base]
+            unknown = set(set_cols) - {"lang", "content"} \
+                - {f.name for f in extras}
+            if unknown:
+                raise ValueError(
+                    f"make_updates: SET columns {sorted(unknown)} are neither "
+                    "base event columns nor evolved silver payload columns")
+            cols += [f.name for f in extras if f.name not in set_cols]
         ds = self.read_silver(columns=cols, predicate=predicate)
         event_time = None
         if self.cfg.watermark_delay is not None:
             met = (self.bronze.latest_manifest().stats or {}).get("max_event_time")
             if met is not None:
                 event_time = int(met)
-        ds = ds.map_batches(_feed_kernel(set_cols, event_time),
+        ds = ds.map_batches(_feed_kernel(set_cols, event_time, extras),
                             batch_format="pyarrow", zero_copy_batch=True)
-        schema = _feed_schema(event_time is not None)
+        schema = _feed_schema(event_time is not None, extras)
         comp = self.cfg.write_compression
         if is_dir:
             shutil.rmtree(out_path, ignore_errors=True)
@@ -1756,7 +1789,31 @@ class CDCReplay:
             read_cols.append("is_deleted")
         # explicit columns also prune hive-inferred partition fields (Ray 2.49
         # rejects columns= together with partitioning=None)
-        ds = rd.read_parquet(paths, columns=read_cols, **read_kwargs)
+        base_names = {f.name for f in SILVER_CURRENT_SCHEMA}
+        if any(c not in base_names for c in read_cols):
+            # evolved columns requested: fragments committed BEFORE the
+            # additive evolution don't store them — group paths by what they
+            # actually store (footer metadata only) and null-backfill, the
+            # same contract as table_changes
+            from maritime_activity_reports_cdc_ray.stages.merge import align_to_schema
+
+            need_schema = pa.schema([sm.schema.field(c) for c in read_cols])
+            by_cols: dict[tuple, list[str]] = {}
+            for p in paths:
+                names = set(pq.read_schema(p).names)
+                by_cols.setdefault(
+                    tuple(c for c in read_cols if c in names), []).append(p)
+            parts = []
+            for cols_av, ps in by_cols.items():
+                d = rd.read_parquet(ps, columns=list(cols_av), **read_kwargs)
+                if set(cols_av) != set(read_cols):
+                    d = d.map_batches(
+                        lambda t, _s=need_schema: align_to_schema(t, _s),
+                        batch_format="pyarrow", zero_copy_batch=True)
+                parts.append(d)
+            ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+        else:
+            ds = rd.read_parquet(paths, columns=read_cols, **read_kwargs)
         if live_only:
             ds = ds.map_batches(
                 lambda t: t.filter(pc.invert(t.column("is_deleted"))),

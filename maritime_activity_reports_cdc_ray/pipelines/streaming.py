@@ -87,6 +87,12 @@ class StreamingWindowAgg:
             return pd.DataFrame(columns=cols)
         return pq.read_table(fp).to_pandas()[cols]
 
+    @property
+    def is_flushed(self) -> bool:
+        """True once :meth:`flush` committed — the stream is terminal and
+        only :meth:`results` remains valid (refresh() raises)."""
+        return bool(self._meta().get("flushed"))
+
     def state(self) -> pd.DataFrame:
         """Open (not yet finalized) windows."""
         return self._read("state")

@@ -90,39 +90,50 @@ class StreamSupervisor:
             self._metrics = self.replay.stream_metrics()
             rec["metrics"] = self._metrics
             return rec
-        failures = 0
-        while True:
-            try:
-                out = self.replay.run(self.source_dir,
-                                      files_per_epoch=self.files_per_epoch)
-                self.epochs_run += out.get("epochs_run", 0)
-                rec["ran"] = True
-                rec["epochs_run"] = out.get("epochs_run", 0)
-                break
-            except Exception as e:  # dead query → capture, rebuild, retry
-                failures += 1
-                self.restart_history.append({
-                    "poll": self.polls,
-                    "attempt": failures,
-                    "exception": f"{type(e).__name__}: {e}",
-                    "traceback": traceback.format_exc(limit=3),
-                    "at": time.time(),
-                })
-                if failures > self.max_restarts:
-                    raise RuntimeError(
-                        f"stream failed {failures} consecutive times "
-                        f"(max_restarts={self.max_restarts}); last: "
-                        f"{type(e).__name__}: {e}") from e
-                if self.backoff_base:
-                    time.sleep(self.backoff_base * failures)  # linear backoff
-                self.replay = self._factory()  # fresh driver state
-                rec["restarted"] = True
+
+        def attempt(fn, stage: str):
+            """Run one stage under the dead-query discipline: capture the
+            exception, rebuild a fresh driver, retry — every stage (replay
+            AND the gold consumer step) gets the same restart budget."""
+            failures = 0
+            while True:
+                try:
+                    return fn()
+                except Exception as e:
+                    failures += 1
+                    self.restart_history.append({
+                        "poll": self.polls,
+                        "stage": stage,
+                        "attempt": failures,
+                        "exception": f"{type(e).__name__}: {e}",
+                        "traceback": traceback.format_exc(limit=3),
+                        "at": time.time(),
+                    })
+                    if failures > self.max_restarts:
+                        raise RuntimeError(
+                            f"stream {stage} failed {failures} consecutive "
+                            f"times (max_restarts={self.max_restarts}); "
+                            f"last: {type(e).__name__}: {e}") from e
+                    if self.backoff_base:
+                        time.sleep(self.backoff_base * failures)
+                    self.replay = self._factory()  # fresh driver state
+                    rec["restarted"] = True
+
+        out = attempt(lambda: self.replay.run(
+            self.source_dir, files_per_epoch=self.files_per_epoch), "replay")
+        self.epochs_run += out.get("epochs_run", 0)
+        rec["ran"] = True
+        rec["epochs_run"] = out.get("epochs_run", 0)
         if self.manage_gold:
             from maritime_activity_reports_cdc_ray.pipelines.gold_consumer import GoldConsumer
 
-            g = GoldConsumer(self.replay)
-            if g.lag() > 0:  # decoupled gold: step the consumer checkpoint
-                rec["gold"] = g.refresh()
+            def gold_step():
+                g = GoldConsumer(self.replay)  # rebind post-restart replay
+                return g.refresh() if g.lag() > 0 else None
+
+            gout = attempt(gold_step, "gold-consumer")
+            if gout is not None:
+                rec["gold"] = gout
         self._metrics = self.replay.stream_metrics()
         rec["metrics"] = self._metrics
         return rec

@@ -108,14 +108,18 @@ class ViewRegistry:
                                os.path.join(vdir, "part-0.parquet"))
                 rows = len(res)
             else:  # ray Dataset: distributed streamed write, no driver collect
-                schema = res.schema()
+                # materialize ONCE: a schema() probe on the lazy pipeline
+                # would execute the whole distributed plan a second time
+                res = res.materialize()
                 res.write_parquet(vdir)
                 parts = _glob.glob(os.path.join(vdir, "*.parquet"))
                 if not parts:  # empty result still needs a readable file
-                    pq.write_table(
-                        pa.Table.from_pylist([], schema=pa.schema(
-                            zip(schema.names, schema.types))),
-                        os.path.join(vdir, "part-0.parquet"))
+                    schema = res.schema()  # free on materialized; None when
+                    fields = (pa.schema(zip(schema.names, schema.types))
+                              if schema is not None else pa.schema([]))
+                    # an empty pipeline lost its schema entirely
+                    pq.write_table(pa.Table.from_pylist([], schema=fields),
+                                   os.path.join(vdir, "part-0.parquet"))
                     parts = [os.path.join(vdir, "part-0.parquet")]
                 rows = sum(pq.read_metadata(f).num_rows for f in parts)
             mp = os.path.join(d, "_meta.json")
@@ -140,7 +144,10 @@ class ViewRegistry:
 
         parts = sorted(_glob.glob(
             os.path.join(self._dir(name), meta["path"], "*.parquet")))
-        return pa.concat_tables([pq.read_table(f) for f in parts]).to_pandas()
+        # promote: a part whose block was all-NULL in a column parquets as
+        # type null and must widen to the sibling parts' real type
+        return pa.concat_tables([pq.read_table(f) for f in parts],
+                                promote_options="default").to_pandas()
 
     def read_dataset(self, name: str):
         """The view result as a streamed ray Dataset (for big views)."""
@@ -418,18 +425,27 @@ def _lang_breakdown(replay):
 
     from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
 
+    _SENT = "\x00\x00__null__"  # NULL lang is a REAL group (gold's Arrow
+    # group_by emits lang=null entries; hash_agg's pandas groupby would
+    # silently drop them — same sentinel contract as rollup_agg)
+
     def explode(t: pa.Table) -> pa.Table:
         flat = pc.list_flatten(t.column("lang_counts"))
         return pa.table({
-            "lang": pc.struct_field(flat, "lang"),
+            "lang": pc.fill_null(pc.struct_field(flat, "lang"), _SENT),
             "n": pc.cast(pc.struct_field(flat, "n"), pa.int64())})
 
     pairs = replay.read_gold(columns=["lang_counts"]) \
         .map_batches(explode, batch_format="pyarrow")
     agg = hash_agg(pairs, "lang", {"n_files": ("n", "sum")}, num_partitions=8)
-    return agg.map_batches(
+
+    # sort on the SENTINEL (null bucket first, deterministic), restore after
+    agg = agg.map_batches(
         lambda df: df[["lang", "n_files"]].astype({"n_files": "int64"}),
         batch_format="pandas").sort("lang")
+    return agg.map_batches(
+        lambda df: df.assign(lang=df["lang"].where(df["lang"] != _SENT, None)),
+        batch_format="pandas")
 
 
 def default_views() -> list[ViewDef]:

@@ -92,7 +92,10 @@ def aggregate_repos(silver_rows: pa.Table, epoch: int, pid: int) -> pa.Table:
         cm = live_tbl.group_by("seg").aggregate([("commit", "max")])
         latest[cm.column("seg").to_numpy()] = np.asarray(
             cm.column("commit_max").to_numpy(zero_copy_only=False), dtype=object)
-        lc = (live_tbl.group_by(["seg", "lang"]).aggregate([("lang", "count")])
+        # count mode="all": a NULL lang is a real histogram bucket — the
+        # default valid-only count would emit {lang: null, n: 0} for it
+        lc = (live_tbl.group_by(["seg", "lang"])
+              .aggregate([("lang", "count", pc.CountOptions(mode="all"))])
               .sort_by([("seg", "ascending"), ("lang", "ascending")]))
         lang_child_lang = lc.column("lang").combine_chunks()
         if isinstance(lang_child_lang, pa.ChunkedArray):  # flat Array for StructArray

@@ -132,6 +132,14 @@ def apply_merge_spec(target: pd.DataFrame, source: pd.DataFrame,
     invariant, matching Delta's multiple-source-rows error)."""
     keys = list(spec.keys)
     tcols = [c for c in target.columns]
+    for br in spec.when_not_matched_by_source:
+        if br.action == "update" and br.set is None:
+            # SQL MERGE requires an explicit SET here: there is no source
+            # row to default from — the implicit {c: s_c} assigns would
+            # overwrite every non-key column with NULL
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE ... UPDATE requires an explicit "
+                "`set` (no source row exists to default the assignments from)")
     if source.duplicated(subset=keys).any():
         raise ValueError("MERGE source has duplicate match keys "
                          "(non-deterministic merge refused)")
@@ -214,7 +222,13 @@ def apply_merge_spec(target: pd.DataFrame, source: pd.DataFrame,
     out = out.loc[~drop, keys + [c for c in tcols if c not in keys]]
     for c in tcols:  # restore target dtypes where the values allow it
         try:
-            out[c] = out[c].astype(target.dtypes[c])
+            if (target.dtypes[c] == np.dtype(bool)
+                    and out[c].isna().any()):
+                # plain astype(bool) silently maps NaN -> True; the masked
+                # extension dtype keeps a genuine NULL a NULL
+                out[c] = out[c].astype("boolean")
+            else:
+                out[c] = out[c].astype(target.dtypes[c])
         except (ValueError, TypeError):
             pass
     out = out.sort_values(keys).reset_index(drop=True)[tcols]

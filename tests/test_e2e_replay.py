@@ -405,6 +405,50 @@ def test_views_distributed_layout(ray_session, stream, tmp_path):
     assert list(reg.read("legacy_view")["a"]) == [1, 2]
 
 
+def test_views_refresh_on_empty_lake(ray_session, tmp_path):
+    """refresh_due on a freshly-setup (zero-row) lake must not crash: an
+    empty Dataset pipeline can lose its schema entirely (res.schema() is
+    None) and still needs a readable empty view file (review regression)."""
+    from maritime_activity_reports_cdc_ray.pipelines.views import ViewRegistry
+
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=2))
+    r.setup()
+    reg = ViewRegistry(r)
+    out = reg.refresh_due()
+    assert set(out.values()) == {"refreshed"}
+    for name in out:
+        assert len(reg.read(name)) == 0
+
+
+def test_lang_breakdown_counts_null_lang(ray_session, tmp_path):
+    """NULL lang is a REAL group in the gold lang histogram — the
+    distributed explode+hash_agg must not drop it (review regression:
+    pandas groupby dropna). Dirty events yield lang=None live rows."""
+    import pandas as pd
+
+    from maritime_activity_reports_cdc_ray.pipelines.views import ViewRegistry
+
+    d = str(tmp_path / "dirty")
+    generate_events(d, n_events=2000, n_repos=5, n_epochs=2, seed=13,
+                    dirty_fraction=0.3)
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=2))
+    r.setup()
+    r.run(d)
+    g = r.read_gold().to_pandas()
+    exp: dict = {}
+    for lc in g["lang_counts"]:
+        for rec in lc:
+            exp[rec["lang"]] = exp.get(rec["lang"], 0) + int(rec["n"])
+    assert None in exp, "fixture must produce live NULL-lang rows"
+    reg = ViewRegistry(r)
+    reg.refresh_due()
+    lb = reg.read("lang_breakdown")
+    got = {(None if pd.isna(k) else k): int(v)
+           for k, v in zip(lb["lang"], lb["n_files"])}
+    assert got == exp
+    assert sum(got.values()) == int(g["file_count"].sum())
+
+
 def test_bronze_bucket_exchange_matches_oracle(ray_session, stream, tmp_path):
     """The map-side-file exchange (bucketed bronze persist doubles as the
     shuffle) converges to the same oracle state as the other exchanges, and
@@ -1044,6 +1088,70 @@ def test_update_where_feed(ray_session, stream, tmp_path):
     d2_files = sorted(_glob.glob(os.path.join(d2, "*.parquet"))) + sorted(
         _glob.glob(os.path.join(d2, "part-00004.feed", "*.parquet")))
     _assert_matches_oracle(r, replay_files(d2_files))
+
+
+def test_update_feed_preserves_evolved_payload(ray_session, tmp_path):
+    """make_updates on a lake with evolved (nested) payload columns must
+    CARRY them on the feed event — the bumped commit wins LWW, so a feed
+    that omitted tags/meta would null them (review regression). Also pins:
+    SET of an evolved column, and rejection of unknown SET columns."""
+    import shutil
+
+    d = str(tmp_path / "stream")
+    files = generate_events(d, n_events=1500, n_repos=5, n_epochs=2, seed=9,
+                            nested_payload_from_epoch=0, p_delete=0.0)
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=2))
+    r.setup()
+    r.run(d)
+    before = _collect(r.read_silver(columns=["repo", "path", "tags", "meta"]))
+    victim = sorted(set(before["repo"]))[0]
+    vic_before = before[before["repo"] == victim].set_index("path")
+
+    out = r.make_updates(("repo", "==", victim), {"lang": "zz"},
+                         os.path.join(d, "part-00002.feed"))
+    assert out["updates"] == len(vic_before) > 0
+    r.run(d)
+    after = _collect(r.read_silver(
+        columns=["repo", "path", "lang", "tags", "meta"]))
+    vic = after[after["repo"] == victim].set_index("path")
+    assert set(vic["lang"]) == {"zz"}
+
+    def norm(v):
+        import numpy as np
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        return list(v) if not isinstance(v, dict) else v
+    for p in vic.index:
+        assert norm(vic.loc[p, "tags"]) == norm(vic_before.loc[p, "tags"]), p
+        assert (vic.loc[p, "meta"] or None) == \
+            (vic_before.loc[p, "meta"] or None), p
+
+    # SET of an evolved column applies as a constant
+    out2 = r.make_updates(("repo", "==", victim), {"tags": ["curated"]},
+                          os.path.join(d, "part-00003.feed"))
+    assert out2["updates"] == len(vic_before)
+    r.run(d)
+    after2 = _collect(r.read_silver(columns=["repo", "path", "tags"]))
+    vic2 = after2[after2["repo"] == victim]
+    assert all(list(t) == ["curated"] for t in vic2["tags"])
+    # unknown SET column is refused loudly
+    with pytest.raises(ValueError, match="neither base event columns"):
+        r.make_updates(("repo", "==", victim), {"nope": 1},
+                       os.path.join(d, "part-00004.feed"))
+    shutil.rmtree(os.path.join(d, "part-00004.feed"), ignore_errors=True)
+
+
+def test_bump_commits_overflow_stays_lww_greater():
+    """'c999' must bump to a LEXICOGRAPHICALLY greater commit — the naive
+    carry 'c1000' sorts BELOW 'c999' and the delete would silently never
+    apply (review regression)."""
+    from maritime_activity_reports_cdc_ray.pipelines.replay import _bump_commits
+
+    src = ["c0042", "c999", "c000000000009", "c9"]
+    out = _bump_commits(pa.array(src)).to_pylist()
+    assert out[0] == "c0043" and out[2] == "c000000000010"
+    for s, b in zip(src, out):
+        assert b > s, (s, b)  # the LWW invariant, string order
 
 
 def test_dml_feed_streams_no_driver_collect(ray_session, stream, tmp_path,

@@ -150,6 +150,18 @@ def test_ngram_jaccard():
     assert D.ngram_jaccard("abcdef", "uvwxyz") == 0.0
 
 
+def test_group_count_small_counts_null_keys(ray_session):
+    """NULL group keys are real groups in the zero-exchange label rollup
+    (review regression: pandas groupby dropna silently dropped them)."""
+    from maritime_activity_reports_cdc_ray.functions.stats import group_count_small
+
+    df = pd.DataFrame({"lab": ["a", None, "a", None, "b"]})
+    out = group_count_small(_ds(df), "lab", "n")
+    got = {(None if pd.isna(k) else k): int(v)
+           for k, v in zip(out["lab"], out["n"])}
+    assert got == {"a": 2, None: 2, "b": 1}
+
+
 def test_batch_signature_kernels_equal_per_doc():
     """The batch-vectorized MinHash/SimHash kernels must equal the per-doc
     reference implementations EXACTLY, including empty/whitespace-only docs

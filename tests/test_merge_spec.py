@@ -168,6 +168,39 @@ def test_set_none_means_all_source_columns():
         {"k": 3, "a": 77, "b": "w"}]
 
 
+def test_nmbs_update_requires_explicit_set():
+    """WHEN NOT MATCHED BY SOURCE ... UPDATE with set=None is refused: there
+    is no source row to default assignments from — the implicit {c: s_c}
+    would null every non-key column (review regression)."""
+    tgt = pd.DataFrame({"k": [1, 2], "v": [1, 2]})
+    src = pd.DataFrame({"k": [2], "v": [9]})
+    spec = MergeSpec(keys=["k"],
+                     when_not_matched_by_source=[MergeBranch("update")])
+    with pytest.raises(ValueError, match="explicit `set`"):
+        apply_merge_spec(tgt, src, spec)
+    # an explicit SET works and touches only unmatched-target rows
+    spec2 = MergeSpec(keys=["k"], when_not_matched_by_source=[
+        MergeBranch("update", set={"v": "-1"})])
+    out, stats = apply_merge_spec(tgt, src, spec2)
+    assert out.to_dict("records") == [{"k": 1, "v": -1}, {"k": 2, "v": 2}]
+    assert stats["target_updated"] == 1
+
+
+def test_bool_column_nulls_survive_insert():
+    """A bool target column left unset by an insert branch must come out
+    NULL, not silently True (astype(bool) maps NaN -> True — review
+    regression)."""
+    tgt = pd.DataFrame({"k": [1], "flag": [True], "v": [1]})
+    src = pd.DataFrame({"k": [2], "v": [9]})
+    spec = MergeSpec(keys=["k"],
+                     when_not_matched=[MergeBranch("insert", set={"v": "s_v"})])
+    out, _ = apply_merge_spec(tgt, src, spec)
+    ins = out[out["k"] == 2]
+    assert pd.isna(ins["flag"]).all()
+    kept = out[out["k"] == 1]
+    assert bool(kept["flag"].iloc[0]) is True
+
+
 def test_duplicate_source_keys_refused():
     tgt = pd.DataFrame({"k": [1], "v": [1]})
     src = pd.DataFrame({"k": [1, 1], "v": [2, 3]})

@@ -144,6 +144,34 @@ def test_supervisor_steps_decoupled_gold(ray_session, tmp_path):
     assert not sup2.poll_once()["ran"]  # gold lag alone is not its work
 
 
+def test_supervisor_restarts_failed_gold_consumer(ray_session, tmp_path):
+    """A transient gold-consumer failure gets the SAME capture/restart
+    discipline as a dead replay (review regression: it used to propagate
+    uncaught, consuming none of max_restarts)."""
+    d = str(tmp_path / "events")
+    generate_events(d, n_events=600, n_repos=3, n_epochs=1, seed=8)
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(num_partitions=2, gold_refresh_every_epochs=0)
+    CDCReplay(lake, cfg).setup()
+
+    class _GoldFlaky(CDCReplay):
+        _fails_left = 1
+
+        def _gold_refresh_inner(self, *a, **kw):
+            if type(self)._fails_left > 0:
+                type(self)._fails_left -= 1
+                raise RuntimeError("injected gold death")
+            return super()._gold_refresh_inner(*a, **kw)
+
+    sup = StreamSupervisor(lambda: _GoldFlaky(lake, cfg), d,
+                           poll_interval=0.0, max_restarts=2)
+    out = sup.run(stop_when_idle=True)
+    assert out["restarts"] == 1
+    assert out["restart_history"][0]["stage"] == "gold-consumer"
+    m = out["metrics"]
+    assert m["gold_epoch"] == m["silver_epoch"] == 0
+
+
 def test_supervise_cli(ray_session, tmp_path):
     d = str(tmp_path / "events")
     generate_events(d, n_events=800, n_repos=4, n_epochs=2, seed=6)
