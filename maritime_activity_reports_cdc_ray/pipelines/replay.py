@@ -1792,17 +1792,20 @@ class CDCReplay:
         base_names = {f.name for f in SILVER_CURRENT_SCHEMA}
         if any(c not in base_names for c in read_cols):
             # evolved columns requested: fragments committed BEFORE the
-            # additive evolution don't store them — group paths by what they
-            # actually store (footer metadata only) and null-backfill, the
-            # same contract as table_changes
+            # additive evolution don't store them — group fragments by what
+            # they actually store (manifest-recorded `cols`; one footer read
+            # per fragment only for legacy manifests) and null-backfill,
+            # the same contract as table_changes
             from maritime_activity_reports_cdc_ray.stages.merge import align_to_schema
 
             need_schema = pa.schema([sm.schema.field(c) for c in read_cols])
             by_cols: dict[tuple, list[str]] = {}
-            for p in paths:
-                names = set(pq.read_schema(p).names)
+            for f in frags:
+                names = set(f.cols) if f.cols is not None else \
+                    set(pq.read_schema(self.silver.abspath(f.path)).names)
                 by_cols.setdefault(
-                    tuple(c for c in read_cols if c in names), []).append(p)
+                    tuple(c for c in read_cols if c in names), []) \
+                    .append(self.silver.abspath(f.path))
             parts = []
             for cols_av, ps in by_cols.items():
                 d = rd.read_parquet(ps, columns=list(cols_av), **read_kwargs)
@@ -1958,16 +1961,18 @@ class CDCReplay:
              else pa.field(c, pa.string()) for c in need])
 
         def side(pmap, tag):
-            paths = [self.silver.abspath(f.path) for pid in changed
-                     for f in pmap.get(pid, [])]
-            if not paths:
+            side_frags = [f for pid in changed for f in pmap.get(pid, [])]
+            if not side_frags:
                 return None
             # a pid untouched since before an additive evolution still holds
-            # a pre-evolution fragment file — group paths by the columns they
-            # actually store (footer metadata only) and null-backfill
+            # a pre-evolution fragment file — group fragments by the columns
+            # they actually store (manifest-recorded; footer read only for
+            # legacy manifests) and null-backfill
             by_cols: dict[tuple, list[str]] = {}
-            for p in paths:
-                names = set(pq.read_schema(p).names)
+            for f in side_frags:
+                p = self.silver.abspath(f.path)
+                names = set(f.cols) if f.cols is not None else \
+                    set(pq.read_schema(p).names)
                 by_cols.setdefault(tuple(c for c in need if c in names), []).append(p)
             parts = []
             for cols, ps in by_cols.items():

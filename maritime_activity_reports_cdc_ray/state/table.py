@@ -62,6 +62,11 @@ class Fragment:
     epoch: int
     rows: int
     bytes: int
+    # column names the file actually STORES — readers projecting evolved
+    # columns group fragments by this instead of opening every parquet
+    # footer on the driver (None on manifests written before the field
+    # existed → those fall back to one footer read per fragment)
+    cols: list | None = None
 
 
 @dataclass
@@ -230,6 +235,7 @@ class LakeTable:
         return Fragment(
             path=rel, pid=pid, salt=salt, kind=kind, epoch=epoch,
             rows=table.num_rows, bytes=os.path.getsize(dst),
+            cols=list(table.column_names),
         )
 
     # ------------------------------------------------------------------ commit

@@ -219,6 +219,36 @@ def test_nested_payload_e2e(ray_session, tmp_path):
     assert len(rows_out) == 5 and all("tags" in x and "meta" in x for x in rows_out)
 
 
+def test_evolved_read_on_legacy_manifest(ray_session, tmp_path):
+    """Manifests written before Fragment.cols existed: projecting evolved
+    columns falls back to one footer read per fragment and still
+    null-backfills pre-evolution fragments correctly."""
+    import glob as _glob
+    import re
+
+    d = str(tmp_path / "nested")
+    generate_events(d, n_events=1200, n_repos=5, n_epochs=2, seed=21,
+                    nested_payload_from_epoch=1)
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=2))
+    r.setup()
+    r.run(d)
+    want = _collect(r.read_silver(columns=["repo", "path", "tags", "meta"]))
+    # strip the recorded column lists → the legacy on-disk manifest shape
+    mdir = os.path.join(r.silver.root, "_manifests")
+    latest = max((p for p in _glob.glob(os.path.join(mdir, "manifest-*.json"))
+                  if re.search(r"manifest-\d+\.json$", p)))
+    m = json.load(open(latest))
+    assert any(f.get("cols") for f in m["fragments"])
+    for f in m["fragments"]:
+        f.pop("cols", None)
+    json.dump(m, open(latest, "w"))
+    r2 = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=2))
+    got = _collect(r2.read_silver(columns=["repo", "path", "tags", "meta"]))
+    key = ["repo", "path"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        want.sort_values(key).reset_index(drop=True))
+
+
 def test_gold_cadence_lag_and_finalize(ray_session, stream, tmp_path):
     src, files, oracle = stream
     cfg = EngineConfig(num_partitions=4, gold_refresh_every_epochs=3)
