@@ -8,6 +8,7 @@ ORACLE SQL agree bit-for-bit on each of them — the drift guard behind the
 
 import duckdb
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -1025,3 +1026,87 @@ def test_unigram_viterbi_matches_bruteforce(words, max_len):
         exp = brute(w)
         assert sum(pieces.get(s, floor) for s in got) == \
                sum(pieces.get(s, floor) for s in exp)
+
+
+# ---------------------------------------------------------------------------
+# Nested-payload replay fuzz: adversarial list/struct payload values through
+# stamp → merge → silver vs the dict oracle (oracle.py KeyState.extra).
+# ---------------------------------------------------------------------------
+_nested_tags = st.one_of(
+    st.none(),
+    st.lists(st.text(alphabet="abé 中", min_size=0, max_size=4),
+             min_size=0, max_size=3))
+_nested_meta = st.one_of(
+    st.none(),
+    st.fixed_dictionaries({
+        "author": st.one_of(st.none(),
+                            st.text(alphabet="xyz", min_size=0, max_size=4)),
+        "stars": st.one_of(st.none(),
+                           st.integers(min_value=-5, max_value=10**6)),
+    }))
+_nested_events = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),   # key id
+              st.booleans(),                           # tombstone?
+              _nested_tags, _nested_meta),
+    min_size=1, max_size=14)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_nested_events, st.integers(min_value=1, max_value=3))
+def test_nested_payload_replay_matches_oracle(ray_session, tmp_path_factory,
+                                              events, n_epochs):
+    """Random nested payloads — None, empty lists, unicode elements, structs
+    with null fields — split across epochs, replayed distributed, compared
+    per-key against the dict oracle's KeyState.extra."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from maritime_activity_reports_cdc_ray.config import EngineConfig
+    from maritime_activity_reports_cdc_ray.generate import (NESTED_META_TYPE,
+                                                            NESTED_TAGS_TYPE)
+    from maritime_activity_reports_cdc_ray.oracle import replay_files
+    from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
+    from maritime_activity_reports_cdc_ray.schemas import TOMBSTONE
+
+    d = tmp_path_factory.mktemp("nested_fuzz")
+    rows = []
+    for i, (k, tomb, tags, meta) in enumerate(events):
+        commit = f"c{i:012d}"
+        if tomb:
+            rows.append(("org/r", f"f{k}", commit, "", TOMBSTONE, tags, meta))
+        else:
+            rows.append(("org/r", f"f{k}", commit, "py",
+                         f"body {k} {i}", tags, meta))
+    per = max(1, math.ceil(len(rows) / n_epochs))
+    files = []
+    for e in range(0, len(rows), per):
+        chunk = rows[e:e + per]
+        t = pa.table({
+            "repo": pa.array([r[0] for r in chunk], pa.string()),
+            "path": pa.array([r[1] for r in chunk], pa.string()),
+            "commit": pa.array([r[2] for r in chunk], pa.string()),
+            "lang": pa.array([r[3] for r in chunk], pa.string()),
+            "content": pa.array([r[4] for r in chunk], pa.large_string()),
+            "tags": pa.array([r[5] for r in chunk], NESTED_TAGS_TYPE),
+            "meta": pa.array([r[6] for r in chunk], NESTED_META_TYPE),
+        })
+        fp = str(d / f"part-{e // per:05d}.parquet")
+        _pq.write_table(t, fp)
+        files.append(fp)
+
+    oracle = replay_files(files)
+    lake = tmp_path_factory.mktemp("nested_fuzz_lake")
+    r = CDCReplay(str(lake / "lake"), EngineConfig(num_partitions=2))
+    r.setup()
+    r.run(str(d))
+
+    exp = oracle.expected_silver()
+    batches = list(r.read_silver(columns=["repo", "path", "tags", "meta"])
+                   .iter_batches(batch_format="pyarrow", batch_size=None))
+    got = pa.concat_tables(batches).to_pylist() if batches else []
+    assert len(got) == len(exp)
+    for row in got:
+        ex = exp[(row["repo"], row["path"])]["extra"] or {}
+        assert row["tags"] == ex.get("tags"), row
+        assert row["meta"] == ex.get("meta"), row
