@@ -144,6 +144,13 @@ def main(argv=None):
     sp = sub.add_parser("health", help="lake health summary")
     common(sp)
 
+    sp = sub.add_parser("analyze", help="ANALYZE TABLE analogue: table-level column "
+                        "min/max/null statistics folded from the manifest's "
+                        "fragment zone maps (no data files opened)")
+    common(sp)
+    sp.add_argument("--table", choices=["silver", "gold", "history"],
+                    default="silver")
+
     sp = sub.add_parser("verify", help="verify final state against the dict-replay oracle")
     common(sp)
     sp.add_argument("--input", required=True)
@@ -329,6 +336,16 @@ def main(argv=None):
         from maritime_activity_reports_cdc_ray.pipelines.maintenance import health_check
 
         print(json.dumps(health_check(r), indent=1))
+        return 0
+
+    if args.cmd == "analyze":
+        from maritime_activity_reports_cdc_ray.state.zonemap import column_stats
+
+        lake, kind = {"silver": (r.silver, "current"),
+                      "history": (r.silver, "history"),
+                      "gold": (r.gold, "gold")}[args.table]
+        print(json.dumps(column_stats(lake.latest_manifest(), kind=kind),
+                         indent=1, sort_keys=True))
         return 0
 
     if args.cmd == "metrics":

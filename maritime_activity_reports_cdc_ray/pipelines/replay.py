@@ -1760,6 +1760,8 @@ class CDCReplay:
                 "with the matching engine version.")
         from maritime_activity_reports_cdc_ray.stages.partition import (
             predicate_expression, prune_fragments_by_key)
+        from maritime_activity_reports_cdc_ray.state.zonemap import (
+            prune_fragments_by_stats)
 
         frags = [f for f in sm.fragments if f.kind == "current"]
         read_kwargs: dict = {}
@@ -1768,6 +1770,7 @@ class CDCReplay:
                 raise ValueError("cannot filter on the virtual 'content' column "
                                  "— select it and filter after the read")
             frags = prune_fragments_by_key(frags, predicate, sm.num_partitions)
+            frags = prune_fragments_by_stats(frags, predicate)
             read_kwargs["filter"] = predicate_expression(predicate)
         paths = [self.silver.abspath(f.path) for f in frags]
         stored_names = [f.name for f in sm.schema] if sm.schema is not None else \
@@ -1822,19 +1825,20 @@ class CDCReplay:
                 lambda t: t.filter(pc.invert(t.column("is_deleted"))),
                 batch_format="pyarrow", zero_copy_batch=True)
         if wants_content:
-            ds = self._attach_content(ds, paths, as_of_epoch=as_of_epoch)
+            ds = self._attach_content(ds, frags, as_of_epoch=as_of_epoch)
         if out_cols != read_cols:  # drop join keys / flags the caller didn't ask for
             ds = ds.map_batches(lambda t: t.select(out_cols),
                                 batch_format="pyarrow", zero_copy_batch=True)
         return ds
 
-    def _attach_content(self, meta_ds, frag_paths: list[str],
+    def _attach_content(self, meta_ds, silver_frags: list,
                         as_of_epoch: int | None = None):
         """Join the virtual ``content`` column onto a silver meta Dataset.
 
         Bronze side = only the epochs any live row points to (bounded by
-        per-fragment ``content_epoch`` footer min/max — a metadata-only driver
-        pass), deduped to the same winner the merge kernel applied (lowest
+        per-fragment ``content_epoch`` ranges — manifest zone maps when
+        present, a metadata-only footer pass for pre-zonemap fragments),
+        deduped to the same winner the merge kernel applied (lowest
         ``cdc_sequence_number`` per (repo, path, commit, epoch)); tombstones
         come back null (their bronze row holds the TOMBSTONE sentinel). At
         scale this is a fact-to-fact hash join paid only by content-selecting
@@ -1846,17 +1850,25 @@ class CDCReplay:
         from maritime_activity_reports_cdc_ray.functions.join import auto_join
 
         lo, hi = None, None
-        for p in frag_paths:
-            md = pq.read_metadata(p)
-            try:
-                ci = pq.read_schema(p).names.index("content_epoch")
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(ci).statistics
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-            except (ValueError, AttributeError):
-                lo, hi = None, None
-                break
+        for f in silver_frags:
+            zst = (f.zmap or {}).get("content_epoch")
+            if zst is not None and zst[0] is not None and zst[1] is not None:
+                flo, fhi = zst[0], zst[1]
+            else:
+                p = self.silver.abspath(f.path)
+                md = pq.read_metadata(p)
+                try:
+                    ci = pq.read_schema(p).names.index("content_epoch")
+                    flo = fhi = None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        flo = st.min if flo is None else min(flo, st.min)
+                        fhi = st.max if fhi is None else max(fhi, st.max)
+                except (ValueError, AttributeError):
+                    lo, hi = None, None
+                    break
+            lo = flo if lo is None else min(lo, flo)
+            hi = fhi if hi is None else max(hi, fhi)
         bm = (self.bronze.latest_manifest() if as_of_epoch is None
               else self.bronze.manifest_as_of(as_of_epoch))
         files = [self.bronze.abspath(f.path) for f in bm.fragments
@@ -2048,6 +2060,8 @@ class CDCReplay:
 
         from maritime_activity_reports_cdc_ray.stages.partition import (
             predicate_expression, prune_fragments_by_key)
+        from maritime_activity_reports_cdc_ray.state.zonemap import (
+            prune_fragments_by_stats)
 
         self._join_gold()  # surface the committed state, not a mid-refresh one
         gm = (self.gold.latest_manifest() if as_of_epoch is None
@@ -2056,6 +2070,7 @@ class CDCReplay:
         read_kwargs: dict = {}
         if predicate is not None:
             frags = prune_fragments_by_key(frags, predicate, gm.num_partitions)
+            frags = prune_fragments_by_stats(frags, predicate)
             read_kwargs["filter"] = predicate_expression(predicate)
         paths = [self.gold.abspath(f.path) for f in frags]
         if not paths:
@@ -2077,6 +2092,8 @@ class CDCReplay:
         from maritime_activity_reports_cdc_ray.schemas import SILVER_HISTORY_SCHEMA
         from maritime_activity_reports_cdc_ray.stages.partition import (
             predicate_expression, prune_fragments_by_key)
+        from maritime_activity_reports_cdc_ray.state.zonemap import (
+            prune_fragments_by_stats)
 
         sm = (self.silver.latest_manifest() if as_of_epoch is None
               else self.silver.manifest_as_of(as_of_epoch))
@@ -2084,6 +2101,7 @@ class CDCReplay:
         read_kwargs: dict = {}
         if predicate is not None:
             frags = prune_fragments_by_key(frags, predicate, sm.num_partitions)
+            frags = prune_fragments_by_stats(frags, predicate)
             read_kwargs["filter"] = predicate_expression(predicate)
         paths = [self.silver.abspath(f.path) for f in frags]
         if not paths:

@@ -67,6 +67,9 @@ class Fragment:
     # footer on the driver (None on manifests written before the field
     # existed → those fall back to one footer read per fragment)
     cols: list | None = None
+    # zone map: {col: [min, max, null_count]} for data skipping (see
+    # state.zonemap). None on pre-zonemap manifests = cannot skip.
+    zmap: dict | None = None
 
 
 @dataclass
@@ -232,10 +235,13 @@ class LakeTable:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+        from maritime_activity_reports_cdc_ray.state.zonemap import zmap_of_table
+
         return Fragment(
             path=rel, pid=pid, salt=salt, kind=kind, epoch=epoch,
             rows=table.num_rows, bytes=os.path.getsize(dst),
             cols=list(table.column_names),
+            zmap=zmap_of_table(table),
         )
 
     # ------------------------------------------------------------------ commit
@@ -442,6 +448,8 @@ class LakeTable:
         else:
             data.write_parquet(outdir, compression=compression)
             new_schema = schema  # resolved from the written files below
+        from maritime_activity_reports_cdc_ray.state.zonemap import zmap_from_footer
+
         frags = []
         for fp in sorted(glob.glob(os.path.join(outdir, "*.parquet"))):
             if new_schema is None:
@@ -450,7 +458,9 @@ class LakeTable:
             frags.append(Fragment(
                 path=os.path.relpath(fp, self.root), pid=-1, salt=0,
                 kind="data", epoch=m.epoch, rows=md.num_rows,
-                bytes=os.path.getsize(fp)))
+                bytes=os.path.getsize(fp),
+                cols=list(new_schema.names),
+                zmap=zmap_from_footer(md, new_schema)))
         if new_schema is None:  # empty refresh keeps the old schema
             new_schema = m.schema
         m2 = Manifest(

@@ -1,0 +1,289 @@
+"""Zone maps (manifest-level data skipping — the Delta per-file
+min/max-statistics analogue).
+
+Safety contract: pruning may only drop a fragment that provably holds no
+matching row. The hypothesis differential pins it: for random tables split
+into fragments and random predicates, every PRUNED fragment filters to zero
+rows and the KEPT fragments reproduce the full filter exactly.
+"""
+
+import datetime
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from maritime_activity_reports_cdc_ray.state.table import Fragment
+from maritime_activity_reports_cdc_ray.state.zonemap import (
+    ZMAP_MAX_STR,
+    column_stats,
+    prune_fragments_by_stats,
+    zmap_from_footer,
+    zmap_of_table,
+)
+
+
+def frag(zmap, rows=10):
+    return Fragment(path="x", pid=0, salt=0, kind="current", epoch=0,
+                    rows=rows, bytes=0, zmap=zmap)
+
+
+# ---------------------------------------------------------------- unit: compute
+def test_zmap_types_and_nulls():
+    t = pa.table({
+        "i": pa.array([3, 1, None, 7], pa.int64()),
+        "f": pa.array([1.5, -2.0, 0.0, None], pa.float64()),
+        "s": pa.array(["b", "a", "c", None], pa.string()),
+        "b": pa.array([True, False, True, True], pa.bool_()),
+        "ts": pa.array([datetime.datetime(2024, 1, 1),
+                        datetime.datetime(2024, 1, 3), None, None],
+                       pa.timestamp("us")),
+        "nested": pa.array([[1], [2], [], None], pa.list_(pa.int64())),
+    })
+    z = zmap_of_table(t)
+    assert z["i"] == [1, 7, 1]
+    assert z["f"] == [-2.0, 1.5, 1]
+    assert z["s"] == ["a", "c", 1]
+    assert z["b"] == [False, True, 0]
+    mn, mx, nulls = z["ts"]
+    assert nulls == 2 and isinstance(mn, int) and isinstance(mx, int)
+    assert mx - mn == 2 * 24 * 3600 * 1_000_000  # two days in micros
+    assert "nested" not in z  # unbounded types are omitted
+
+
+def test_zmap_nan_and_allnull_and_wide():
+    t = pa.table({
+        "nan": pa.array([1.0, float("nan")], pa.float64()),
+        "allnull": pa.array([None, None], pa.string()),
+        "wide": pa.array(["x" * 5000, "y" * 5000], pa.large_string()),
+    })
+    z = zmap_of_table(t)
+    assert "nan" not in z  # NaN breaks ordered bounds
+    assert z["allnull"] == [None, None, 2]
+    assert "wide" not in z  # payload-width columns carry no stats
+
+
+def test_zmap_long_string_truncation():
+    lo = "a" * (ZMAP_MAX_STR + 10)
+    hi = "z" * (ZMAP_MAX_STR + 10)
+    z = zmap_of_table(pa.table({"s": [lo, hi]}))
+    mn, mx, nulls = z["s"]
+    assert mn == "a" * ZMAP_MAX_STR  # a prefix is still a lower bound
+    assert mx is None  # a prefix is NOT an upper bound
+    # pruning with an unknown upper bound stays conservative
+    fs = [frag({"s": [mn, mx, 0]}, rows=2)]
+    assert prune_fragments_by_stats(fs, ("s", ">", "zzz"))  # kept
+    assert not prune_fragments_by_stats(fs, ("s", "<", "a"))  # min proves skip
+
+
+# ---------------------------------------------------------------- unit: prune
+@pytest.mark.parametrize("pred,kept", [
+    (("v", "==", 5), True), (("v", "==", 11), False), (("v", "==", 0), False),
+    (("v", "!=", 5), True),
+    (("v", "<", 1), False), (("v", "<", 2), True),
+    (("v", "<=", 0), False), (("v", "<=", 1), True),
+    ((("v"), ">", 10), False), (("v", ">", 9), True),
+    (("v", ">=", 11), False), (("v", ">=", 10), True),
+    (("v", "in", [0, 11]), False), (("v", "in", [0, 7]), True),
+    (("v", "between", (11, 20)), False), (("v", "between", (-5, 0)), False),
+    (("v", "between", (10, 12)), True),
+])
+def test_prune_ops(pred, kept):
+    fs = [frag({"v": [1, 10, 0]})]
+    assert bool(prune_fragments_by_stats(fs, pred)) is kept
+
+
+def test_prune_conservative_cases():
+    # no zmap / missing column / type mismatch / None value → always kept
+    assert prune_fragments_by_stats([frag(None)], ("v", "==", 1))
+    assert prune_fragments_by_stats([frag({})], ("v", "==", 1))
+    assert prune_fragments_by_stats([frag({"w": [0, 1, 0]})], ("v", "==", 1))
+    assert prune_fragments_by_stats([frag({"v": ["a", "b", 0]})], ("v", "==", 1))
+    assert prune_fragments_by_stats([frag({"v": [1, 10, 0]})], ("v", "==", None))
+    assert prune_fragments_by_stats(
+        [frag({"v": [1, 10, 0]})], ("v", "in", [None, 99]))
+    # != only skips when every non-null value equals the literal
+    assert not prune_fragments_by_stats([frag({"v": [5, 5, 2]})], ("v", "!=", 5))
+    assert prune_fragments_by_stats([frag({"v": [5, 6, 0]})], ("v", "!=", 5))
+
+
+def test_prune_all_null_column_skips():
+    fs = [frag({"v": [None, None, 10]}, rows=10)]
+    for pred in [("v", "==", 1), ("v", "!=", 1), ("v", "<", 1),
+                 ("v", "in", [1, 2]), ("v", "between", (0, 9))]:
+        assert prune_fragments_by_stats(fs, pred) == []
+
+
+def test_prune_temporal_predicate():
+    t = pa.table({"ts": pa.array([datetime.datetime(2024, 1, 1),
+                                  datetime.datetime(2024, 1, 5)],
+                                 pa.timestamp("us"))})
+    fs = [frag(zmap_of_table(t), rows=2)]
+    assert not prune_fragments_by_stats(fs, ("ts", ">", datetime.datetime(2024, 2, 1)))
+    assert prune_fragments_by_stats(fs, ("ts", ">=", datetime.datetime(2024, 1, 3)))
+    assert not prune_fragments_by_stats(fs, ("ts", "<", datetime.date(2024, 1, 1)))
+
+
+# ---------------------------------------------------------------- footer fold
+def test_zmap_from_footer_matches_table_zmap(tmp_path):
+    t = pa.table({
+        "i": pa.array(list(range(100)) + [None], pa.int64()),
+        "s": pa.array([f"k{j:03d}" for j in range(101)], pa.string()),
+        "f": pa.array([float(j) for j in range(101)], pa.float64()),
+    })
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(t, p, row_group_size=17)  # several row groups to fold
+    z = zmap_from_footer(pq.read_metadata(p), pq.read_schema(p))
+    assert z["i"] == [0, 99, 1]
+    assert z["s"] == ["k000", "k100", 0]
+    assert z["f"] == [0.0, 100.0, 0]
+
+
+# ------------------------------------------------------------- hypothesis safety
+@settings(max_examples=120, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(-20, 20), st.none()), min_size=1, max_size=60),
+    nfrag=st.integers(1, 5),
+    op=st.sampled_from(["==", "!=", "<", "<=", ">", ">=", "in", "between"]),
+    a=st.integers(-25, 25),
+    b=st.integers(-25, 25),
+)
+def test_prune_never_drops_a_matching_row(vals, nfrag, op, a, b):
+    from maritime_activity_reports_cdc_ray.stages.partition import (
+        predicate_expression)
+
+    if op == "in":
+        pred = ("v", "in", [a, b])
+    elif op == "between":
+        pred = ("v", "between", (min(a, b), max(a, b)))
+    else:
+        pred = ("v", op, a)
+    step = max(1, len(vals) // nfrag)
+    chunks = [vals[i:i + step] for i in range(0, len(vals), step)]
+    frags = []
+    for ci, c in enumerate(chunks):
+        t = pa.table({"v": pa.array(c, pa.int64())})
+        frags.append(Fragment(path=str(ci), pid=0, salt=0, kind="current",
+                              epoch=0, rows=t.num_rows, bytes=0,
+                              zmap=zmap_of_table(t)))
+    kept = {f.path for f in prune_fragments_by_stats(frags, pred)}
+    expr = predicate_expression(pred)
+    for ci, c in enumerate(chunks):
+        t = pa.table({"v": pa.array(c, pa.int64())})
+        matches = len(t.filter(expr))
+        if str(ci) not in kept:
+            assert matches == 0, f"pruned fragment {ci} held {matches} matches"
+
+
+# ---------------------------------------------------------------- e2e read path
+@pytest.fixture(scope="module")
+def lake(ray_session, tmp_path_factory):
+    from maritime_activity_reports_cdc_ray.config import EngineConfig
+    from maritime_activity_reports_cdc_ray.generate import generate_events
+    from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
+
+    root = tmp_path_factory.mktemp("zmap")
+    events = str(root / "events")
+    generate_events(events, n_events=3000, n_repos=16, n_epochs=3, seed=11)
+    r = CDCReplay(str(root / "lake"), EngineConfig(num_partitions=8))
+    r.setup()
+    r.run(events)
+    return r
+
+
+def test_fragments_carry_zone_maps(lake):
+    sm = lake.silver.latest_manifest()
+    cur = [f for f in sm.fragments if f.kind == "current"]
+    assert cur and all(f.zmap for f in cur)
+    for f in cur:
+        assert "content_epoch" in f.zmap and "repo" in f.zmap
+        mn, mx, nulls = f.zmap["content_epoch"]
+        assert mn is not None and mx is not None and mn <= mx
+
+
+def test_predicate_read_with_stats_pruning_is_exact(lake):
+    full = lake.read_silver().to_pandas().sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    lo, hi = 120, 260
+    got = lake.read_silver(
+        predicate=("content_bytes", "between", (lo, hi))).to_pandas() \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    want = full[(full.content_bytes >= lo) & (full.content_bytes <= hi)] \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_impossible_predicate_prunes_every_fragment(lake):
+    from maritime_activity_reports_cdc_ray.state.zonemap import (
+        prune_fragments_by_stats)
+
+    sm = lake.silver.latest_manifest()
+    cur = [f for f in sm.fragments if f.kind == "current"]
+    assert prune_fragments_by_stats(cur, ("content_bytes", "<", -1)) == []
+    # and the read itself returns an empty, correctly-typed result
+    ds = lake.read_silver(predicate=("content_bytes", "<", -1))
+    assert ds.count() == 0
+
+
+def test_attach_content_uses_zone_maps(lake, monkeypatch):
+    """The virtual-content join must bound its bronze scan from manifest
+    zone maps without any driver footer reads (footers are the legacy
+    fallback only)."""
+    import maritime_activity_reports_cdc_ray.pipelines.replay as rp
+
+    calls = []
+    orig = rp.pq.read_metadata
+    monkeypatch.setattr(rp.pq, "read_metadata",
+                        lambda p, *a, **k: calls.append(p) or orig(p, *a, **k))
+    t = lake.read_silver(columns=["repo", "path", "content"]).to_pandas()
+    assert t.content.notna().any()
+    frag_footers = [c for c in calls if "fragments/" in str(c) and "current" in str(c)]
+    assert frag_footers == []
+
+
+def test_column_stats_analyze_surface(lake):
+    sm = lake.silver.latest_manifest()
+    cs = column_stats(sm, kind="current")
+    assert cs["content_bytes"]["min"] >= 0
+    assert cs["content_bytes"]["rows_covered"] > 0
+    assert cs["is_deleted"]["min"] in (False, True)
+
+
+def test_cli_analyze_verb(lake):
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "maritime_activity_reports_cdc_ray.cli", "analyze",
+         "--root", lake.root, "--table", "silver"],
+        capture_output=True, text=True, check=True)
+    cs = json.loads(out.stdout)
+    assert cs["content_bytes"]["rows_covered"] > 0
+    assert cs["repo"]["min"] is not None
+
+
+def test_legacy_fragments_without_zmap_still_read(lake):
+    # LAST in the module: mutates the lake's manifest in place to simulate
+    # a pre-zonemap table (every zmap stripped).
+    import json
+    import os
+
+    sm = lake.silver.latest_manifest()
+    d = json.loads(sm.to_json())
+    for f in d["fragments"]:
+        f["zmap"] = None
+    mp = os.path.join(lake.silver.root, "_manifests",
+                      f"manifest-{sm.version:010d}.json")
+    with open(mp, "w") as fh:
+        json.dump(d, fh)
+    full = lake.read_silver().count()
+    got = lake.read_silver(predicate=("content_bytes", ">=", 0)).count()
+    assert got == full > 0
+    c = lake.read_silver(columns=["repo", "content"]).to_pandas()
+    assert c.content.notna().any()  # footer-fallback path for content bounds
