@@ -1731,13 +1731,16 @@ class CDCReplay:
         CDF ``startingVersion``, silver/cdf_processor.py:41); default =
         latest. Pinned reads stay valid until ``vacuum()`` prunes history.
 
-        ``predicate`` = ``(col, op, value)`` pushes a filter into the read
-        (reference analogue: Delta partition filters + data skipping). An
-        equality/IN predicate on ``repo`` — the table's hash-partition key —
-        additionally prunes to the key's partition fragments, so a point read
-        opens 1/P of the table's files; every predicate also reaches the
-        parquet scanner for row-group pruning + exact row filtering. The
-        virtual ``content`` column cannot be filtered (filter after read).
+        ``predicate`` = ``(col, op, value)`` — or a list of such triples,
+        ANDed — pushes a filter into the read (reference analogue: Delta
+        partition filters + data skipping). Three pruning layers compose:
+        an equality/IN conjunct on ``repo`` (the hash-partition key) prunes
+        to the key's partition fragments, so a point read opens 1/P of the
+        table's files; manifest zone maps (state.zonemap) skip fragments
+        whose per-column min/max can't match ANY conjunct; and every
+        predicate also reaches the parquet scanner for row-group pruning +
+        exact row filtering. The virtual ``content`` column cannot be
+        filtered (filter after read).
 
         ``content`` is a VIRTUAL column: silver fragments store a bronze
         pointer (``content_epoch``, see SILVER_CURRENT_SCHEMA) instead of the
@@ -1766,7 +1769,10 @@ class CDCReplay:
         frags = [f for f in sm.fragments if f.kind == "current"]
         read_kwargs: dict = {}
         if predicate is not None:
-            if predicate[0] == "content":
+            from maritime_activity_reports_cdc_ray.stages.partition import (
+                normalize_predicate)
+
+            if any(t[0] == "content" for t in normalize_predicate(predicate)):
                 raise ValueError("cannot filter on the virtual 'content' column "
                                  "— select it and filter after the read")
             frags = prune_fragments_by_key(frags, predicate, sm.num_partitions)

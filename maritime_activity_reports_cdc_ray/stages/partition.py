@@ -34,12 +34,44 @@ def pid_of_repo(repo: str, num_partitions: int) -> int:
 _PREDICATE_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "between")
 
 
+def is_predicate_triple(p) -> bool:
+    return (isinstance(p, (tuple, list)) and len(p) == 3
+            and isinstance(p[0], str) and p[1] in _PREDICATE_OPS)
+
+
+def normalize_predicate(predicate) -> list:
+    """Accept a single ``(col, op, value)`` triple or a list/tuple of triples
+    (implicit AND — the Delta/SQL compound-filter analogue) and return the
+    conjunct list. Raises on anything else so a malformed predicate fails at
+    the API boundary, not inside a Ray task."""
+    if predicate is None:
+        return []
+    if is_predicate_triple(predicate):
+        return [tuple(predicate)]
+    if isinstance(predicate, (tuple, list)) and predicate \
+            and all(is_predicate_triple(p) for p in predicate):
+        return [tuple(p) for p in predicate]
+    raise ValueError(
+        f"predicate must be a (col, op, value) triple with op in "
+        f"{_PREDICATE_OPS} or a non-empty list of such triples (AND), "
+        f"got {predicate!r}")
+
+
 def predicate_expression(predicate):
-    """Compile a ``(col, op, value)`` triple into a ``pyarrow.dataset``
-    expression. Passed to the parquet scanner it gives row-group statistics
-    pruning plus EXACT row filtering — the reader returns precisely the
-    matching rows. ``op`` ∈ {==, !=, <, <=, >, >=, in, between}; ``in`` takes
-    an iterable, ``between`` an inclusive ``(lo, hi)`` pair."""
+    """Compile a ``(col, op, value)`` triple — or a list of triples, ANDed —
+    into a ``pyarrow.dataset`` expression. Passed to the parquet scanner it
+    gives row-group statistics pruning plus EXACT row filtering — the reader
+    returns precisely the matching rows. ``op`` ∈ {==, !=, <, <=, >, >=, in,
+    between}; ``in`` takes an iterable, ``between`` an inclusive ``(lo, hi)``
+    pair."""
+    conj = normalize_predicate(predicate)
+    expr = _triple_expression(conj[0])
+    for t in conj[1:]:
+        expr = expr & _triple_expression(t)
+    return expr
+
+
+def _triple_expression(predicate):
     import pyarrow.dataset as pds
 
     col, op, val = predicate
@@ -70,18 +102,19 @@ def prune_fragments_by_key(fragments, predicate, num_partitions: int,
     silver/gold tables are hash-partitioned on ``repo``, so an equality / IN
     predicate on the key maps straight to its pid via :func:`pid_of_repo`).
     A point read then opens 1/P of the table's fragment files regardless of
-    table size. Any other predicate keeps every fragment — the scanner-level
+    table size. Compound (AND-list) predicates prune by every key-equality
+    conjunct. Any other predicate keeps every fragment — the scanner-level
     :func:`predicate_expression` filter still prunes row groups and rows.
     Fragments with ``pid < 0`` (overwrite refreshes, not key-partitioned)
     are never pruned."""
-    if predicate is None:
-        return list(fragments)
-    col, op, val = predicate
-    if col != key_col or op not in ("==", "in"):
-        return list(fragments)
-    vals = [val] if op == "==" else list(val)
-    pids = {pid_of_repo(v, num_partitions) for v in vals}
-    return [f for f in fragments if f.pid in pids or f.pid < 0]
+    out = list(fragments)
+    for col, op, val in normalize_predicate(predicate):
+        if col != key_col or op not in ("==", "in"):
+            continue
+        vals = [val] if op == "==" else list(val)
+        pids = {pid_of_repo(v, num_partitions) for v in vals}
+        out = [f for f in out if f.pid in pids or f.pid < 0]
+    return out
 
 
 def make_gid_assigner(num_partitions: int, salt_by_pid: np.ndarray, max_salt: int):

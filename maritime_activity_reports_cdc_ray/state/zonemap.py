@@ -141,34 +141,38 @@ def _may_contain(op: str, val, mn, mx) -> bool:
 def prune_fragments_by_stats(fragments, predicate):
     """Drop fragments whose zone map proves the predicate can't match.
 
-    Composes after :func:`stages.partition.prune_fragments_by_key`; fragments
-    from manifests written before zone maps existed (``zmap is None``) and
+    Composes after :func:`stages.partition.prune_fragments_by_key`; a
+    compound (AND-list) predicate prunes by every conjunct. Fragments from
+    manifests written before zone maps existed (``zmap is None``) and
     columns without stats are always kept. An all-null column skips every
     comparison predicate (SQL semantics: NULL satisfies none of ==, !=, <,
     ..., IN, BETWEEN) — except when the caller put None in an IN list, which
-    disables pruning entirely for safety."""
-    if predicate is None:
-        return list(fragments)
-    col, op, raw = predicate
-    if raw is None or (op == "in" and any(v is None for v in raw)):
-        return list(fragments)
-    if op == "in":
-        val = [_norm(v) for v in raw]
-    elif op == "between":
-        val = (_norm(raw[0]), _norm(raw[1]))
-    else:
-        val = _norm(raw)
-    out = []
-    for f in fragments:
-        zm = getattr(f, "zmap", None)
-        if not zm or col not in zm:
-            out.append(f)
+    disables that conjunct's pruning entirely for safety."""
+    from maritime_activity_reports_cdc_ray.stages.partition import (
+        normalize_predicate)
+
+    out = list(fragments)
+    for col, op, raw in normalize_predicate(predicate):
+        if raw is None or (op == "in" and any(v is None for v in raw)):
             continue
-        mn, mx, nulls = zm[col]
-        if f.rows > 0 and nulls >= f.rows:
-            continue  # all-null column: no comparison predicate matches
-        if _may_contain(op, val, mn, mx):
-            out.append(f)
+        if op == "in":
+            val = [_norm(v) for v in raw]
+        elif op == "between":
+            val = (_norm(raw[0]), _norm(raw[1]))
+        else:
+            val = _norm(raw)
+        kept = []
+        for f in out:
+            zm = getattr(f, "zmap", None)
+            if not zm or col not in zm:
+                kept.append(f)
+                continue
+            mn, mx, nulls = zm[col]
+            if f.rows > 0 and nulls >= f.rows:
+                continue  # all-null column: no comparison predicate matches
+            if _may_contain(op, val, mn, mx):
+                kept.append(f)
+        out = kept
     return out
 
 

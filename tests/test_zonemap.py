@@ -254,6 +254,57 @@ def test_column_stats_analyze_surface(lake):
     assert cs["is_deleted"]["min"] in (False, True)
 
 
+def test_compound_predicate_normalize_and_expression():
+    from maritime_activity_reports_cdc_ray.stages.partition import (
+        normalize_predicate, predicate_expression)
+
+    assert normalize_predicate(("a", "==", 1)) == [("a", "==", 1)]
+    assert normalize_predicate([("a", "==", 1), ("b", "<", 2)]) == \
+        [("a", "==", 1), ("b", "<", 2)]
+    with pytest.raises(ValueError):
+        normalize_predicate(("a", "~~", 1))
+    with pytest.raises(ValueError):
+        normalize_predicate([])
+    t = pa.table({"a": [1, 1, 2, 1], "b": [0, 5, 0, 9]})
+    got = t.filter(predicate_expression([("a", "==", 1), ("b", ">", 4)]))
+    assert got.column("b").to_pylist() == [5, 9]
+
+
+def test_compound_predicate_prunes_by_every_conjunct():
+    fs = [frag({"a": [0, 5, 0], "b": [10, 20, 0]}),
+          frag({"a": [6, 9, 0], "b": [10, 20, 0]}),
+          frag({"a": [0, 5, 0], "b": [30, 40, 0]})]
+    kept = prune_fragments_by_stats(
+        fs, [("a", "<=", 5), ("b", "between", (15, 25))])
+    assert kept == [fs[0]]
+
+
+def test_compound_predicate_read_is_exact(lake):
+    full = lake.read_silver().to_pandas()
+    langs = sorted(full.lang.dropna().unique())
+    pred = [("lang", "==", langs[0]), ("content_bytes", ">", 150)]
+    got = lake.read_silver(predicate=pred).to_pandas() \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    want = full[(full.lang == langs[0]) & (full.content_bytes > 150)] \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
+def test_compound_predicate_with_key_conjunct_prunes_partitions(lake):
+    from maritime_activity_reports_cdc_ray.stages.partition import (
+        pid_of_repo, prune_fragments_by_key)
+
+    sm = lake.silver.latest_manifest()
+    cur = [f for f in sm.fragments if f.kind == "current"]
+    repo = sorted(lake.read_silver(columns=["repo"]).to_pandas().repo.unique())[0]
+    pred = [("repo", "==", repo), ("content_bytes", ">=", 0)]
+    kept = prune_fragments_by_key(cur, pred, sm.num_partitions)
+    assert kept and all(f.pid == pid_of_repo(repo, sm.num_partitions) for f in kept)
+    got = lake.read_silver(predicate=pred).to_pandas()
+    assert set(got.repo) == {repo}
+
+
 def test_cli_analyze_verb(lake):
     import json
     import subprocess
