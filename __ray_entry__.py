@@ -852,12 +852,21 @@ def _spec_merge_lake(sf_dir: str):
 
 
 def cdc_lww_merge(sf_dir: str):
-    """THE flagship operator driven through the real engine, two faces.
+    """THE flagship operator driven through the real engine, three faces.
     method='lww': replay the adapted change stream and read the silver
     current state (oracle: latest event per key). method='spec': the
     declarative-MERGE SpecTable after a seed epoch + a custom-branch merge
     epoch (oracle: the equivalent FULL OUTER JOIN + CASE — DuckDB 1.0 has no
-    MERGE INTO, so the oracle states the branch algebra directly)."""
+    MERGE INTO, so the oracle states the branch algebra directly).
+    method='pruned': a compound-AND predicate read of the same lake —
+    ``repo IN (u: user%7==3)`` (hash-key partition pruning) AND
+    ``commit >= c<2024-01-20 micros>`` (manifest zone-map data skipping,
+    state/zonemap.py; the commit string embeds (ts micros, event_id)
+    lexicographically, so the cutoff ⟺ winner ts >= Jan 20) — the pruned
+    read must return EXACTLY the post-filter of the LWW state (oracle:
+    same QUALIFY + WHERE ts >= TIMESTAMP '2024-01-20')."""
+    import datetime as _dt
+
     r = _replay_events_as_cdc(sf_dir)
     sil = r.read_silver(columns=["repo", "path", "content"]).to_pandas()
     lww = pd.DataFrame({
@@ -865,6 +874,23 @@ def cdc_lww_merge(sf_dir: str):
         "k1": sil.repo.str.slice(1).astype("int64"),
         "k2": sil.path,
         "v_int": sil.content.astype("int64"),
+        "v_num": np.int64(0),
+    })
+    sel = sorted({x for x in sil.repo.unique() if int(x[1:]) % 7 == 3})
+    t0 = int(pa.scalar(_dt.datetime(2024, 1, 20), pa.timestamp("us")).value)
+    pr = r.read_silver(
+        columns=["repo", "path", "content"],
+        predicate=[("repo", "in", sel),
+                   ("commit", ">=", f"c{t0:016d}{0:08d}")]).to_pandas()
+    if len(pr) == 0:  # an empty Dataset loses its schema in pandas
+        pr = pd.DataFrame({"repo": pd.Series(dtype=str),
+                           "path": pd.Series(dtype=str),
+                           "content": pd.Series(dtype=str)})
+    pruned = pd.DataFrame({
+        "method": "pruned",
+        "k1": pr.repo.str.slice(1).astype("int64"),
+        "k2": pr.path,
+        "v_int": pr.content.astype("int64"),
         "v_num": np.int64(0),
     })
     sp = _spec_merge_lake(sf_dir).read().to_pandas()
@@ -875,7 +901,7 @@ def cdc_lww_merge(sf_dir: str):
         "v_int": sp.n.astype("int64"),
         "v_num": sp.bal.astype("int64"),
     })
-    return (pd.concat([lww, spec_face], ignore_index=True)
+    return (pd.concat([lww, pruned, spec_face], ignore_index=True)
             .sort_values(["method", "k1", "k2"]).reset_index(drop=True))
 
 
@@ -3230,6 +3256,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                        ORDER BY ts DESC, event_id DESC) = 1
+            UNION ALL
+            -- the compound-predicate pruned read: post-filter of the LWW
+            -- current state (the engine's commit-string cutoff embeds
+            -- (ts micros, event_id) lexicographically ⟺ winner ts >= Jan 20)
+            SELECT 'pruned' AS method, k1, k2, v_int, v_num FROM (
+                SELECT user_id AS k1, event_type AS k2,
+                       event_id AS v_int, CAST(0 AS BIGINT) AS v_num, ts
+                FROM events
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts DESC, event_id DESC) = 1
+            ) WHERE k1 % 7 = 3 AND ts >= TIMESTAMP '2024-01-20'
             UNION ALL
             -- the declarative MERGE's branch algebra, stated directly
             -- (DuckDB 1.0 lacks MERGE INTO): seed = even-custkey customers,
