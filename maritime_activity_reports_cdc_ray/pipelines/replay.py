@@ -1762,16 +1762,13 @@ class CDCReplay:
                 "Re-run the replay to rebuild the lake, or read the old lake "
                 "with the matching engine version.")
         from maritime_activity_reports_cdc_ray.stages.partition import (
-            predicate_expression, prune_fragments_by_key)
+            normalize_predicate, predicate_expression, prune_fragments_by_key)
         from maritime_activity_reports_cdc_ray.state.zonemap import (
             prune_fragments_by_stats)
 
         frags = [f for f in sm.fragments if f.kind == "current"]
         read_kwargs: dict = {}
         if predicate is not None:
-            from maritime_activity_reports_cdc_ray.stages.partition import (
-                normalize_predicate)
-
             if any(t[0] == "content" for t in normalize_predicate(predicate)):
                 raise ValueError("cannot filter on the virtual 'content' column "
                                  "— select it and filter after the read")
@@ -1808,10 +1805,20 @@ class CDCReplay:
             from maritime_activity_reports_cdc_ray.stages.merge import align_to_schema
 
             need_schema = pa.schema([sm.schema.field(c) for c in read_cols])
+            pred_cols = ({t[0] for t in normalize_predicate(predicate)}
+                         if predicate is not None else set())
             by_cols: dict[tuple, list[str]] = {}
             for f in frags:
                 names = set(f.cols) if f.cols is not None else \
                     set(pq.read_schema(self.silver.abspath(f.path)).names)
+                if pred_cols - names:
+                    # a conjunct references a column this (pre-evolution)
+                    # fragment doesn't store: every row backfills to NULL
+                    # there, and no predicate op matches NULL (None-in-IN is
+                    # rejected by normalize_predicate) — the fragment
+                    # contributes nothing, and passing the filter to the
+                    # scanner would raise on the missing field. Skip it.
+                    continue
                 by_cols.setdefault(
                     tuple(c for c in read_cols if c in names), []) \
                     .append(self.silver.abspath(f.path))
@@ -1823,6 +1830,10 @@ class CDCReplay:
                         lambda t, _s=need_schema: align_to_schema(t, _s),
                         batch_format="pyarrow", zero_copy_batch=True)
                 parts.append(d)
+            if not parts:  # every fragment lacked a predicate column
+                fields = [pa.field("content", pa.large_string()) if n == "content"
+                          else sm.schema.field(n) for n in out_cols]
+                return rd.from_arrow(pa.Table.from_pylist([], schema=pa.schema(fields)))
             ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
         else:
             ds = rd.read_parquet(paths, columns=read_cols, **read_kwargs)

@@ -47,14 +47,25 @@ def normalize_predicate(predicate) -> list:
     if predicate is None:
         return []
     if is_predicate_triple(predicate):
-        return [tuple(predicate)]
-    if isinstance(predicate, (tuple, list)) and predicate \
+        conj = [tuple(predicate)]
+    elif isinstance(predicate, (tuple, list)) and predicate \
             and all(is_predicate_triple(p) for p in predicate):
-        return [tuple(p) for p in predicate]
-    raise ValueError(
-        f"predicate must be a (col, op, value) triple with op in "
-        f"{_PREDICATE_OPS} or a non-empty list of such triples (AND), "
-        f"got {predicate!r}")
+        conj = [tuple(p) for p in predicate]
+    else:
+        raise ValueError(
+            f"predicate must be a (col, op, value) triple with op in "
+            f"{_PREDICATE_OPS} or a non-empty list of such triples (AND), "
+            f"got {predicate!r}")
+    for col, op, val in conj:
+        if op == "in" and any(v is None for v in val):
+            # Arrow's isin MATCHES nulls when None is in the value set,
+            # unlike SQL IN (NULL) — and fragment skipping assumes no
+            # comparison matches null. Refuse at the boundary.
+            raise ValueError(
+                f"IN list for column {col!r} contains None — null "
+                "membership is not expressible as a predicate; filter "
+                "nulls after the read instead")
+    return conj
 
 
 def predicate_expression(predicate):

@@ -146,15 +146,15 @@ def prune_fragments_by_stats(fragments, predicate):
     manifests written before zone maps existed (``zmap is None``) and
     columns without stats are always kept. An all-null column skips every
     comparison predicate (SQL semantics: NULL satisfies none of ==, !=, <,
-    ..., IN, BETWEEN) — except when the caller put None in an IN list, which
-    disables that conjunct's pruning entirely for safety."""
+    ..., IN, BETWEEN; None inside an IN list is rejected upstream by
+    ``normalize_predicate``)."""
     from maritime_activity_reports_cdc_ray.stages.partition import (
         normalize_predicate)
 
     out = list(fragments)
     for col, op, raw in normalize_predicate(predicate):
-        if raw is None or (op == "in" and any(v is None for v in raw)):
-            continue
+        if raw is None:
+            continue  # col == None matches nothing; keep (scanner decides)
         if op == "in":
             val = [_norm(v) for v in raw]
         elif op == "between":

@@ -104,8 +104,10 @@ def test_prune_conservative_cases():
     assert prune_fragments_by_stats([frag({"w": [0, 1, 0]})], ("v", "==", 1))
     assert prune_fragments_by_stats([frag({"v": ["a", "b", 0]})], ("v", "==", 1))
     assert prune_fragments_by_stats([frag({"v": [1, 10, 0]})], ("v", "==", None))
-    assert prune_fragments_by_stats(
-        [frag({"v": [1, 10, 0]})], ("v", "in", [None, 99]))
+    # None inside an IN list is rejected at the API boundary: Arrow's isin
+    # matches nulls (unlike SQL IN (NULL)), which would break skip safety
+    with pytest.raises(ValueError, match="IN list"):
+        prune_fragments_by_stats([frag({"v": [1, 10, 0]})], ("v", "in", [None, 99]))
     # != only skips when every non-null value equals the literal
     assert not prune_fragments_by_stats([frag({"v": [5, 5, 2]})], ("v", "!=", 5))
     assert prune_fragments_by_stats([frag({"v": [5, 6, 0]})], ("v", "!=", 5))
@@ -303,6 +305,60 @@ def test_compound_predicate_with_key_conjunct_prunes_partitions(lake):
     assert kept and all(f.pid == pid_of_repo(repo, sm.num_partitions) for f in kept)
     got = lake.read_silver(predicate=pred).to_pandas()
     assert set(got.repo) == {repo}
+
+
+def test_predicate_on_evolved_column_skips_preevolution_fragments(
+        ray_session, tmp_path):
+    """Regression: a predicate on an additively-evolved column used to crash
+    the scanner (ArrowInvalid: field not found) on fragments committed
+    before the evolution. Those fragments backfill the column to NULL, which
+    no predicate op matches — the reader must skip them, not crash."""
+    from maritime_activity_reports_cdc_ray.config import EngineConfig
+    from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
+    from maritime_activity_reports_cdc_ray.stages.partition import pid_of_repo
+
+    P = 4
+    repos = [f"r{i}" for i in range(12)]
+    # epoch 1 (which introduces size_hint) touches only the repos of ONE
+    # pid, so the other pids keep their pre-evolution current fragments
+    target_pid = pid_of_repo("r0", P)
+    evolved_repos = [x for x in repos if pid_of_repo(x, P) == target_pid]
+    assert 0 < len(evolved_repos) < len(repos)
+    ev = tmp_path / "events"
+    ev.mkdir()
+
+    def rows(rs, commit, size=None):
+        t = {"repo": pa.array(rs), "path": pa.array(["f.py"] * len(rs)),
+             "commit": pa.array([commit] * len(rs)),
+             "lang": pa.array(["py"] * len(rs)),
+             "content": pa.array(["x"] * len(rs), pa.large_string())}
+        if size is not None:
+            t["size_hint"] = pa.array([size] * len(rs), pa.int64())
+        return pa.table(t)
+
+    pq.write_table(rows(repos, "c000000000001"), str(ev / "e0.parquet"))
+    pq.write_table(rows(evolved_repos, "c000000000002", size=500),
+                   str(ev / "e1.parquet"))
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=P))
+    r.setup()
+    r.run(str(ev))
+    sm = r.silver.latest_manifest()
+    assert any(f.cols is not None and "size_hint" not in f.cols
+               for f in sm.fragments if f.kind == "current"), \
+        "fixture must leave an untouched pre-evolution fragment"
+    got = r.read_silver(columns=["repo", "size_hint"],
+                        predicate=("size_hint", ">", 100)).to_pandas()
+    assert sorted(got.repo) == sorted(evolved_repos)
+    assert (got.size_hint == 500).all()
+    # compound with one base + one evolved conjunct
+    got2 = r.read_silver(columns=["repo", "size_hint"],
+                         predicate=[("lang", "==", "py"),
+                                    ("size_hint", "<=", 500)]).to_pandas()
+    assert sorted(got2.repo) == sorted(evolved_repos)
+    # predicate matched by NO fragment group → empty, schema-stable
+    empty = r.read_silver(columns=["repo", "size_hint"],
+                          predicate=("size_hint", ">", 10_000)).to_pandas()
+    assert len(empty) == 0
 
 
 def test_cli_analyze_verb(lake):
