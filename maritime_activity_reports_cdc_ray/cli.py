@@ -128,6 +128,12 @@ def main(argv=None):
                          "row groups turn selective for predicates on ANY of "
                          "them, not just the first) — needs >= 2 --cluster-by "
                          "columns")
+    sp.add_argument("--target-fragment-rows", type=int, default=None,
+                    help="split clustered output at range boundaries into "
+                         "fragments of at most this many rows, so manifest "
+                         "zone maps skip whole files for range predicates. "
+                         "Applies to history/gold only (current fragments "
+                         "stay whole — the merge needs one per (pid, salt))")
 
     sp = sub.add_parser("vacuum", help="delete unreferenced fragment files")
     common(sp)
@@ -481,10 +487,26 @@ def main(argv=None):
                 raise SystemExit(
                     "--zorder needs 2-4 --cluster-by columns "
                     "(one column is a plain sort — drop --zorder)")
-            print(json.dumps(compact_table(
-                lake, kinds=kinds, compression=r.cfg.write_compression,
-                cluster_by=cluster, row_group_size=args.row_group_size,
-                include_single=args.include_single, zorder=args.zorder)))
+            out = {}
+            if args.target_fragment_rows and args.table == "silver":
+                # splitting applies to history only; current fragments are
+                # compacted unsplit in a second pass
+                out["history"] = compact_table(
+                    lake, kinds=("history",), compression=r.cfg.write_compression,
+                    cluster_by=cluster, row_group_size=args.row_group_size,
+                    include_single=args.include_single, zorder=args.zorder,
+                    target_fragment_rows=args.target_fragment_rows)
+                out["current"] = compact_table(
+                    lake, kinds=("current",), compression=r.cfg.write_compression,
+                    cluster_by=cluster, row_group_size=args.row_group_size,
+                    include_single=args.include_single, zorder=args.zorder)
+            else:
+                out = compact_table(
+                    lake, kinds=kinds, compression=r.cfg.write_compression,
+                    cluster_by=cluster, row_group_size=args.row_group_size,
+                    include_single=args.include_single, zorder=args.zorder,
+                    target_fragment_rows=args.target_fragment_rows)
+            print(json.dumps(out))
         elif args.cmd == "read":
             cols = args.columns.split(",") if args.columns else None
             pred = None

@@ -55,7 +55,8 @@ def zorder_indices(t: pa.Table, cols: list[str]):
 def make_compact_task_fn(root: str, compression: str,
                          cluster_by: list[str] | None = None,
                          row_group_size: int | None = None,
-                         zorder: bool = False):
+                         zorder: bool = False,
+                         target_fragment_rows: int | None = None):
     def fn(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
@@ -84,9 +85,27 @@ def make_compact_task_fn(root: str, compression: str,
                         sort_keys.append(("commit", "ascending"))
                 idx = pc.sort_indices(t, sort_keys=sort_keys)
             t = t.take(idx)
-            frag = lake.stage_fragment(t, epoch, pid, salt, kind, compression,
-                                       suffix="c", row_group_size=row_group_size)
-            rows.append({"fragments_json": json.dumps([frag.__dict__]),
+            n = t.num_rows
+            if target_fragment_rows and n > target_fragment_rows \
+                    and kind != "current":
+                # split the clustered output at range boundaries so each
+                # fragment's zone map covers a NARROW slice of the cluster
+                # columns — manifest-level data skipping (state/zonemap.py)
+                # then prunes whole files, not just row groups. Balanced
+                # slice sizes; deterministic suffixes so reruns overwrite.
+                k = -(-n // target_fragment_rows)
+                bounds = [round(j * n / k) for j in range(k + 1)]
+                frags = [
+                    lake.stage_fragment(
+                        t.slice(b0, b1 - b0), epoch, pid, salt, kind,
+                        compression, suffix=f"c{j:03d}",
+                        row_group_size=row_group_size)
+                    for j, (b0, b1) in enumerate(zip(bounds, bounds[1:]))]
+            else:
+                frags = [lake.stage_fragment(
+                    t, epoch, pid, salt, kind, compression,
+                    suffix="c", row_group_size=row_group_size)]
+            rows.append({"fragments_json": json.dumps([f.__dict__ for f in frags]),
                          "replaced_json": json.dumps(list(item["paths"]))})
         if not rows:
             return pa.table({"fragments_json": pa.array([], pa.string()),
@@ -100,7 +119,8 @@ def compact_table(lake, kinds: tuple = ("history",), compression: str = "zstd",
                   cluster_by: list[str] | None = None,
                   row_group_size: int | None = None,
                   include_single: bool = False, zorder: bool = False,
-                  trigger_min_chain: int | None = None) -> dict:
+                  trigger_min_chain: int | None = None,
+                  target_fragment_rows: int | None = None) -> dict:
     """Merge multi-fragment chains per (pid, salt, kind) into single sorted
     fragments. Returns counts. Safe to re-run; crash-safe (maintenance commit).
 
@@ -112,12 +132,31 @@ def compact_table(lake, kinds: tuple = ("history",), compression: str = "zstd",
     (``read_silver(predicate=...)``) skips whole row groups. Pair with
     ``row_group_size`` (rows per group, e.g. 32_000) to set the skipping
     granularity. ``include_single=True`` also rewrites single-fragment
-    chains — needed when re-clustering an already-compacted table."""
+    chains — needed when re-clustering an already-compacted table.
+
+    ``target_fragment_rows``: split each clustered output at range
+    boundaries into fragments of at most this many rows, so per-fragment
+    zone maps (state/zonemap.py) cover narrow cluster-column slices and a
+    predicate read skips whole FILES from the manifest, not just row
+    groups. Not allowed for the ``current`` kind — the merge's fragment
+    map and the resalt healer assume exactly one current fragment per
+    (pid, salt). Note: split chains read back as multi-fragment chains, so
+    set ``trigger_min_chain`` above the split count when combining with
+    auto-OPTIMIZE."""
     import ray
     import ray.data as rd
 
     from maritime_activity_reports_cdc_ray.state.table import Fragment
 
+    if target_fragment_rows is not None:
+        if "current" in kinds:
+            raise ValueError(
+                "target_fragment_rows cannot split 'current' fragments: the "
+                "merge fragment map and resalt healer require exactly one "
+                "current fragment per (pid, salt). Compact current without "
+                "splitting, or split only history/gold/data kinds.")
+        if target_fragment_rows < 1:
+            raise ValueError("target_fragment_rows must be >= 1")
     if zorder and cluster_by is not None and not 2 <= len(cluster_by) <= 4:
         # validate BEFORE dispatching (mirrors the CLI check) — otherwise
         # zorder_indices' assert fires inside a Ray map task as an opaque
@@ -148,7 +187,7 @@ def compact_table(lake, kinds: tuple = ("history",), compression: str = "zstd",
     assert ray.is_initialized()
     res = rd.from_items(items).map_batches(
         make_compact_task_fn(lake.root, compression, cluster_by,
-                             row_group_size, zorder),
+                             row_group_size, zorder, target_fragment_rows),
         batch_format="pyarrow", batch_size=1
     ).take_all()
     new_frags, replaced = [], set()

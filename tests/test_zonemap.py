@@ -361,6 +361,59 @@ def test_predicate_on_evolved_column_skips_preevolution_fragments(
     assert len(empty) == 0
 
 
+def test_compact_split_fragments_enable_file_skipping(ray_session, tmp_path):
+    """compact_table(target_fragment_rows=...) splits clustered output at
+    range boundaries; the resulting per-fragment zone maps must let a range
+    predicate skip whole files while the read stays exact."""
+    from maritime_activity_reports_cdc_ray.config import EngineConfig
+    from maritime_activity_reports_cdc_ray.generate import generate_events
+    from maritime_activity_reports_cdc_ray.pipelines.maintenance import (
+        compact_table)
+    from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
+    from maritime_activity_reports_cdc_ray.state.zonemap import (
+        prune_fragments_by_stats)
+
+    events = str(tmp_path / "events")
+    generate_events(events, n_events=4000, n_repos=6, n_epochs=4, seed=3)
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=2))
+    r.setup()
+    r.run(events)
+    full = r.read_history().to_pandas()
+    res = compact_table(r.silver, kinds=("history",), cluster_by=["commit"],
+                        include_single=True, target_fragment_rows=200)
+    assert res["compacted_groups"] > 0
+    sm = r.silver.latest_manifest()
+    hist = [f for f in sm.fragments if f.kind == "history"]
+    assert len(hist) > res["compacted_groups"], "chains must have split"
+    assert all(f.rows <= 200 for f in hist)
+    # a commit-range predicate prunes whole fragments from the manifest
+    cutoff = sorted(full.commit)[len(full) // 10]
+    pred = ("commit", "<", cutoff)
+    kept = prune_fragments_by_stats(hist, pred)
+    assert len(kept) < len(hist), "zone maps must skip split fragments"
+    got = r.read_history(predicate=pred).to_pandas() \
+        .sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    want = full[full.commit < cutoff] \
+        .sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # rerunning the maintenance is idempotent-safe (overwrites, re-commits)
+    res2 = compact_table(r.silver, kinds=("history",), cluster_by=["commit"],
+                         include_single=False, target_fragment_rows=200)
+    full2 = r.read_history().to_pandas() \
+        .sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        full2, full.sort_values(["repo", "path", "commit"]).reset_index(drop=True))
+
+
+def test_compact_split_refuses_current_kind(ray_session, tmp_path):
+    from maritime_activity_reports_cdc_ray.pipelines.maintenance import (
+        compact_table)
+
+    with pytest.raises(ValueError, match="current"):
+        compact_table(object(), kinds=("history", "current"),
+                      target_fragment_rows=100)
+
+
 def test_cli_analyze_verb(lake):
     import json
     import subprocess
