@@ -42,6 +42,19 @@ ZMAP_MAX_STR = 64
 # more than it saves, so they get no zone map at all.
 ZMAP_MAX_AVG_WIDTH = 256
 
+# Manifest-size bound: only the first N schema columns are indexed (Delta's
+# ``dataSkippingNumIndexedCols``, default 32). At ~40 B/bound a 500k-fragment
+# 100 TB manifest stays ~tens of MB instead of growing with schema width.
+# Skipping a column is always safe — absence means "cannot skip".
+ZMAP_NUM_INDEXED_COLS = 32
+
+# Engine-owned uniform-hash columns: ``path_hash`` is a full-range uint64
+# shuffle hash (stages/partition.py), so per-fragment min/max bounds span
+# nearly the whole domain and never prune; carrying them is pure manifest
+# weight. Partition routing prunes these via the dedicated key layer
+# (``stages.partition.prune_fragments_by_key``), not zone maps.
+ZMAP_EXCLUDE = frozenset({"path_hash"})
+
 
 def _temporal_to_int(v) -> int:
     """Canonical int64 microseconds for timestamp/date bounds, so stored
@@ -66,7 +79,9 @@ def zmap_of_table(t: pa.Table) -> dict:
     are omitted — absence always means "cannot skip"."""
     zmap: dict = {}
     n = t.num_rows
-    for name in t.column_names:
+    for name in t.column_names[:ZMAP_NUM_INDEXED_COLS]:
+        if name in ZMAP_EXCLUDE:
+            continue
         col = t.column(name)
         typ = col.type
         temporal = pa.types.is_timestamp(typ) or pa.types.is_date(typ)
@@ -183,10 +198,11 @@ def zmap_from_footer(md, schema: pa.Schema) -> dict:
     table but already reads the footer for row counts. Columns missing
     statistics in any row group are omitted (= cannot skip)."""
     zmap: dict = {}
-    names = list(schema.names)
+    names = list(schema.names)[:ZMAP_NUM_INDEXED_COLS]
     typs = {f.name: f.type for f in schema}
     ok = {n for n in names
-          if (pa.types.is_integer(t := typs[n]) or pa.types.is_floating(t)
+          if n not in ZMAP_EXCLUDE
+          and (pa.types.is_integer(t := typs[n]) or pa.types.is_floating(t)
               or pa.types.is_boolean(t) or pa.types.is_timestamp(t)
               or pa.types.is_date(t) or pa.types.is_string(t)
               or pa.types.is_large_string(t))}

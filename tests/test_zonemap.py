@@ -67,6 +67,51 @@ def test_zmap_nan_and_allnull_and_wide():
     assert "wide" not in z  # payload-width columns carry no stats
 
 
+def test_zmap_indexed_col_cap_and_hash_exclusion():
+    # Delta's dataSkippingNumIndexedCols analogue: only the first N schema
+    # columns carry bounds, and the engine's uniform shuffle hash never does.
+    from maritime_activity_reports_cdc_ray.state.zonemap import (
+        ZMAP_EXCLUDE, ZMAP_NUM_INDEXED_COLS)
+
+    ncols = ZMAP_NUM_INDEXED_COLS + 8
+    cols = {f"c{i:03d}": pa.array([i, i + 1], pa.int64()) for i in range(ncols)}
+    cols["path_hash"] = pa.array([0, 2**63], pa.uint64())
+    t = pa.table(cols)  # path_hash lands past the cap too, but test both gates
+    z = zmap_of_table(t)
+    assert "path_hash" not in z and "path_hash" in ZMAP_EXCLUDE
+    assert set(z) == {f"c{i:03d}" for i in range(ZMAP_NUM_INDEXED_COLS)}
+
+    # explicit exclusion gate, independent of position
+    t2 = pa.table({"path_hash": pa.array([1, 2], pa.uint64()),
+                   "k": pa.array([5, 9], pa.int64())})
+    z2 = zmap_of_table(t2)
+    assert "path_hash" not in z2 and z2["k"] == [5, 9, 0]
+
+    # safety: a predicate on an un-indexed column prunes nothing
+    fs = [frag(z, rows=2)]
+    tail = f"c{ZMAP_NUM_INDEXED_COLS + 1:03d}"
+    assert prune_fragments_by_stats(fs, (tail, "==", -1)) == fs
+    # ... while an indexed column still skips
+    assert prune_fragments_by_stats(fs, ("c000", "==", -1)) == []
+
+
+def test_zmap_from_footer_cap_and_exclusion(tmp_path):
+    from maritime_activity_reports_cdc_ray.state.zonemap import (
+        ZMAP_NUM_INDEXED_COLS)
+
+    ncols = ZMAP_NUM_INDEXED_COLS + 4
+    cols = {"path_hash": pa.array([3, 4], pa.uint64())}
+    cols.update({f"c{i:03d}": pa.array([i, i + 1], pa.int64())
+                 for i in range(ncols)})
+    t = pa.table(cols)
+    p = tmp_path / "f.parquet"
+    pq.write_table(t, p)
+    z = zmap_from_footer(pq.read_metadata(p), t.schema)
+    assert "path_hash" not in z
+    # path_hash occupies slot 0, so indexed data columns = first cap-1
+    assert set(z) == {f"c{i:03d}" for i in range(ZMAP_NUM_INDEXED_COLS - 1)}
+
+
 def test_zmap_long_string_truncation():
     lo = "a" * (ZMAP_MAX_STR + 10)
     hi = "z" * (ZMAP_MAX_STR + 10)
