@@ -67,3 +67,33 @@ def dict_encode_md5(tokens: pa.Array):
                         "big") for s in denc.dictionary.to_pylist()),
         dtype=np.uint64, count=len(denc.dictionary))
     return uh[codes], codes, uh
+
+
+def dataset_to_pandas(ds):
+    """``Dataset.to_pandas()`` that survives zero-row datasets.
+
+    Ray 2.49 drops ALL column information when a dataset holds only empty
+    blocks — ``to_pandas()`` returns a ``(0, 0)`` frame even though
+    ``ds.schema()`` still knows the columns (filtering operators like
+    ``adjacent_pairs`` hit this whenever no row qualifies). Rebuild the empty
+    frame from the dataset schema instead, so callers can select/sort columns
+    of an empty result exactly like a non-empty one."""
+    import pandas as pd
+
+    df = ds.to_pandas()
+    if len(df.columns):
+        return df
+    sch = ds.schema()
+    if sch is None:
+        return df
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        return base.empty_table().to_pandas()
+    # PandasBlockSchema: parallel .names / .types (numpy dtypes or classes)
+    cols = {}
+    for name, typ in zip(base.names, base.types):
+        try:
+            cols[name] = pd.Series(dtype=typ)
+        except (TypeError, ValueError):
+            cols[name] = pd.Series(dtype=object)
+    return pd.DataFrame(cols)

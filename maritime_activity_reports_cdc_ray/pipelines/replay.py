@@ -1772,6 +1772,13 @@ class CDCReplay:
             if any(t[0] == "content" for t in normalize_predicate(predicate)):
                 raise ValueError("cannot filter on the virtual 'content' column "
                                  "— select it and filter after the read")
+            if sm.schema is not None:
+                from maritime_activity_reports_cdc_ray.stages.partition import (
+                    validate_predicate_columns)
+                avail = {f.name for f in sm.schema}
+                for fr in frags:
+                    avail |= set(fr.cols or ())
+                validate_predicate_columns(predicate, avail, "silver")
             frags = prune_fragments_by_key(frags, predicate, sm.num_partitions)
             frags = prune_fragments_by_stats(frags, predicate)
             read_kwargs["filter"] = predicate_expression(predicate)
@@ -2086,6 +2093,13 @@ class CDCReplay:
         frags = [f for f in gm.fragments if f.kind == "gold"]
         read_kwargs: dict = {}
         if predicate is not None:
+            from maritime_activity_reports_cdc_ray.stages.partition import (
+                validate_predicate_columns)
+            avail = {f.name for f in (gm.schema if gm.schema is not None
+                                      else GOLD_SCHEMA)}
+            for fr in frags:
+                avail |= set(fr.cols or ())
+            validate_predicate_columns(predicate, avail, "gold")
             frags = prune_fragments_by_key(frags, predicate, gm.num_partitions)
             frags = prune_fragments_by_stats(frags, predicate)
             read_kwargs["filter"] = predicate_expression(predicate)
@@ -2117,6 +2131,17 @@ class CDCReplay:
         frags = [f for f in sm.fragments if f.kind == "history"]
         read_kwargs: dict = {}
         if predicate is not None:
+            from maritime_activity_reports_cdc_ray.stages.partition import (
+                validate_predicate_columns)
+            # history carries the silver payload (incl. evolved columns) plus
+            # its own versioning fields — union everything known, so the check
+            # can only reject a column present nowhere
+            avail = {f.name for f in SILVER_HISTORY_SCHEMA}
+            if sm.schema is not None:
+                avail |= {f.name for f in sm.schema}
+            for fr in frags:
+                avail |= set(fr.cols or ())
+            validate_predicate_columns(predicate, avail, "history")
             frags = prune_fragments_by_key(frags, predicate, sm.num_partitions)
             frags = prune_fragments_by_stats(frags, predicate)
             read_kwargs["filter"] = predicate_expression(predicate)

@@ -82,6 +82,22 @@ def predicate_expression(predicate):
     return expr
 
 
+def validate_predicate_columns(predicate, available, table: str) -> None:
+    """Fail a predicate that references a column the table doesn't have at
+    the API boundary, with the available names — otherwise the missing field
+    surfaces as an opaque ``ArrowInvalid`` inside a remote scan task.
+    ``available`` is the union of the manifest schema and fragment-stored
+    columns; callers skip the check when that set is unknown (legacy
+    manifests), keeping validation strictly conservative."""
+    avail = set(available)
+    missing = [c for c, _op, _v in normalize_predicate(predicate)
+               if c not in avail]
+    if missing:
+        raise ValueError(
+            f"predicate references column(s) {sorted(set(missing))} not in "
+            f"the {table} table; available: {sorted(avail)}")
+
+
 def _triple_expression(predicate):
     import pyarrow.dataset as pds
 

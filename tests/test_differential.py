@@ -477,9 +477,14 @@ def test_window_kernels_match_duckdb(ray_session, n, seed):
         WHERE rn <= 3 ORDER BY event_id""").df()
     assert out == ora["event_id"].tolist()
 
-    # adjacent pairing (rows 2..n per key)
-    out = key(W.adjacent_pairs(ds, "user_id", ["ts", "event_id"],
-                               ["event_type"]).to_pandas())
+    # adjacent pairing (rows 2..n per key) — the one kernel here that FILTERS
+    # rows, so it can return a zero-row dataset (every key single-row);
+    # dataset_to_pandas keeps the schema where Ray's to_pandas drops it
+    from maritime_activity_reports_cdc_ray.functions.kernels import (
+        dataset_to_pandas)
+
+    out = key(dataset_to_pandas(
+        W.adjacent_pairs(ds, "user_id", ["ts", "event_id"], ["event_type"])))
     ora = key(con.execute("""
         SELECT event_id, p FROM (
             SELECT event_id, lag(event_type) OVER (PARTITION BY user_id

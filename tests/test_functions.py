@@ -88,6 +88,27 @@ def test_adjacent_pairs(ray_session, events_df):
     assert row["prev_event_type"] == "view" and row["prev_value"] == 5.0
 
 
+def test_dataset_to_pandas_keeps_schema_on_empty(ray_session, events_df):
+    # Ray 2.49's to_pandas returns a column-less (0, 0) frame for zero-row
+    # datasets; the helper rebuilds the frame from the dataset schema
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.kernels import (
+        dataset_to_pandas)
+
+    single = events_df.drop_duplicates("user_id")  # every key single-row
+    ds = W.adjacent_pairs(_ds(single), "user_id", ["ts", "event_id"],
+                          ["event_type"])
+    assert ds.to_pandas().shape[1] == 0  # the Ray quirk this guards against
+    out = dataset_to_pandas(ds)
+    assert len(out) == 0 and "prev_event_type" in out.columns
+    assert set(single.columns) <= set(out.columns)
+    # non-empty datasets pass through untouched
+    full = dataset_to_pandas(rd.from_pandas(events_df))
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), events_df.reset_index(drop=True))
+
+
 # ---------------------------------------------------------------- text
 def test_token_counts_and_fingerprint():
     s = pd.Series(["Hello,  world! The cat.", None, ""])

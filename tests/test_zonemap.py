@@ -293,6 +293,20 @@ def test_attach_content_uses_zone_maps(lake, monkeypatch):
     assert frag_footers == []
 
 
+def test_predicate_on_unknown_column_fails_at_the_boundary(lake):
+    # a clear driver-side ValueError, not an ArrowInvalid inside a scan task
+    for read in (lake.read_silver, lake.read_history, lake.read_gold):
+        with pytest.raises(ValueError, match="no_such_col"):
+            read(predicate=("no_such_col", "==", 1))
+    # compound: one bad conjunct is enough
+    with pytest.raises(ValueError, match="no_such_col"):
+        lake.read_silver(predicate=[("repo", "==", "r"),
+                                    ("no_such_col", ">", 0)])
+    # known columns still read fine on every path
+    assert lake.read_history(predicate=("repo", "!=", "")).count() >= 0
+    assert lake.read_gold(predicate=("repo", "!=", "")).count() > 0
+
+
 def test_column_stats_analyze_surface(lake):
     sm = lake.silver.latest_manifest()
     cs = column_stats(sm, kind="current")
