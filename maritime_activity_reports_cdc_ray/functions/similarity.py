@@ -785,9 +785,16 @@ def kmeans_prune(ds, q_pct: int = 10, k: int = 16, iters: int = 2,
                              "n_pruned": out["n_pruned"].astype("int64"),
                              "pruned_inertia": out["pruned_inertia"]})
 
-    res = (ds.map_batches(assign, batch_format="pandas")
-           .groupby("_part").map_groups(prune, batch_format="pandas")
-           .to_pandas())
+    from maritime_activity_reports_cdc_ray.functions.kernels import (
+        dataset_to_pandas)
+
+    res = dataset_to_pandas(
+        ds.map_batches(assign, batch_format="pandas")
+          .groupby("_part").map_groups(prune, batch_format="pandas"))
+    if not len(res.columns):  # empty input: zero groups leave no schema at all
+        res = pd.DataFrame({"cluster": pd.Series(dtype="int64"),
+                            "n_pruned": pd.Series(dtype="int64"),
+                            "pruned_inertia": pd.Series(dtype="float64")})
     res["pruned_inertia"] = _round_half_away(
         res["pruned_inertia"].to_numpy(np.float64), 2)
     return res.sort_values("cluster").reset_index(drop=True)
