@@ -158,6 +158,97 @@ class ViewRegistry:
                                             meta.get("path", "data.parquet")))
 
 
+#: values-count gate for the extrema-recompute scope: at or under it the
+#: affected ``gcols[0]`` values push down as an IN-list predicate (partition
+#: + zone-map + row-group prunable — the cheap path on a big lake); past it
+#: the scope is a broadcast/partitioned ``semi_join`` against the key
+#: Dataset — never an unbounded driver IN-list.
+RECOMPUTE_INLIST_LIMIT = 2_000
+
+#: absolute guard for ``IncrementalAggView.read()`` — a state past this
+#: group cardinality must be consumed as a Dataset (``read_dataset()``),
+#: not a driver frame. Mirrors functions.stats.GROUP_RESULT_DRIVER_LIMIT.
+VIEW_READ_DRIVER_LIMIT = 2_000_000
+
+
+def _merge_frames(state: pd.DataFrame, delta: pd.DataFrame,
+                  gcols: list[str], scols: list[str],
+                  exts: list[tuple[str, str, int]]):
+    """Pure IVM merge kernel: persisted state ∪ signed delta → (merged frame
+    with PROVISIONAL extrema in max-space, group keys whose deleted-side
+    extremum reached the provisional value and therefore need a recompute).
+
+    No I/O and no driver assumptions — the same kernel runs once over the
+    whole state (driver path) or once per hash partition of it inside a Ray
+    task (partitioned path); correctness is per-group, and a group lives in
+    exactly one hash partition."""
+    sum_cols_all = ["n"] + [f"sum_{c}" for c in scols]
+    ecols = [a for a, _, _ in exts]
+    out_cols = gcols + sum_cols_all + ecols
+    if not (len(state) or len(delta)):
+        return pd.DataFrame(columns=out_cols), pd.DataFrame(columns=gcols)
+    # exclude empty sides: an all-empty frame's object dtypes would pollute
+    # the concat result dtype (and pandas deprecates including them)
+    sides = [f[gcols + sum_cols_all] for f in (state, delta) if len(f)]
+    merged = (pd.concat(sides, ignore_index=True)
+              .groupby(gcols, as_index=False, sort=False).sum())
+    need_keys = pd.DataFrame(columns=gcols)
+    if ecols:
+        # provisional extremum = max(stored, inserted-side) per group, in
+        # max-space (min columns were negated on the way in)
+        st_ext = state[gcols].copy()
+        for a, _, s in exts:
+            st_ext[a] = s * state[a].astype("float64")
+        d_ext = delta[gcols + [f"_ins_ext_{a}" for a in ecols]] \
+            .rename(columns={f"_ins_ext_{a}": a for a in ecols})
+        prov = (pd.concat([f for f in (st_ext, d_ext) if len(f)],
+                          ignore_index=True)
+                .groupby(gcols, as_index=False, sort=False).max())
+        merged = merged.merge(prov, on=gcols, how="left")
+        dext = delta[gcols + [f"_del_ext_{a}" for a in ecols]]
+        merged = merged.merge(dext, on=gcols, how="left")
+        live = merged["n"] != 0
+        need_rc = pd.Series(False, index=merged.index)
+        for a in ecols:
+            need_rc |= live & (merged[f"_del_ext_{a}"] >= merged[a])
+        need_keys = merged.loc[need_rc, gcols].copy().reset_index(drop=True)
+        merged = merged.drop(columns=[f"_del_ext_{a}" for a in ecols])
+    merged = merged[merged["n"] != 0]
+    merged = (merged[out_cols].reset_index(drop=True) if len(merged)
+              else pd.DataFrame(columns=out_cols))
+    return merged, need_keys
+
+
+def _patch_extrema(merged: pd.DataFrame, rc: pd.DataFrame,
+                   gcols: list[str],
+                   exts: list[tuple[str, str, int]]) -> pd.DataFrame:
+    """Overwrite provisional extrema (max-space) with the recomputed true
+    values for every group present in ``rc`` — UNCONDITIONALLY on a match:
+    a NaN recompute means the group's surviving rows have no non-null value
+    and must clear the (deleted) extremum, and a non-need group that got
+    scoped in anyway receives the identical true value (harmless)."""
+    ecols = [a for a, _, _ in exts]
+    merged = merged.merge(rc[gcols + ecols], on=gcols, how="left",
+                          suffixes=("", "_rc"), indicator="_rc_hit")
+    hit = merged["_rc_hit"] == "both"
+    for a in ecols:
+        merged.loc[hit, a] = merged.loc[hit, f"{a}_rc"]
+    return merged.drop(columns=[f"{a}_rc" for a in ecols] + ["_rc_hit"])
+
+
+def _finalize_frame(merged: pd.DataFrame, gcols: list[str],
+                    exts: list[tuple[str, str, int]],
+                    out_cols: list[str]) -> pd.DataFrame:
+    """Max-space → true values (min columns negate back), canonical column
+    order, deterministic sort."""
+    if not len(merged):
+        return pd.DataFrame(columns=out_cols)
+    merged = merged.copy()
+    for a, _, s in exts:
+        merged[a] = s * merged[a]
+    return merged[out_cols].sort_values(gcols).reset_index(drop=True)
+
+
 class IncrementalAggView:
     """Incrementally-maintained group-by view over silver's current state —
     classic self-maintainable IVM driven by the CDF (reference analogue: a
@@ -177,18 +268,28 @@ class IncrementalAggView:
        update_postimage, −1 for delete / update_preimage — a key whose group
        didn't change cancels out, a key that MOVED groups transfers);
     3. combiner-first ``hash_agg`` reduces the deltas to one row per TOUCHED
-       group (the only data that reaches the driver — group-cardinality, not
-       table-cardinality);
-    4. outer-merges them into the persisted state, dropping groups whose
-       count reaches zero.
+       group;
+    4. merges them into the persisted state per HASH PARTITION of the group
+       key, dropping groups whose count reaches zero.
 
-    Cost per refresh is O(changed keys), not O(table) — the point of IVM at
-    100 TB. Persistence is a VERSIONED-DIRECTORY swap (state parquet + meta
-    land in ``v<epoch>/`` and a LATEST pointer flips in one rename): unlike
-    a full-recompute view, the state here is ITSELF an input to the next
-    refresh, so data and watermark must commit atomically — a crash at any
-    point re-runs from the previous version and converges (a data-then-meta
-    two-rename scheme would double-apply the delta).
+    State layout: the persisted state is hash-partitioned on the group
+    columns into ``part-<pid>.parquet`` files (``_hash_part``, the same
+    stable SipHash the lake's own pid scheme persists — ``hashing.py``
+    documents the stability contract), so the state∪delta merge runs as one
+    Ray task per TOUCHED partition and untouched partitions carry over as
+    hard links — zero reads, zero rewrites. Group cardinality therefore
+    never has to fit the driver: small states (≤ ``driver_state_limit``)
+    still merge in one driver frame (cheaper than a task round-trip), big
+    states route through the partitioned tasks automatically.
+
+    Cost per refresh is O(changed keys + touched-partition state), not
+    O(table) — the point of IVM at 100 TB. Persistence is a
+    VERSIONED-DIRECTORY swap (state parquet + meta land in ``v<epoch>/``
+    and a LATEST pointer flips in one rename): unlike a full-recompute
+    view, the state here is ITSELF an input to the next refresh, so data
+    and watermark must commit atomically — a crash at any point re-runs
+    from the previous version and converges (a data-then-meta two-rename
+    scheme would double-apply the delta).
 
     Null group keys: rows whose group value is NULL are excluded from the
     view (consistently — the combiner, the merge, and the recompute all
@@ -198,7 +299,8 @@ class IncrementalAggView:
 
     def __init__(self, replay, name: str, group_cols: list[str],
                  sum_cols: list[str] = (), max_cols: list[str] = (),
-                 min_cols: list[str] = (), num_partitions: int = 8):
+                 min_cols: list[str] = (), num_partitions: int = 8,
+                 driver_state_limit: int | None = None):
         """``max_cols`` / ``min_cols`` (numeric): extrema are NOT
         self-maintainable — an insert can only improve them (pure delta),
         but deleting the current extremum requires looking at the group's
@@ -207,7 +309,17 @@ class IncrementalAggView:
         extremum reaches that provisional value recompute — via a
         group-scoped, column-pruned ``read_silver`` (bounded by the affected
         groups' rows, never the table). MIN runs through the same kernel on
-        negated values; AVG is sum/n, derivable from the maintained columns."""
+        negated values; AVG is sum/n, derivable from the maintained columns.
+
+        ``driver_state_limit``: group-cardinality threshold routing the
+        state∪delta merge — at or under it the merge runs in one driver
+        frame, past it in per-hash-partition Ray tasks. Default: the
+        engine-wide ``GROUP_RESULT_DRIVER_LIMIT``. ``num_partitions`` fixes
+        the persisted hash layout at first materialization; later objects
+        follow the stored value."""
+        from maritime_activity_reports_cdc_ray.functions.stats import \
+            GROUP_RESULT_DRIVER_LIMIT
+
         self.replay = replay
         self.name = name
         self.group_cols = list(group_cols)
@@ -215,6 +327,9 @@ class IncrementalAggView:
         self.max_cols = list(max_cols)
         self.min_cols = list(min_cols)
         self.num_partitions = int(num_partitions)
+        self.driver_state_limit = (GROUP_RESULT_DRIVER_LIMIT
+                                   if driver_state_limit is None
+                                   else int(driver_state_limit))
         self.dir = os.path.join(replay.root, "views", name)
 
     # ------------------------------------------------------------------ state
@@ -244,12 +359,51 @@ class IncrementalAggView:
         return ([(f"max_{c}", c, 1) for c in self.max_cols]
                 + [(f"min_{c}", c, -1) for c in self.min_cols])
 
+    def _part_files(self, vdir: str) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(os.path.join(vdir, "part-*.parquet")))
+
     def read(self) -> pd.DataFrame:
+        """The whole view state as ONE driver frame, sorted on the group
+        columns — guarded: past :data:`VIEW_READ_DRIVER_LIMIT` groups this
+        raises instead of silently OOMing the driver (consume with
+        :meth:`read_dataset` instead)."""
         cols = self._cols()
         v = self._latest()
         if v is None:
             return pd.DataFrame(columns=cols)
-        return pq.read_table(os.path.join(v, "data.parquet")).to_pandas()[cols]
+        meta = self._meta()
+        if int(meta.get("rows", 0)) > VIEW_READ_DRIVER_LIMIT:
+            raise ValueError(
+                f"IncrementalAggView[{self.name}].read(): {meta['rows']} "
+                f"groups exceed the driver-frame contract "
+                f"({VIEW_READ_DRIVER_LIMIT}); use read_dataset() and keep "
+                "the consumption distributed")
+        return self._read_state().sort_values(
+            self.group_cols).reset_index(drop=True)
+
+    def _read_state(self) -> pd.DataFrame:
+        """Internal unguarded whole-state read — only the driver merge path
+        uses it, and the routing gate (``driver_state_limit``) already
+        bounds what reaches that path."""
+        cols = self._cols()
+        v = self._latest()
+        parts = self._part_files(v) if v else []
+        if not parts:
+            return pd.DataFrame(columns=cols)
+        return pa.concat_tables([pq.read_table(f) for f in parts],
+                                promote_options="default").to_pandas()[cols]
+
+    def read_dataset(self):
+        """The view state as a streamed ray Dataset (scale path)."""
+        import ray.data as rd
+
+        v = self._latest()
+        parts = self._part_files(v) if v else []
+        if not parts:
+            return rd.from_pandas(pd.DataFrame(columns=self._cols()))
+        return rd.read_parquet(parts)
 
     # ---------------------------------------------------------------- refresh
     def refresh(self, to_epoch: int | None = None) -> dict:
@@ -307,80 +461,34 @@ class IncrementalAggView:
         for a, _, _ in exts:
             aggs[f"_ins_ext_{a}"] = (f"_ins_{a}", "max")
             aggs[f"_del_ext_{a}"] = (f"_del_{a}", "max")
-        delta = hash_agg(feed.map_batches(signed, batch_format="pandas"),
-                         self.group_cols, aggs,
-                         num_partitions=self.num_partitions).to_pandas()
-        if "_part" in delta.columns:
-            delta = delta.drop(columns=["_part"])
-
-        state = self.read()
-        sum_cols_all = ["n"] + [f"sum_{c}" for c in self.sum_cols]
-        merged = (pd.concat([state[gcols + sum_cols_all],
-                             delta[gcols + sum_cols_all]], ignore_index=True)
-                  .groupby(gcols, as_index=False, sort=False).sum()
-                  if len(state) or len(delta) else state[gcols + sum_cols_all])
-        if exts and (len(state) or len(delta)):
-            # provisional extremum = max(stored, inserted-side) per group,
-            # in max-space (min columns negated on the way in/out)
-            st_ext = state[gcols].copy()
-            for a, _, s in exts:
-                st_ext[a] = s * state[a].astype("float64")
-            d_ext = delta[gcols + [f"_ins_ext_{a}" for a, _, _ in exts]] \
-                .rename(columns={f"_ins_ext_{a}": a for a, _, _ in exts})
-            prov = (pd.concat([st_ext, d_ext], ignore_index=True)
-                    .groupby(gcols, as_index=False, sort=False).max())
-            merged = merged.merge(prov, on=gcols, how="left")
-            # groups whose deleted-side extremum REACHES the provisional
-            # value may have lost the true one — recompute exactly those
-            # groups from silver (group-scoped predicate read, column-pruned)
-            dext = delta[gcols + [f"_del_ext_{a}" for a, _, _ in exts]]
-            merged = merged.merge(dext, on=gcols, how="left")
-            live = merged["n"] != 0
-            need_rc = pd.Series(False, index=merged.index)
-            for a, _, _ in exts:
-                need_rc |= live & (merged[f"_del_ext_{a}"] >= merged[a])
-            if need_rc.any():
-                vals = merged.loc[need_rc, gcols[0]].dropna().unique().tolist()
-                srcs = list(dict.fromkeys(c for _, c, _ in exts))
-                # pinned AS OF the refresh's epoch: reading LATEST would
-                # break refresh(to_epoch=) backfills and race a concurrent
-                # replay commit (same snapshot discipline as the streaming
-                # emission floor)
-                scoped = self.replay.read_silver(
-                    columns=list(dict.fromkeys(gcols + srcs)),
-                    as_of_epoch=cur,
-                    predicate=(gcols[0], "in", vals)).to_pandas()
-                for a, c, s in exts:
-                    scoped[f"_v_{a}"] = s * scoped[c].astype("float64")
-                rc = (scoped.groupby(gcols, as_index=False)
-                      .agg(**{a: (f"_v_{a}", "max") for a, _, _ in exts}))
-                merged = merged.merge(rc, on=gcols, how="left",
-                                      suffixes=("", "_rc"))
-                for a, _, _ in exts:
-                    # unconditional on need_rc: NaN from the recompute means
-                    # the group's surviving rows have no non-null value — a
-                    # notna() guard would keep the DELETED extremum forever
-                    merged.loc[need_rc, a] = merged.loc[need_rc, f"{a}_rc"]
-                merged = merged.drop(columns=[f"{a}_rc" for a, _, _ in exts])
-            merged = merged.drop(
-                columns=[f"_del_ext_{a}" for a, _, _ in exts])
-            for a, _, s in exts:  # back to true values (min was negated)
-                merged[a] = s * merged[a]
-        if len(merged):
-            merged = merged[merged["n"] != 0]
-        merged = merged[self._cols()] if len(merged) else \
-            pd.DataFrame(columns=self._cols())
-        merged = merged.sort_values(self.group_cols).reset_index(drop=True)
+        delta_ds = hash_agg(feed.map_batches(signed, batch_format="pandas"),
+                            self.group_cols, aggs,
+                            num_partitions=self.num_partitions).materialize()
+        n_delta = delta_ds.count()
+        meta = self._meta()
+        state_rows = int(meta.get("rows", 0))
+        # the persisted hash layout is fixed at first materialization; a
+        # later object's num_partitions only seeds a FRESH view
+        P = int(meta.get("num_partitions", self.num_partitions))
 
         # atomic versioned-dir swap: state + watermark commit together (the
         # state feeds the NEXT delta, so a data-then-meta scheme would
-        # double-apply on a crash between the renames)
+        # double-apply on a crash between the renames). A crashed prior
+        # attempt's vdir is garbage — clear it before writing.
+        import shutil
+
         vdir = os.path.join(self.dir, f"v{cur:010d}")
+        shutil.rmtree(vdir, ignore_errors=True)
         os.makedirs(vdir, exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
-                       os.path.join(vdir, "data.parquet"))
+
+        if state_rows + n_delta <= self.driver_state_limit:
+            rows = self._refresh_driver(delta_ds, cur, vdir, P)
+        else:
+            rows = self._refresh_partitioned(delta_ds, cur, vdir, P)
+
         with open(os.path.join(vdir, "meta.json"), "w") as f:
-            json.dump({"epoch": cur, "rows": len(merged)}, f)
+            json.dump({"epoch": cur, "rows": int(rows),
+                       "num_partitions": int(P)}, f)
         prev = self._latest()
         fd, tmp = tempfile.mkstemp(dir=self.dir)
         os.close(fd)
@@ -388,11 +496,228 @@ class IncrementalAggView:
             f.write(os.path.basename(vdir))
         os.replace(tmp, os.path.join(self.dir, "LATEST"))
         if prev and os.path.realpath(prev) != os.path.realpath(vdir):
-            import shutil
-
+            # safe under the partitioned path's hard links: unlinking the
+            # previous version's names leaves the shared inodes alive
             shutil.rmtree(prev, ignore_errors=True)
         return {"status": "refreshed", "epoch": cur,
-                "groups_touched": len(delta)}
+                "groups_touched": n_delta}
+
+    def _refresh_driver(self, delta_ds, cur: int, vdir: str, P: int) -> int:
+        """Small-state merge: one driver frame (cheaper than task
+        round-trips) — reached only under ``driver_state_limit`` groups."""
+        gcols, scols, exts = list(self.group_cols), list(self.sum_cols), \
+            self._exts()
+        delta = delta_ds.to_pandas()
+        if "_part" in delta.columns:
+            delta = delta.drop(columns=["_part"])
+        state = self._read_state()
+        merged, need = _merge_frames(state, delta, gcols, scols, exts)
+        if exts and len(need):
+            vals = need[gcols[0]].dropna().unique().tolist()
+            rc_ds = (self._recompute(cur, vals=vals)
+                     if len(vals) <= RECOMPUTE_INLIST_LIMIT
+                     else self._recompute(cur, keys=need))
+            rc = rc_ds.to_pandas().drop(columns=["_part"], errors="ignore")
+            rc = rc.merge(need.drop_duplicates(), on=gcols, how="inner")
+            merged = _patch_extrema(merged, rc, gcols, exts)
+        fin = _finalize_frame(merged, gcols, exts, self._cols())
+        return self._write_parts(fin, vdir, P)
+
+    def _write_parts(self, fin: pd.DataFrame, vdir: str, P: int) -> int:
+        import numpy as np
+
+        from maritime_activity_reports_cdc_ray.functions.dedup import \
+            _hash_part
+
+        if not len(fin):
+            return 0
+        pids = _hash_part(fin, self.group_cols, P)
+        for pid in np.unique(pids):
+            pq.write_table(
+                pa.Table.from_pandas(fin[pids == pid], preserve_index=False),
+                os.path.join(vdir, f"part-{int(pid):05d}.parquet"))
+        return len(fin)
+
+    def _refresh_partitioned(self, delta_ds, cur: int, vdir: str,
+                             P: int) -> int:
+        """Big-state merge: the state∪delta merge runs as ONE Ray task per
+        TOUCHED hash partition (the partition's state file ∪ its delta
+        groups — each group lives in exactly one partition), untouched
+        partitions carry over as hard links, and the extrema recompute is
+        an IN-list- or semi_join-scoped distributed pass patched back per
+        partition. Group cardinality never lands on the driver; the driver
+        sees only the per-refresh need-recompute KEY COUNT and file names.
+        Two-phase per partition: a partition with recompute-pending groups
+        parks its merged frame (max-space) under ``_pending/`` and is
+        finalized by the patch pass; everything else finalizes in phase one.
+        """
+        import shutil
+
+        from maritime_activity_reports_cdc_ray.functions.dedup import \
+            _hash_part
+
+        gcols, scols, exts = list(self.group_cols), list(self.sum_cols), \
+            self._exts()
+        out_cols = self._cols()
+        prev_dir = self._latest()
+        pend_dir = os.path.join(vdir, "_pending")
+        os.makedirs(pend_dir, exist_ok=True)
+
+        def add_part(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop(columns=["_part"], errors="ignore")
+            return df.assign(_part=_hash_part(df, gcols, P))
+
+        if delta_ds.count() == 0:
+            handled: set[int] = set()
+        else:
+            delta_p = delta_ds.map_batches(
+                add_part, batch_format="pandas").materialize()
+
+            def distinct_pids(df: pd.DataFrame) -> pd.DataFrame:
+                # NOT hash_distinct: distinct-ing a column literally named
+                # _part would collide with its internal partition column
+                if "_part" not in df.columns:  # column-less empty block
+                    return pd.DataFrame({"pid": pd.Series(dtype="int64")})
+                return pd.DataFrame(
+                    {"pid": df["_part"].drop_duplicates().astype("int64")})
+
+            # ≤ P × |blocks| rows — a per-batch distinct, driver-safe
+            pids_df = delta_p.map_batches(
+                distinct_pids, batch_format="pandas").to_pandas()
+            handled = (set(pids_df["pid"].astype(int).tolist())
+                       if len(pids_df) else set())
+
+            def merge_task(g: pd.DataFrame) -> pd.DataFrame:
+                pid = int(g["_part"].iloc[0])
+                d = g.drop(columns=["_part"])
+                sp = (os.path.join(prev_dir, f"part-{pid:05d}.parquet")
+                      if prev_dir else None)
+                state = (pq.read_table(sp).to_pandas()
+                         if sp and os.path.exists(sp)
+                         else pd.DataFrame(columns=out_cols))
+                merged, need = _merge_frames(state, d, gcols, scols, exts)
+                if exts and len(need):
+                    # provisional extrema pending the recompute patch
+                    # (max-space; idempotent overwrite under task retry)
+                    pq.write_table(
+                        pa.Table.from_pandas(merged, preserve_index=False),
+                        os.path.join(pend_dir, f"part-{pid:05d}.parquet"))
+                else:
+                    fin = _finalize_frame(merged, gcols, exts, out_cols)
+                    if len(fin):
+                        pq.write_table(
+                            pa.Table.from_pandas(fin, preserve_index=False),
+                            os.path.join(vdir, f"part-{pid:05d}.parquet"))
+                # empty need: keep the DELTA's key dtypes so the needs
+                # dataset's blocks stay schema-consistent for the join
+                return need if len(need) else d[gcols].iloc[0:0]
+
+            needs = (delta_p.groupby("_part")
+                     .map_groups(merge_task, batch_format="pandas")
+                     .materialize())
+            n_need = needs.count()
+            if n_need:
+                if n_need <= RECOMPUTE_INLIST_LIMIT:
+                    vals = needs.to_pandas()[gcols[0]] \
+                        .dropna().unique().tolist()
+                    rc_ds = self._recompute(cur, vals=vals)
+                else:
+                    rc_ds = self._recompute(cur, keys=needs)
+                # the recompute scope may include BYSTANDER groups (they
+                # share gcols[0] with a need group): patching them is a
+                # no-op (the recomputed value IS their provisional value —
+                # no max-invalidating delete touched them), and a bystander
+                # hashing into an already-finalized partition is skipped by
+                # the missing-pending guard below — so no key filter needed
+                rc_p = rc_ds.map_batches(add_part, batch_format="pandas")
+
+                def patch_task(g: pd.DataFrame) -> pd.DataFrame:
+                    pid = int(g["_part"].iloc[0])
+                    rc = g.drop(columns=["_part"])
+                    pp = os.path.join(pend_dir, f"part-{pid:05d}.parquet")
+                    if not os.path.exists(pp):  # retried task: already done
+                        return pd.DataFrame({"_pid": [pid]})
+                    merged = _patch_extrema(pq.read_table(pp).to_pandas(),
+                                            rc, gcols, exts)
+                    fin = _finalize_frame(merged, gcols, exts, out_cols)
+                    if len(fin):
+                        pq.write_table(
+                            pa.Table.from_pandas(fin, preserve_index=False),
+                            os.path.join(vdir, f"part-{pid:05d}.parquet"))
+                    os.unlink(pp)
+                    return pd.DataFrame({"_pid": [pid]})
+
+                (rc_p.groupby("_part")
+                 .map_groups(patch_task, batch_format="pandas").materialize())
+
+        leftover = os.listdir(pend_dir)
+        if leftover:
+            raise RuntimeError(
+                f"IncrementalAggView[{self.name}]: {len(leftover)} pending "
+                "partitions received no recompute rows — a need-recompute "
+                "group had no live silver rows (IVM count drift)")
+        shutil.rmtree(pend_dir, ignore_errors=True)
+        # untouched partitions carry over as hard links: zero reads, zero
+        # copies — the refresh cost stays O(touched partitions)
+        if prev_dir:
+            for f in self._part_files(prev_dir):
+                pid = int(os.path.basename(f)[5:10])
+                dst = os.path.join(vdir, os.path.basename(f))
+                # never clobber a freshly-merged file (defense in depth on
+                # top of the handled-pid set: a touched-but-now-empty
+                # partition writes nothing and must NOT resurrect its old
+                # state, which is what `handled` guards)
+                if pid in handled or os.path.exists(dst):
+                    continue
+                try:
+                    os.link(f, dst)
+                except OSError:
+                    shutil.copy2(f, dst)
+        return sum(pq.read_metadata(f).num_rows
+                   for f in self._part_files(vdir))
+
+    def _recompute(self, cur: int, vals: list | None = None, keys=None):
+        """True extrema (max-space) per group over silver AS OF ``cur`` for
+        the recompute scope — pinned to the refresh's epoch: reading LATEST
+        would break ``refresh(to_epoch=)`` backfills and race a concurrent
+        replay commit (same snapshot discipline as the streaming emission
+        floor). Scope: an IN-list predicate on ``group_cols[0]`` (partition
+        / zone-map / row-group prunable — the cheap path on a big lake) when
+        the affected value set is small, else a gated ``semi_join`` against
+        the key Dataset — never an unbounded driver IN-list. Returns a
+        Dataset of group_cols + one MAX-SPACE column per extremum alias."""
+        from maritime_activity_reports_cdc_ray.functions.stats import \
+            hash_agg
+
+        gcols = list(self.group_cols)
+        exts = self._exts()
+        srcs = list(dict.fromkeys(c for _, c, _ in exts))
+        cols = list(dict.fromkeys(gcols + srcs))
+        if vals is not None:
+            scoped = self.replay.read_silver(
+                columns=cols, as_of_epoch=cur,
+                predicate=(gcols[0], "in", list(vals)))
+        else:
+            import ray.data as rd
+
+            from maritime_activity_reports_cdc_ray.functions.join import \
+                semi_join
+
+            if isinstance(keys, pd.DataFrame):
+                keys = rd.from_pandas(keys)
+            scoped = semi_join(
+                self.replay.read_silver(columns=cols, as_of_epoch=cur),
+                keys, on=gcols[0])
+
+        def to_ms(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[gcols].copy()
+            for a, c, s in exts:
+                out[f"_v_{a}"] = s * df[c].astype("float64")
+            return out
+
+        return hash_agg(scoped.map_batches(to_ms, batch_format="pandas"),
+                        gcols, {a: (f"_v_{a}", "max") for a, _, _ in exts},
+                        num_partitions=self.num_partitions)
 
 
 # ---------------------------------------------------------------------------
