@@ -723,7 +723,8 @@ def events_value_percentiles(sf_dir: str):
     return out[["event_type", "n", "p50", "p90", "approx_p50", "approx_p90"]]
 
 
-_CDC_STREAM_V = "v5"  # bump when the adapted stream or engine config changes
+_CDC_STREAM_V = "v6"  # bump when the adapted stream or engine config changes
+#                       (v6: IncrementalAggView state layout went partitioned)
 
 
 def _replay_events_as_cdc(sf_dir: str):

@@ -451,8 +451,8 @@ def verify_pairs_jaccard(cand_ds, docs_ds, threshold: float = 0.8, k: int = 5,
         def sh_arrays(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
                 id_col: df[id_col].to_numpy(),
-                "_sh": [np.sort(_hash_shingles(t, k))
-                        for t in df[text_col].fillna("")]})
+                "_sh": [np.sort(a) for a in
+                        _hash_shingles_batch(df[text_col].fillna(""), k)]})
 
         # Break operator fusion AND re-split: fused, the verify runs inside
         # the single pairing task (256k candidate pairs ≈ 2.9 s serial at
@@ -560,6 +560,32 @@ def _hash_shingles(text: str, k: int) -> np.ndarray:
         dtype=np.uint64, count=len(sh))
 
 
+def _hash_shingles_batch(texts, k: int) -> list[np.ndarray]:
+    """Per-doc distinct k-gram hashes for a whole BATCH, factorized: shingles
+    repeat heavily across documents (Zipf — shared boilerplate, near-dups),
+    so a C-level factorize over the batch's flattened grams runs the blake2b
+    loop once per DISTINCT gram and a take scatters the hashes back. Same
+    values as mapping :func:`_hash_shingles` per doc, ~|distinct|/|total| of
+    the Python-loop cost."""
+    per_doc = [_shingles(t, k) for t in texts]
+    lens = np.fromiter((len(p) for p in per_doc), dtype=np.int64,
+                       count=len(per_doc))
+    flat = np.asarray([s for p in per_doc for s in p], dtype=object)
+    if not len(flat):
+        return [np.empty(0, dtype=np.uint64) for _ in per_doc]
+    import pandas as pd
+
+    codes, uniques = pd.factorize(flat, use_na_sentinel=False)
+    b2 = hashlib.blake2b
+    uh = np.empty(len(uniques), dtype=np.uint64)
+    for i, s in enumerate(uniques):
+        uh[i] = int.from_bytes(b2(s.encode(), digest_size=8).digest(),
+                               "little")
+    hs = uh[codes]
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    return [hs[offs[i]:offs[i + 1]] for i in range(len(per_doc))]
+
+
 class Shingler:
     """Actor-pool stage: doc → its prefix shingle hashes under a global order.
 
@@ -602,8 +628,8 @@ class Shingler:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out_id, out_sh, out_sz = [], [], []
         hot = self._hot()
-        for i, text in zip(df[self.id_col].to_numpy(), df[self.text_col].fillna("")):
-            hs = _hash_shingles(text, self.k)
+        batch_hs = _hash_shingles_batch(df[self.text_col].fillna(""), self.k)
+        for i, hs in zip(df[self.id_col].to_numpy(), batch_hs):
             n = len(hs)
             if hot:
                 # the broadcast hot table is keyed by SIGNED int64 (the count
@@ -645,14 +671,20 @@ def jaccard_similarity_join(ds, threshold: float = 0.5, k: int = 8,
     import ray
 
     def all_hashes(df: pd.DataFrame) -> pd.DataFrame:
-        hs = [_hash_shingles(t, k).astype("int64") for t in df[text_col].fillna("")]
+        hs = [a.astype("int64") for a in
+              _hash_shingles_batch(df[text_col].fillna(""), k)]
         return pd.DataFrame({"sh": np.concatenate(hs) if hs else
                              np.array([], dtype="int64")})
 
     counts = hash_count(ds.map_batches(all_hashes, batch_format="pandas"),
                         ["sh"], num_partitions)
-    hot_df = counts.map_batches(lambda df: df[df["cnt"] >= hot_min],
-                                batch_format="pandas").to_pandas()
+    from maritime_activity_reports_cdc_ray.functions.kernels import \
+        dataset_to_pandas
+
+    # dataset_to_pandas: a corpus with NO hot shingles yields only empty
+    # blocks, and Ray 2.49's plain to_pandas() would drop the columns
+    hot_df = dataset_to_pandas(counts.map_batches(
+        lambda df: df[df["cnt"] >= hot_min], batch_format="pandas"))
     hot_ref = ray.put(dict(zip(hot_df["sh"].astype(int), hot_df["cnt"].astype(int))))
 
     kw = {} if concurrency is None else {"concurrency": int(np.max(concurrency))}

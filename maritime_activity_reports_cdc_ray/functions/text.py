@@ -49,9 +49,22 @@ def normalize(texts: pd.Series) -> pd.Series:
 
 def fingerprint_md5(texts: pd.Series) -> pd.Series:
     """md5 hex of the normalized text (exact-dup fingerprint; md5 chosen so a
-    SQL oracle can reproduce it: DuckDB ``md5(...)``)."""
+    SQL oracle can reproduce it: DuckDB ``md5(...)``).
+
+    Distinct-only: dedup corpora are Zipf-heavy in repeated texts, so a
+    C-level factorize finds the uniques, the md5 loop runs once per unique,
+    and a take scatters the digests back (the ``hashing.md5_u64_array``
+    trick applied to the hex form)."""
     norm = normalize(texts)
-    return norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+    arr = norm.to_numpy(dtype=object)
+    if not len(arr):
+        return pd.Series([], dtype=object, index=norm.index)
+    codes, uniques = pd.factorize(arr, use_na_sentinel=False)
+    md5 = hashlib.md5
+    uh = np.empty(len(uniques), dtype=object)
+    for i, s in enumerate(uniques):
+        uh[i] = md5(s.encode("utf-8")).hexdigest()
+    return pd.Series(uh[codes], index=norm.index)
 
 
 def text_metrics(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
@@ -64,9 +77,16 @@ def text_metrics(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     # RE2/SQL oracles treat \w as ASCII — an explicit class keeps both equal
     n_punct = t.str.count(r"[!-/:-@\[-`{-~]").astype("int64")
     n_upper = t.str.count(r"[A-Z]").astype("int64")
-    words = t.str.lower().str.findall(r"[a-z']+")
+    # stopword hits: explode tokens once → one C-level isin → bincount per
+    # row position (the LangId kernel shape; no per-row Python loop)
+    words = t.str.lower().str.findall(r"[a-z']+").reset_index(drop=True)
     stop = _STOPWORDS["en"]
-    stop_hits = words.map(lambda ws: sum(1 for w in ws if w in stop))
+    stop_hits = np.zeros(len(t), dtype=np.int64)
+    ex = words.explode().dropna()
+    if len(ex):
+        rows = ex.index.to_numpy(dtype=np.int64)
+        hits = ex.isin(stop).to_numpy()
+        stop_hits = np.bincount(rows[hits], minlength=len(t)).astype(np.int64)
     df = df.copy()
     df["n_tokens"] = n_tokens
     df["n_chars_actual"] = n_chars
@@ -179,8 +199,19 @@ class RollingFingerprint:
         return hashlib.sha1(self._windows(s).tobytes()).hexdigest()
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # distinct-only (Zipf-duplicate texts): factorize, fingerprint each
+        # UNIQUE text once, scatter back — per-row Python only per unique
         df = df.copy()
-        df["doc_fingerprint"] = df["text"].fillna("").map(self._fingerprint)
+        arr = df["text"].fillna("").to_numpy(dtype=object)
+        if not len(arr):
+            df["doc_fingerprint"] = pd.Series([], dtype=object,
+                                              index=df.index)
+            return df
+        codes, uniques = pd.factorize(arr, use_na_sentinel=False)
+        uh = np.empty(len(uniques), dtype=object)
+        for i, s in enumerate(uniques):
+            uh[i] = self._fingerprint(s)
+        df["doc_fingerprint"] = uh[codes]
         return df
 
     def fingerprints(self, df: pd.DataFrame, id_col: str = "doc_id",
