@@ -727,6 +727,47 @@ _CDC_STREAM_V = "v6"  # bump when the adapted stream or engine config changes
 #                       (v6: IncrementalAggView state layout went partitioned)
 
 
+def _write_events_stream(sf_dir: str, events_dir: str,
+                         content_mod: int | None = None) -> None:
+    """Adapt the events table into a 4-epoch change stream WITHOUT a driver
+    frame: distributed sort on event_id → positional quartile split (the
+    oracles replay rank-quartiles, so the split must be by RANK, exactly) →
+    vectorized commit minting inside map_batches → each epoch streamed to a
+    multi-file ``*.feed`` dir (one CDF epoch per dir, ``_SUCCESS``-gated —
+    the same resumable sink the DML feeds use). ``content_mod``: content =
+    str(event_id % mod) (the no-op-update pool); None = str(event_id)."""
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    n = ds.count()
+    splits = ds.sort("event_id").split_at_indices(
+        [i * n // 4 for i in range(1, 4)])
+
+    def mint(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].astype("int64")
+        content = ((eid % content_mod) if content_mod else eid).astype(str)
+        return pd.DataFrame({
+            "repo": "u" + df["user_id"].astype(str),
+            "path": df["event_type"],
+            "commit": ("c" + df["ts"].astype("int64").astype(str).str.zfill(16)
+                       + eid.astype(str).str.zfill(8)),
+            "lang": "txt",
+            "content": content,
+        })
+
+    def cast_content(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("content")
+        return t.set_column(i, "content",
+                            t.column("content").cast(pa.large_string()))
+
+    for i, part in enumerate(splits):
+        feed = os.path.join(events_dir, f"e{i:05d}.feed")
+        os.makedirs(feed, exist_ok=True)
+        (part.map_batches(mint, batch_format="pandas")
+         .map_batches(cast_content, batch_format="pyarrow")
+         .write_parquet(feed))
+        with open(os.path.join(feed, "_SUCCESS"), "w") as f:
+            f.write("ok")
+
+
 def _replay_events_as_cdc(sf_dir: str):
     """Adapt the events table into a change stream keyed by (user, event_type)
     — commit = (ts micros, event_id) zero-padded so lexicographic order ==
@@ -748,22 +789,7 @@ def _replay_events_as_cdc(sf_dir: str):
     if not os.path.exists(done):
         shutil.rmtree(work, ignore_errors=True)
         os.makedirs(os.path.join(work, "events"))
-        ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]).to_pandas()
-        ev = ev.sort_values("event_id")
-        micros = (ev.ts.astype("int64")).to_numpy()
-        stream = pd.DataFrame({
-            "repo": "u" + ev.user_id.astype(str),
-            "path": ev.event_type,
-            "commit": [f"c{m:016d}{e:08d}" for m, e in zip(micros, ev.event_id)],
-            "lang": "txt",
-            "content": ev.event_id.astype(str),
-        })
-        n = len(stream)
-        for i in range(4):  # 4 epochs
-            sl = stream.iloc[i * n // 4 : (i + 1) * n // 4]
-            tbl = pa.Table.from_pandas(sl, preserve_index=False)
-            tbl = tbl.set_column(4, "content", tbl.column("content").cast(pa.large_string()))
-            pq.write_table(tbl, os.path.join(work, "events", f"part-{i:05d}.parquet"))
+        _write_events_stream(sf_dir, os.path.join(work, "events"))
     r = CDCReplay(os.path.join(work, "lake"), cfg)
     r.setup()
     r.run(os.path.join(work, "events"))  # resumes / no-op when already done
@@ -944,22 +970,8 @@ def _replay_events_nochange_cdc(sf_dir: str):
     if not os.path.exists(done):
         shutil.rmtree(work, ignore_errors=True)
         os.makedirs(os.path.join(work, "events"))
-        ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]).to_pandas()
-        ev = ev.sort_values("event_id")
-        micros = (ev.ts.astype("int64")).to_numpy()
-        stream = pd.DataFrame({
-            "repo": "u" + ev.user_id.astype(str),
-            "path": ev.event_type,
-            "commit": [f"c{m:016d}{e:08d}" for m, e in zip(micros, ev.event_id)],
-            "lang": "txt",
-            "content": (ev.event_id % 3).astype(str),
-        })
-        n = len(stream)
-        for i in range(4):  # 4 epochs
-            sl = stream.iloc[i * n // 4 : (i + 1) * n // 4]
-            tbl = pa.Table.from_pandas(sl, preserve_index=False)
-            tbl = tbl.set_column(4, "content", tbl.column("content").cast(pa.large_string()))
-            pq.write_table(tbl, os.path.join(work, "events", f"part-{i:05d}.parquet"))
+        _write_events_stream(sf_dir, os.path.join(work, "events"),
+                             content_mod=3)
     r = CDCReplay(os.path.join(work, "lake"), cfg)
     r.setup()
     r.run(os.path.join(work, "events"))

@@ -1665,6 +1665,22 @@ class CDCReplay:
         if os.environ.get("ENGINE_STATS"):
             print(f"[gold e{epoch}] refresh={_time.monotonic() - _tg:.1f}s")
 
+    @staticmethod
+    def _scoped_current_paths(sm, pid: int, repos) -> list[str]:
+        """Silver current fragments of ``pid`` that can contain ANY of the
+        affected ``repos`` — manifest zone-map pruned (zero file opens): a
+        lagging gold consumer catching up over a narrow repo set on a
+        zone-mapped lake opens only the overlapping files. Fragments without
+        stats (pre-zonemap manifests) are always kept — never drops a
+        possibly-matching fragment (state/zonemap.py's contract)."""
+        from maritime_activity_reports_cdc_ray.state.zonemap import \
+            prune_fragments_by_stats
+
+        cand = [f for f in sm.fragments
+                if f.pid == pid and f.kind == "current"]
+        return [f.path for f in prune_fragments_by_stats(
+            cand, ("repo", "in", sorted(repos)))]
+
     def _gold_refresh_inner(self, epoch: int, pinned_silver=None) -> None:
         """Refresh gold to silver-state ``epoch``. ``pinned_silver`` reads a
         time-travel silver manifest instead of the latest — the decoupled
@@ -1692,7 +1708,7 @@ class CDCReplay:
         gold_frag = {f.pid: f for f in gm.fragments if f.kind == "gold"}
         items = []
         for pid, repos in repos_by_pid.items():
-            silver_paths = [f.path for f in sm.fragments if f.pid == pid and f.kind == "current"]
+            silver_paths = self._scoped_current_paths(sm, pid, repos)
             g = gold_frag.get(pid)
             items.append({"pid": pid, "silver_paths": silver_paths, "gold_path": g.path if g else ""})
         from maritime_activity_reports_cdc_ray.stages.gold import make_gold_task_fn

@@ -125,3 +125,33 @@ def test_gold_cli_verb(ray_session, tmp_path):
     assert res["epochs_consumed"] == 2 and res["gold_epoch"] == 1
     assert res["status"] == "caught-up"
     assert len(r.read_gold().to_pandas()) > 0
+
+
+def test_gold_refresh_scopes_silver_files_by_zone_map():
+    """VERDICT r4 #4: the gold catch-up consults prune_fragments_by_stats —
+    a refresh over a narrow affected-repo set must open only silver current
+    fragments whose repo zone map can overlap it. Pre-zonemap fragments
+    (zmap=None), other pids and other kinds behave per the lake contract."""
+    from types import SimpleNamespace
+
+    from maritime_activity_reports_cdc_ray.pipelines.replay import CDCReplay
+    from maritime_activity_reports_cdc_ray.state.table import Fragment
+
+    def frag(path, pid, salt, kind, zmap):
+        return Fragment(path=path, pid=pid, salt=salt, kind=kind, epoch=1,
+                        rows=10, bytes=1, zmap=zmap)
+
+    sm = SimpleNamespace(fragments=[
+        frag("a", 0, 0, "current", {"repo": ["r00", "r09", 0]}),
+        frag("b", 0, 1, "current", {"repo": ["r10", "r19", 0]}),
+        frag("c", 0, 2, "current", None),            # pre-zonemap: kept
+        frag("d", 1, 0, "current", {"repo": ["r05", "r06", 0]}),  # other pid
+        frag("h", 0, 0, "history", {"repo": ["r00", "r99", 0]}),  # other kind
+    ])
+    got = CDCReplay._scoped_current_paths(sm, 0, {"r05"})
+    assert got == ["a", "c"]
+    got = CDCReplay._scoped_current_paths(sm, 0, {"r12", "r99"})
+    assert got == ["b", "c"]
+    # a repo set spanning both ranges keeps both stat-carrying fragments
+    got = CDCReplay._scoped_current_paths(sm, 0, {"r05", "r15"})
+    assert got == ["a", "b", "c"]
