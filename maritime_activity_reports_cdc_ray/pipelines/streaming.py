@@ -78,14 +78,9 @@ class StreamingWindowAgg:
             return {"epoch": -1}
         return json.load(open(os.path.join(v, "meta.json")))
 
-    def _read(self, which: str) -> pd.DataFrame:
-        cols = (["window_start", "window_end"] + self.group_cols + ["n"]
+    def _cols(self) -> list[str]:
+        return (["window_start", "window_end"] + self.group_cols + ["n"]
                 + [f"sum_{c}" for c in self.sum_cols])
-        v = self._latest()
-        fp = None if v is None else os.path.join(v, f"{which}.parquet")
-        if fp is None or not os.path.exists(fp):
-            return pd.DataFrame(columns=cols)
-        return pq.read_table(fp).to_pandas()[cols]
 
     @property
     def is_flushed(self) -> bool:
@@ -95,29 +90,62 @@ class StreamingWindowAgg:
 
     def state(self) -> pd.DataFrame:
         """Open (not yet finalized) windows."""
-        return self._read("state")
+        cols = self._cols()
+        v = self._latest()
+        fp = None if v is None else os.path.join(v, "state.parquet")
+        if fp is None or not os.path.exists(fp):
+            return pd.DataFrame(columns=cols)
+        return pq.read_table(fp).to_pandas()[cols]
+
+    def _result_segments(self, vdir: str) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(os.path.join(vdir, "results*.parquet")))
 
     def results(self) -> pd.DataFrame:
-        """Finalized windows, append-only across refreshes."""
-        return self._read("results")
+        """Finalized windows, append-only across refreshes — stored as
+        per-emission SEGMENT files (a refresh appends one segment and
+        hard-links the rest; already-emitted rows are never rewritten)."""
+        cols = self._cols()
+        v = self._latest()
+        segs = self._result_segments(v) if v else []
+        if not segs:
+            return pd.DataFrame(columns=cols)
+        return pa.concat_tables(
+            [pq.read_table(f) for f in segs],
+            promote_options="default").to_pandas()[cols]
 
     def _commit(self, epoch: int, state: pd.DataFrame,
-                results: pd.DataFrame, tag: str = "",
+                close: pd.DataFrame, emitted_total: int, tag: str = "",
                 flushed: bool = False) -> None:
+        """Versioned-dir swap: state rewrites (open-window-cardinality),
+        results APPEND — prior segments carry over as hard links and only
+        the newly finalized rows write, so the per-refresh result cost is
+        O(emitted this refresh), not O(all ever emitted)."""
         vdir = os.path.join(self.dir, f"v{epoch:010d}{tag}")
+        shutil.rmtree(vdir, ignore_errors=True)  # crashed prior attempt
         os.makedirs(vdir, exist_ok=True)
-        for which, df in (("state", state), ("results", results)):
-            pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
-                           os.path.join(vdir, f"{which}.parquet"))
+        pq.write_table(pa.Table.from_pandas(state, preserve_index=False),
+                       os.path.join(vdir, "state.parquet"))
+        prev = self._latest()
+        if prev:
+            for f in self._result_segments(prev):
+                dst = os.path.join(vdir, os.path.basename(f))
+                try:
+                    os.link(f, dst)
+                except OSError:
+                    shutil.copy2(f, dst)
+        if len(close):
+            pq.write_table(pa.Table.from_pandas(close, preserve_index=False),
+                           os.path.join(vdir, f"results-{epoch:010d}{tag}.parquet"))
         with open(os.path.join(vdir, "meta.json"), "w") as f:
             json.dump({"epoch": epoch, "open_windows": len(state),
-                       "emitted_windows": len(results),
+                       "emitted_windows": int(emitted_total),
                        "flushed": flushed}, f)
         fd, tmp = tempfile.mkstemp(dir=self.dir)
         os.close(fd)
         with open(tmp, "w") as f:
             f.write(os.path.basename(vdir))
-        prev = self._latest()
         os.replace(tmp, os.path.join(self.dir, "LATEST"))
         if prev and os.path.realpath(prev) != os.path.realpath(vdir):
             shutil.rmtree(prev, ignore_errors=True)
@@ -218,6 +246,19 @@ class StreamingWindowAgg:
 
         delta = self._delta(e, cur)
         state = self.state().drop(columns=["window_end"])
+        # loud driver-state contract (the GROUP_RESULT_DRIVER_LIMIT pattern):
+        # open-window state is bounded by watermark x group cardinality —
+        # past the limit the key is too fine for a driver-merged stream
+        from maritime_activity_reports_cdc_ray.functions.stats import \
+            GROUP_RESULT_DRIVER_LIMIT
+
+        if len(state) + len(delta) > GROUP_RESULT_DRIVER_LIMIT:
+            raise ValueError(
+                f"StreamingWindowAgg[{self.name}]: {len(state) + len(delta)} "
+                f"open (window, group) rows exceed the driver-state contract "
+                f"({GROUP_RESULT_DRIVER_LIMIT}); widen the watermark/window "
+                "so windows finalize, coarsen the group key, or maintain the "
+                "aggregate as a hash-partitioned IncrementalAggView")
         merged = pd.concat([state, delta], ignore_index=True)
         if len(merged):
             # dropna=False: NULL group keys are real groups (see _NULL_SENT)
@@ -234,14 +275,13 @@ class StreamingWindowAgg:
         else:
             fin = merged["window_end"] <= floor
             close, stay = merged[fin], merged[~fin]
-        cols = (["window_start", "window_end"] + self.group_cols + ["n"]
-                + [f"sum_{c}" for c in self.sum_cols])
-        results = pd.concat([self.results(), close[cols]],
-                            ignore_index=True) if len(close) else \
-            self.results()
+        cols = self._cols()
+        emitted_total = (int(self._meta().get("emitted_windows", 0))
+                         + len(close))
         stay = stay[cols].sort_values(["window_start"] + self.group_cols) \
             .reset_index(drop=True)
-        self._commit(cur, stay, results.reset_index(drop=True))
+        self._commit(cur, stay, close[cols].reset_index(drop=True),
+                     emitted_total)
         return {"status": "refreshed", "epoch": cur, "emitted": len(close),
                 "open_windows": len(stay)}
 
@@ -254,8 +294,8 @@ class StreamingWindowAgg:
         if self._meta().get("flushed"):
             return {"status": "flushed", "emitted": 0}
         st = self.state()
-        res = (pd.concat([self.results(), st], ignore_index=True)
-               if len(st) else self.results())
-        self._commit(int(self._meta()["epoch"]), st.iloc[0:0], res,
+        emitted_total = int(self._meta().get("emitted_windows", 0)) + len(st)
+        self._commit(int(self._meta()["epoch"]), st.iloc[0:0],
+                     st[self._cols()].reset_index(drop=True), emitted_total,
                      tag="-flush", flushed=True)
         return {"status": "flushed", "emitted": len(st)}

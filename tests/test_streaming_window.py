@@ -228,3 +228,36 @@ def test_null_group_keys_are_real_groups(ray_session, tmp_path):
     assert len(nullg) == 1 and int(nullg["n"].iloc[0]) == 2
     pyg = win0[win0["lang"] == "py"]
     assert len(pyg) == 1 and int(pyg["n"].iloc[0]) == 1
+
+
+def test_results_segments_append_only_hard_links(ray_session, tmp_path):
+    """Per-refresh result cost is O(emitted this refresh): previously
+    emitted segments carry over as hard links (same inode), never
+    rewritten, and results() still returns the full append-only table."""
+    import os
+
+    d = str(tmp_path / "stream")
+    generate_events(d, n_events=3000, n_repos=8, n_epochs=3, seed=31)
+    r = CDCReplay(str(tmp_path / "lake"),
+                  EngineConfig(num_partitions=4, watermark_delay=50))
+    r.setup()
+    w = StreamingWindowAgg(r, "seg", SIZE, ["lang"],
+                           sum_cols=["content_bytes"])
+    inodes: dict = {}
+    for _ in range(3):
+        r.run(d, max_epochs=1)
+        w.refresh()
+        segs = w._result_segments(w._latest())
+        for f in segs:
+            b = os.path.basename(f)
+            if b in inodes:
+                assert os.stat(f).st_ino == inodes[b], \
+                    "an emitted segment was rewritten"
+            inodes[b] = os.stat(f).st_ino
+    w.flush()
+    got = w.results()
+    exp = _expected(r)
+    got = got.sort_values(["window_start", "lang"]).reset_index(drop=True)
+    assert got["n"].astype("int64").tolist() == exp["n"].tolist()
+    assert got["sum_content_bytes"].astype("int64").tolist() == \
+        exp["sum_content_bytes"].tolist()
