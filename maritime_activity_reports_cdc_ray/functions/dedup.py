@@ -51,6 +51,14 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 # aggregation shape the merge engine uses for the CDC shuffle.
 # ---------------------------------------------------------------------------
 def _hash_part(df: pd.DataFrame, cols: list[str], num_partitions: int) -> np.ndarray:
+    if "_part" in cols:
+        # every caller assigns the result to a `_part` column; hashing a
+        # column with that name would silently overwrite the VALUES with
+        # partition ids (observed: distinct-ing pid sets returned 0..P-1
+        # instead of the pids) — fail loudly instead
+        raise ValueError(
+            "_hash_part: key columns may not be named '_part' (it is the "
+            "internal partition column); rename the column first")
     acc = np.zeros(len(df), dtype=np.uint64)
     for c in cols:
         v = df[c].to_numpy()

@@ -177,6 +177,8 @@ def semi_join(big_ds, keys_ds, on: str, keys_on: str | None = None,
         kref = ray.put(arr)
 
         def filt(df: pd.DataFrame) -> pd.DataFrame:
+            if on not in df.columns:  # column-less empty block (Ray 2.49)
+                return df
             a = _resolve(kref)
             v = df[on].to_numpy()
             pos = np.minimum(np.searchsorted(a, v), len(a) - 1)
@@ -185,11 +187,43 @@ def semi_join(big_ds, keys_ds, on: str, keys_on: str | None = None,
         return big_ds.map_batches(filt, batch_format="pandas")
     from maritime_activity_reports_cdc_ray.functions.dedup import hash_distinct
 
-    keys = hash_distinct(keys_ds.map_batches(
-        lambda df: df[[keys_on]].rename(columns={keys_on: on}),
-        batch_format="pandas"), [on], num_partitions)
-    return big_ds.join(keys, join_type="inner", num_partitions=num_partitions,
-                       on=(on,))
+    keys = _drop_schemaless_blocks(hash_distinct(keys_ds.map_batches(
+        _project_rename(keys_on, on), batch_format="pandas"),
+        [on], num_partitions))
+    big = _drop_schemaless_blocks(big_ds)
+    if big is None or keys is None:  # nothing joinable → keep nothing
+        return big_ds.map_batches(lambda df: df.iloc[0:0],
+                                  batch_format="pandas")
+    return big.join(keys, join_type="inner", num_partitions=num_partitions,
+                    on=(on,))
+
+
+def _drop_schemaless_blocks(ds):
+    """Drop Ray 2.49's schema-less zero-row blocks before a ``Dataset.join``
+    — Acero rejects any block missing the key field ("No match ... for key
+    field reference"). The join is a materializing barrier anyway; blocks
+    stay in the object store (the driver only maps them to read num_rows).
+    Returns (sanitized_ds | None-if-nothing-left)."""
+    import ray
+    import ray.data as rd
+
+    ds = ds.materialize()
+    refs = ds.to_arrow_refs()
+    keep = [r for r, t in zip(refs, ray.get(refs)) if t.num_rows]
+    if not keep:
+        return None
+    return rd.from_arrow_refs(keep)
+
+
+def _project_rename(src: str, dst: str):
+    """Project one column under a new name, tolerating Ray 2.49's
+    COLUMN-LESS empty blocks (a zero-row pandas block loses its schema;
+    selecting from it would KeyError inside the task)."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        if src not in df.columns:  # column-less empty block
+            return pd.DataFrame({dst: pd.Series(dtype=object)})
+        return df[[src]].rename(columns={src: dst})
+    return f
 
 
 def skew_join(left, right, on: str, how: str = "inner",
@@ -285,6 +319,8 @@ def anti_join(big_ds, keys_ds, on: str, keys_on: str | None = None,
         kref = ray.put(arr)
 
         def filt(df: pd.DataFrame) -> pd.DataFrame:
+            if on not in df.columns:  # column-less empty block (Ray 2.49)
+                return df
             a = _resolve(kref)
             v = df[on].to_numpy()
             pos = np.minimum(np.searchsorted(a, v), len(a) - 1)
@@ -293,11 +329,17 @@ def anti_join(big_ds, keys_ds, on: str, keys_on: str | None = None,
         return big_ds.map_batches(filt, batch_format="pandas")
     from maritime_activity_reports_cdc_ray.functions.dedup import hash_distinct
 
-    keys = hash_distinct(keys_ds.map_batches(
-        lambda df: df[[keys_on]].rename(columns={keys_on: on}),
-        batch_format="pandas"), [on], num_partitions)
-    return big_ds.join(keys, join_type="left_anti",
-                       num_partitions=num_partitions, on=(on,))
+    keys = _drop_schemaless_blocks(hash_distinct(keys_ds.map_batches(
+        _project_rename(keys_on, on), batch_format="pandas"),
+        [on], num_partitions))
+    big = _drop_schemaless_blocks(big_ds)
+    if big is None:  # no joinable big rows → complement is empty too
+        return big_ds.map_batches(lambda df: df.iloc[0:0],
+                                  batch_format="pandas")
+    if keys is None:  # no key rows → the complement keeps everything
+        return big
+    return big.join(keys, join_type="left_anti",
+                    num_partitions=num_partitions, on=(on,))
 
 
 def asof_join(left, right, by: str, on: str, tie_cols: list[str] | None = None,

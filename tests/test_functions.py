@@ -1772,3 +1772,42 @@ def test_average_hasher_near_dup_buckets(ray_session):
     assert h[3] == 1 << 3          # only bit 3 set: 60*600 > 600, rest 0
     # uniform: 60*c == tot for every v -> strict '>' sets NO bits
     assert h[1] == 0
+
+
+def test_hash_part_rejects_part_named_key():
+    """The internal partition column name is reserved: hashing a key column
+    literally named _part would silently overwrite its VALUES with
+    partition ids (observed as wrong distinct-pid sets) — loud error."""
+    import pandas as pd
+    import pytest
+
+    from maritime_activity_reports_cdc_ray.functions.dedup import _hash_part
+
+    with pytest.raises(ValueError, match="_part"):
+        _hash_part(pd.DataFrame({"_part": [1, 2]}), ["_part"], 4)
+
+
+def test_semi_anti_join_tolerate_columnless_empty_blocks(ray_session):
+    """Ray 2.49 strips the schema from zero-row pandas blocks; both the
+    broadcast filter and the partitioned hash-join fallback must survive a
+    key (or big) side containing such blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from maritime_activity_reports_cdc_ray.functions.join import (anti_join,
+                                                                  semi_join)
+
+    big = rd.from_pandas([pd.DataFrame({"k": list("aabbcc")}),
+                          pd.DataFrame()])
+    keys = rd.from_pandas([pd.DataFrame({"k": ["a", "c"]}), pd.DataFrame()])
+    # broadcast regime
+    assert sorted(semi_join(big, keys, on="k").to_pandas()["k"]) == \
+        ["a", "a", "c", "c"]
+    assert sorted(anti_join(big, keys, on="k").to_pandas()["k"]) == ["b", "b"]
+    # forced partitioned hash-join fallback
+    assert sorted(semi_join(big, keys, on="k",
+                            broadcast_limit_rows=0).to_pandas()["k"]) == \
+        ["a", "a", "c", "c"]
+    assert sorted(anti_join(big, keys, on="k",
+                            broadcast_limit_rows=0).to_pandas()["k"]) == \
+        ["b", "b"]
