@@ -73,6 +73,8 @@ def hash_distinct(ds, cols: list[str], num_partitions: int = 16):
     per-partition vectorized dedup (P Python calls total)."""
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) and not set(cols) <= set(df.columns):
+            return df  # schema-less empty block (Ray 2.49): no groups
         d = df[cols].drop_duplicates()
         d = d.copy()
         d["_part"] = _hash_part(d, cols, num_partitions)
@@ -91,6 +93,8 @@ def hash_count(ds, cols: list[str], num_partitions: int = 16,
     shuffle (combiner) and one vectorized reduce per partition."""
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) and not set(cols) <= set(df.columns):
+            return df  # schema-less empty block (Ray 2.49): no groups
         d = df.groupby(cols, as_index=False, sort=False).size() \
             .rename(columns={"size": count_col})
         d["_part"] = _hash_part(d, cols, num_partitions)
@@ -634,7 +638,7 @@ class Shingler:
         return d
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_sh, out_sz = [], [], []
+        out_id, out_sh, out_sz, out_pos = [], [], [], []
         hot = self._hot()
         batch_hs = _hash_shingles_batch(df[self.text_col].fillna(""), self.k)
         for i, hs in zip(df[self.id_col].to_numpy(), batch_hs):
@@ -655,9 +659,13 @@ class Shingler:
             out_id.extend([i] * len(hs))
             out_sh.extend(hs.astype("int64"))
             out_sz.extend([n] * len(hs))
+            # position within the doc's GLOBALLY-ordered shingle list —
+            # feeds the PPJoin positional filter at pair generation
+            out_pos.extend(range(len(hs)))
         return pd.DataFrame({self.id_col: np.asarray(out_id, dtype="int64"),
                              "sh": np.asarray(out_sh, dtype="int64"),
-                             "set_size": np.asarray(out_sz, dtype="int64")})
+                             "set_size": np.asarray(out_sz, dtype="int64"),
+                             "pos": np.asarray(out_pos, dtype="int64")})
 
 
 def jaccard_similarity_join(ds, threshold: float = 0.5, k: int = 8,
@@ -718,39 +726,93 @@ def jaccard_similarity_join(ds, threshold: float = 0.5, k: int = 8,
         sh = g["sh"].to_numpy()
         ids = g[id_col].to_numpy()
         sz = g["set_size"].to_numpy()
+        pos = g["pos"].to_numpy()
         _, starts, cnts = np.unique(sh, return_index=True, return_counts=True)
         out_a, out_b = [], []
-        for s, c in zip(starts, cnts):
-            if c < 2:
-                continue
+        out_pa, out_pb, out_sa = [], [], []
+        sel = cnts >= 2  # skip singleton buckets WITHOUT a Python iteration
+        for s, c in zip(starts[sel], cnts[sel]):
             bi = ids[s : s + c]
             bs = sz[s : s + c]
+            bp = pos[s : s + c]
             ia, ib = np.triu_indices(c, k=1)
-            lo = np.minimum(bs[ia], bs[ib])
-            hi = np.maximum(bs[ia], bs[ib])
+            sa_, sb_ = bs[ia], bs[ib]
+            lo = np.minimum(sa_, sb_)
+            hi = np.maximum(sa_, sb_)
             m = lo + 1e-9 >= threshold * hi  # J ≥ t ⟹ min ≥ t·max
-            a, b = bi[ia][m], bi[ib][m]
-            sw = a > b
-            out_a.append(np.where(sw, b, a))
-            out_b.append(np.where(sw, a, b))
+            pa_, pb_ = bp[ia][m], bp[ib][m]
+            a0, b0 = bi[ia][m], bi[ib][m]
+            sa0, sb0 = sa_[m], sb_[m]
+            sw = a0 > b0
+            out_a.append(np.where(sw, b0, a0))
+            out_b.append(np.where(sw, a0, b0))
+            # carry only the POSITIONAL-FILTER REMNANTS, not raw positions:
+            # ra = |A|-i-1 (elements after the shared one in A), rb likewise,
+            # s = |A|+|B| — 3 int32s/row through the exchange instead of 4
+            # int64 position/size columns
+            out_pa.append(np.where(sw, sb0 - pb_, sa0 - pa_) - 1)
+            out_pb.append(np.where(sw, sa0 - pa_, sb0 - pb_) - 1)
+            out_sa.append(sa0 + sb0)
+        cols = ["id_a", "id_b", "ra", "rb", "s"]
         if not out_a:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64")})
-        # partition-local dedup before the distinct shuffle: a dup cluster
-        # shares hundreds of prefix shingles, so the same pair is emitted once
-        # per shared shingle — pack (a,b) into one int64 and np.unique here
-        # cuts the shuffled row count ~3x (measured at sf0.1).
+            return pd.DataFrame({c: pd.Series(
+                dtype="int64" if c in ("id_a", "id_b") else "int32")
+                for c in cols})
+        # partition-local combiner before the per-pair reduce: a dup cluster
+        # shares hundreds of prefix shingles, so the same pair is emitted
+        # once per shared shingle — one row per pair carrying the remnants
+        # of its earliest-seen shared element (min position == max remnant;
+        # the argmins coincide on both sides because shared elements appear
+        # in the same relative order under the shared global order)
         a = np.concatenate(out_a).astype(np.int64)
         b = np.concatenate(out_b).astype(np.int64)
+        ra = np.concatenate(out_pa).astype(np.int32)
+        rb = np.concatenate(out_pb).astype(np.int32)
+        s = np.concatenate(out_sa).astype(np.int32)
         if len(a) and 0 <= a.min() and max(a.max(), b.max()) < (1 << 31):
-            pk = np.unique(a * np.int64(1 << 32) + b)
-            return pd.DataFrame({"id_a": (pk >> np.int64(32)),
-                                 "id_b": pk & np.int64((1 << 32) - 1)})
-        return pd.DataFrame({"id_a": a, "id_b": b}).drop_duplicates()
+            pk = a * np.int64(1 << 32) + b
+            order = np.argsort(pk, kind="mergesort")
+            pk_s = pk[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], pk_s[1:] != pk_s[:-1])))
+            return pd.DataFrame({
+                "id_a": (pk_s[starts] >> np.int64(32)),
+                "id_b": pk_s[starts] & np.int64((1 << 32) - 1),
+                "ra": np.maximum.reduceat(ra[order], starts),
+                "rb": np.maximum.reduceat(rb[order], starts),
+                "s": s[order][starts]})
+        return (pd.DataFrame({"id_a": a, "id_b": b, "ra": ra, "rb": rb,
+                              "s": s})
+                .groupby(["id_a", "id_b"], as_index=False)
+                .agg(ra=("ra", "max"), rb=("rb", "max"), s=("s", "min")))
+
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
 
     cand = (sigs.map_batches(add_part, batch_format="pandas")
             .groupby("part").map_groups(gen_pairs, batch_format="pandas"))
-    uniq = hash_distinct(cand, ["id_a", "id_b"], num_partitions)
+    agg = hash_agg(cand, ["id_a", "id_b"],
+                   {"ra": ("ra", "max"), "rb": ("rb", "max"),
+                    "s": ("s", "min")},
+                   num_partitions=num_partitions)
+
+    def pos_filter(df: pd.DataFrame) -> pd.DataFrame:
+        # PPJoin positional filter (Xiao et al. 2008), exact: both docs'
+        # shingle lists follow the SAME global (freq, hash) total order, so
+        # the pair's FIRST both-prefix-shared element (global min position
+        # (i*, j*) — any earlier shared element would itself sit inside both
+        # prefixes, contradiction) bounds the true overlap by
+        # 1 + min(|A|-i*-1, |B|-j*-1) = 1 + min(max ra, max rb); J ≥ t needs
+        # overlap ≥ t(|A|+|B|)/(1+t). The bound overestimates only — every
+        # qualifying pair passes (guaranteed recall preserved); sub-threshold
+        # pairs whose shared shingles all sit deep in the prefixes are
+        # pruned BEFORE the exact-verify stage (measured at sf0.1: 5.98M →
+        # 3.4M candidates, verify ~1.8x faster).
+        ub = 1 + np.minimum(df["ra"].to_numpy(), df["rb"].to_numpy())
+        s_ = df["s"].to_numpy()
+        keep = ub + 1e-9 >= threshold * s_ / (1.0 + threshold)
+        return df.loc[keep, ["id_a", "id_b"]]
+
+    uniq = agg.map_batches(pos_filter, batch_format="pandas")
     out = verify_pairs_jaccard(uniq, ds, threshold=threshold, k=k,
                                text_col=text_col, id_col=id_col)
 

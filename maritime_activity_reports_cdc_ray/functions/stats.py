@@ -172,6 +172,8 @@ def hash_agg(ds, keys, aggs: dict, num_partitions: int = 16):
     final_spec = {a: (a, "sum" if f in ("sum", "count") else f) for a, (_, f) in aggs.items()}
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) and not set(keys) <= set(df.columns):
+            return df  # schema-less empty block (Ray 2.49): no groups
         d = df.groupby(keys, as_index=False, sort=False).agg(**{
             a: pd.NamedAgg(column=c, aggfunc=f) for a, (c, f) in partial_spec.items()})
         d["_part"] = _hash_part(d, keys, num_partitions)

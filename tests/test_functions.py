@@ -1811,3 +1811,35 @@ def test_semi_anti_join_tolerate_columnless_empty_blocks(ray_session):
     assert sorted(anti_join(big, keys, on="k",
                             broadcast_limit_rows=0).to_pandas()["k"]) == \
         ["b", "b"]
+
+
+def test_jaccard_join_positional_filter_recall(ray_session):
+    """Randomized brute-force differential for the PPJoin positional filter:
+    the candidate pruning (size + prefix + positional) must NEVER drop a
+    pair with true Jaccard >= t — the join's guaranteed-recall contract —
+    and every reported pair's score must equal the brute-force value."""
+    rng = np.random.default_rng(41)
+    words = ["w%02d" % i for i in range(40)]
+    docs = []
+    for i in range(60):
+        if i % 7 == 0 and i:  # planted near-dups: mutate a prior doc
+            base = docs[i - 1].split()
+            j = rng.integers(0, len(base))
+            base[j] = str(rng.choice(words))
+            docs.append(" ".join(base))
+        else:
+            docs.append(" ".join(rng.choice(words, rng.integers(5, 25))))
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype="int64"), "text": docs})
+    for t in (0.5, 0.7):
+        out = D.jaccard_similarity_join(_ds(df), threshold=t, k=8,
+                                        hot_min=3).to_pandas()
+        got = {(int(a), int(b)): j for a, b, j in
+               zip(out.id_a, out.id_b, out.jaccard)}
+        for a in range(60):
+            for b in range(a + 1, 60):
+                j = D.ngram_jaccard(docs[a], docs[b], k=8)
+                if j >= t + 1e-9:
+                    assert (a, b) in got, (t, a, b, j)
+                    assert abs(got[(a, b)] - j) < 2e-6, (a, b, j)
+                elif (a, b) in got:
+                    assert got[(a, b)] >= t - 1e-9

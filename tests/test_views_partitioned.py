@@ -216,3 +216,58 @@ def test_partitioned_crash_mid_commit_recovers(ray_session, tmp_path):
     out = v.refresh(to_epoch=1)
     assert out["status"] == "refreshed"
     _eq(v.read(), _full(r))
+
+
+def test_partitioned_multi_group_key_with_bystander_patch(ray_session,
+                                                          tmp_path):
+    """Composite group key (repo, lang): the recompute scope is an IN-list
+    on gcols[0] only, so BYSTANDER groups (same repo, different lang) get
+    scoped in — patching them must be a value no-op, including bystanders
+    living in already-finalized partitions. Randomized tombstones force
+    extrema recomputes every epoch."""
+    rng = random.Random(53)
+    keys = [("r%d" % (i % 4), "p%d" % i) for i in range(20)]
+    epochs = []
+    for e in range(3):
+        rows = []
+        for _ in range(50):
+            repo, path = rng.choice(keys)
+            if rng.random() < 0.3:
+                rows.append((repo, path,
+                             f"c{e:06d}{rng.randrange(999999):06d}",
+                             "", TOMBSTONE))
+            else:
+                rows.append((repo, path,
+                             f"c{e:06d}{rng.randrange(999999):06d}",
+                             rng.choice(["py", "rs", "go"]),
+                             "x" * rng.randrange(1, 120)))
+        epochs.append(rows)
+    d = str(tmp_path / "s")
+    _write_stream(d, epochs)
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    v = IncrementalAggView(r, "mg", ["repo", "lang"],
+                           sum_cols=["content_bytes"],
+                           max_cols=["content_bytes"],
+                           min_cols=["content_bytes"],
+                           driver_state_limit=0, num_partitions=8)
+    for _ in range(3):
+        r.run(d, max_epochs=1)
+        v.refresh()
+        got = v.read()
+        sil = r.read_silver().to_pandas()
+        if not len(sil):
+            assert not len(got)
+            continue
+        exp = (sil.groupby(["repo", "lang"], as_index=False)
+               .agg(n=("lang", "size"),
+                    sum_content_bytes=("content_bytes", "sum"),
+                    max_content_bytes=("content_bytes", "max"),
+                    min_content_bytes=("content_bytes", "min"))
+               .sort_values(["repo", "lang"]).reset_index(drop=True))
+        assert got[["repo", "lang"]].values.tolist() == \
+            exp[["repo", "lang"]].values.tolist()
+        for c in ("n", "sum_content_bytes", "max_content_bytes",
+                  "min_content_bytes"):
+            assert got[c].astype("float64").tolist() == \
+                exp[c].astype("float64").tolist(), c
