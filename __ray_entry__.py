@@ -301,10 +301,15 @@ def top_brands_by_revenue(sf_dir: str):
         df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
         return df[["p_brand", "revenue"]]
 
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
     li = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]) \
         .map_batches(add_brand, batch_format="pandas")
-    out = li.groupby("p_brand").aggregate(Sum("revenue", alias_name="revenue"),
-                                          Count(alias_name="n_items")).to_pandas()
+    # hash_agg, not Ray's groupby().aggregate(): the native path pays a full
+    # 600k-row sort for 25 groups (measured 9.4 s vs 0.21 s, same result)
+    out = hash_agg(li, "p_brand", {"revenue": ("revenue", "sum"),
+                                   "n_items": ("revenue", "count")},
+                   num_partitions=8).to_pandas()
     out["revenue"] = _r(out["revenue"], 2)
     out = out.sort_values(["revenue", "p_brand"], ascending=[False, True]).head(5)
     return out.reset_index(drop=True)
@@ -461,8 +466,11 @@ def events_rank_in_type(sf_dir: str):
         rank_within,
     )
 
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
     ds = _t(sf_dir, "events", ["user_id", "event_type", "value"])
-    agg = ds.groupby(["event_type", "user_id"]).aggregate(Sum("value", alias_name="total_value"))
+    agg = hash_agg(ds, ["event_type", "user_id"],
+                   {"total_value": ("value", "sum")}, num_partitions=8)
 
     def rnd(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -525,9 +533,12 @@ def events_props_extract(sf_dir: str):
         k = df["props"].str.extract(r'"k":\s*(\d+)')[0].astype("int64")
         return pd.DataFrame({"k_bucket": (k % 10).astype("int64"), "value": df["value"]})
 
-    out = ds.map_batches(extract, batch_format="pandas") \
-        .groupby("k_bucket").aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value")) \
-        .to_pandas()
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
+    out = hash_agg(ds.map_batches(extract, batch_format="pandas"),
+                   "k_bucket", {"n": ("value", "count"),
+                                "total_value": ("value", "sum")},
+                   num_partitions=8).to_pandas()
     out["total_value"] = _r(out["total_value"], 2)
     return out
 
@@ -662,8 +673,9 @@ def events_user_360(sf_dir: str):
 
     ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
-    stats = ds.groupby("user_id").aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    stats = hash_agg(ds, "user_id", {"n_events": ("value", "count"),
+                                     "total_value": ("value", "sum")},
+                     num_partitions=8)
 
     def rnd(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -690,7 +702,9 @@ def events_user_360(sf_dir: str):
                 pa.int64()),
         }),
         batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("user_id").aggregate(Sum("is_recent", alias_name="n_recent"))
+    )
+    recent = hash_agg(recent, "user_id", {"n_recent": ("is_recent", "sum")},
+                      num_partitions=8)
 
     j = stats.join(sess, join_type="left_outer", num_partitions=4, on=("user_id",))
     j = j.join(recent, join_type="left_outer", num_partitions=4, on=("user_id",))
@@ -1170,13 +1184,15 @@ def docs_token_stats(sf_dir: str):
     metrics = ds.map_batches(m2, batch_format="pandas")
 
     def agg_side():
-        out = metrics.drop_columns(["doc_id"]).groupby("lang").aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_tokens", alias_name="total_tokens"),
-            Sum("n_chars", alias_name="total_chars"),
-            Sum("n_bpe_tokens", alias_name="total_bpe_tokens"),
-            Sum("entropy_fp", alias_name="total_entropy_fp"),
-        ).to_pandas()
+        from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
+        out = hash_agg(metrics.drop_columns(["doc_id"]), "lang", {
+            "n_docs": ("n_tokens", "count"),
+            "total_tokens": ("n_tokens", "sum"),
+            "total_chars": ("n_chars", "sum"),
+            "total_bpe_tokens": ("n_bpe_tokens", "sum"),
+            "total_entropy_fp": ("entropy_fp", "sum"),
+        }, num_partitions=8).to_pandas()
         out["total_entropy_fp"] = out["total_entropy_fp"].astype("int64")
         return out
 
@@ -1725,8 +1741,11 @@ def events_hopping_window(sf_dir: str):
     HOUR = 3_600_000_000
     ev = _t(sf_dir, "events", ["ts", "value"])
     exp = window_expand_hopping(ev, "ts", size_us=2 * HOUR, hop_us=HOUR)
-    out = exp.groupby("window_start_us").aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value")).to_pandas()
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
+    out = hash_agg(exp, "window_start_us",
+                   {"n": ("value", "count"), "sum_value": ("value", "sum")},
+                   num_partitions=8).to_pandas()
     out["sum_value"] = out["sum_value"].round(2)
     return out.sort_values("window_start_us").reset_index(drop=True)
 
@@ -1747,8 +1766,11 @@ def events_value_bands(sf_dir: str):
     ev = _t(sf_dir, "events", ["event_id", "value"])
     bands = pd.DataFrame(_VALUE_BANDS, columns=["band", "lo", "hi"])
     joined = range_join_broadcast(ev, bands, "value", "lo", "hi")
-    out = joined.groupby("band").aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value")).to_pandas()
+    from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
+    out = hash_agg(joined, "band",
+                   {"n": ("value", "count"), "sum_value": ("value", "sum")},
+                   num_partitions=4).to_pandas()
     out["sum_value"] = out["sum_value"].round(2)
     return out.sort_values("band").reset_index(drop=True)
 
@@ -2076,9 +2098,11 @@ def emb_label_stats(sf_dir: str):
     )
 
     def _agg(ds):
-        out = ds.groupby("label").aggregate(
-            Count(alias_name="n_vecs"), Sum("l2norm", alias_name="total_norm")
-        ).to_pandas()
+        from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
+
+        out = hash_agg(ds, "label", {"n_vecs": ("l2norm", "count"),
+                                     "total_norm": ("l2norm", "sum")},
+                       num_partitions=4).to_pandas()
         out["total_norm"] = _r(out["total_norm"], 3)
         return out
 

@@ -273,14 +273,18 @@ def hll_count_distinct(ds, cols: list[str], p: int = 12) -> float:
         return (pd.DataFrame({"reg": reg, "rho": rho})
                 .groupby("reg", as_index=False)["rho"].max())
 
-    regs = (ds.map_batches(partials, batch_format="pandas")
-            .groupby("reg").max("rho").to_pandas())
+    # hash_agg, not Ray's groupby().max(): the native path sorts every
+    # partial row for <= m output registers (measured 9s vs <1s on the
+    # grouped sketch at sf0.1)
+    regs = hash_agg(ds.map_batches(partials, batch_format="pandas"),
+                    "reg", {"rho_max": ("rho", "max")},
+                    num_partitions=4).to_pandas()
     K = width + 1  # max rho → exact-integer scale for the harmonic sum
     S = 0
     nonzero = 0
     if len(regs):
         nonzero = len(regs)
-        for r in regs["max(rho)"].to_numpy():
+        for r in regs["rho_max"].to_numpy():
             S += 1 << (K - int(r))
     zeros = m - nonzero
     S += zeros * (1 << K)  # empty registers contribute 2^-0 = 1 (scaled)
@@ -345,13 +349,14 @@ def grouped_hll_count_distinct(ds, group_col: str, cols: list[str],
                               "reg": reg, "rho": rho})
                 .groupby([group_col, "reg"], as_index=False)["rho"].max())
 
-    regs = (ds.map_batches(partials, batch_format="pandas")
-            .groupby([group_col, "reg"]).max("rho").to_pandas())
+    regs = hash_agg(ds.map_batches(partials, batch_format="pandas"),
+                    [group_col, "reg"], {"rho_max": ("rho", "max")},
+                    num_partitions=8).to_pandas()
     alpha = 0.7213 / (1 + 1.079 / m)
 
     def estimate(sub: pd.DataFrame) -> float:
         S, nz = 0, len(sub)
-        for r in sub["max(rho)"].to_numpy():
+        for r in sub["rho_max"].to_numpy():
             S += 1 << (K - int(r))
         zeros = m - nz
         S += zeros * (1 << K)
@@ -363,7 +368,7 @@ def grouped_hll_count_distinct(ds, group_col: str, cols: list[str],
     rows = [(g, estimate(sub))
             for g, sub in regs.groupby(group_col, sort=True)]
     if include_global is not None:
-        merged = (regs.groupby("reg", as_index=False)["max(rho)"].max())
+        merged = (regs.groupby("reg", as_index=False)["rho_max"].max())
         rows.append((include_global, estimate(merged)))
     return pd.DataFrame(rows, columns=[group_col, "approx"])
 
