@@ -1230,12 +1230,16 @@ def docs_fingerprint(sf_dir: str):
         fingerprint_md5,
     )
 
+    # ONE storage scan shared by every face (was 3 reads of the
+    # same table; the 100 TB shape is scan-once, fan-out in memory)
+    _shared = _t(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"fingerprint": fingerprint_md5(df["text"]),
                              "doc_id": df["doc_id"]})
 
     def md5_side() -> pd.DataFrame:
-        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        ds = _shared
         # hash_agg (per-batch partials → one vectorized reduce per partition)
         # beats Ray's sort-based groupby ~2.5x at this key cardinality
         md = hash_agg(ds.map_batches(fp, batch_format="pandas"), "fingerprint",
@@ -1246,7 +1250,7 @@ def docs_fingerprint(sf_dir: str):
         return md
 
     def rolling_side() -> pd.DataFrame:
-        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        ds = _shared
         rf = RollingFingerprint(k=8, w=16)
         ro = hash_agg(ds.map_batches(lambda df: rf.fingerprints(df),
                                      batch_format="pandas"), "fp",
@@ -1262,7 +1266,7 @@ def docs_fingerprint(sf_dir: str):
 
         from maritime_activity_reports_cdc_ray.functions.text import make_chunker
 
-        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        ds = _shared
         ch = make_chunker(size=16, stride=8)
 
         def fp(df: pd.DataFrame) -> pd.DataFrame:
@@ -1312,8 +1316,12 @@ def docs_quality(sf_dir: str):
     # (group_count_small): ≤ |batches| × ≤5 category partials — a full
     # sort-shuffle per face costs more in barriers than the whole count
 
+    # ONE storage scan shared by every face (was 3 reads of the
+    # same table; the 100 TB shape is scan-once, fan-out in memory)
+    _shared = _t(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
     def heuristic():
-        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        ds = _shared
         scored = ds.map_batches(
             lambda df: quality_score(df)[["doc_id", "doc_quality_category"]],
             batch_format="pandas")
@@ -1323,7 +1331,7 @@ def docs_quality(sf_dir: str):
         return out
 
     def classifier():
-        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        ds = _shared
         scored = ds.map_batches(HashedLinearClassifier(),
                                 batch_format="pyarrow")
         out = group_count_small(scored, "clf_label", "n_docs")
@@ -1332,7 +1340,7 @@ def docs_quality(sf_dir: str):
         return out
 
     def lm():
-        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        ds = _shared
         scored = lm_perplexity(ds, vocab_size=_LM_V,
                                t_low_bits=_LM_TLOW, t_high_bits=_LM_THIGH,
                                train_hex_gate=_LM_GATE,
@@ -1395,7 +1403,7 @@ def docs_enrichment(sf_dir: str):
             .sort_values(["script_family", "size_tier"]).reset_index(drop=True))
 
 
-def docs_minhash_pairs(sf_dir: str):
+def docs_minhash_pairs(sf_dir: str, docs=None):
     """MinHash+LSH near-dup candidates with exact Jaccard verify. EXACT SQL
     oracle: every hash step (md5_u64 shingle hash → (a*x+b) mod-2^64 mod-p
     permutations → mod-2^64 band fold → bucket join → Jaccard verify) is
@@ -1405,7 +1413,8 @@ def docs_minhash_pairs(sf_dir: str):
         verify_pairs_jaccard,
     )
 
-    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    if docs is None:
+        docs = _t(sf_dir, "documents", ["doc_id", "text"])
     cand = minhash_lsh_candidates(docs, num_perm=64, bands=16)
     # byte-gated fast path: a small corpus broadcasts whole, fusing candidate
     # generation + verify into one streaming execution (see verify_pairs_jaccard)
@@ -1471,14 +1480,15 @@ def docs_dup_groups(sf_dir: str):
     return out[["component", "n_docs", "keep_doc_id", "keep_best_doc_id"]]
 
 
-def docs_simhash_pairs(sf_dir: str):
+def docs_simhash_pairs(sf_dir: str, docs=None):
     """SimHash banded-Hamming near-dups. bands=9 > max_hamming=8 makes the
     banded candidate generation EXACT (pigeonhole), so the SQL oracle is a
     plain all-pairs Hamming filter over per-doc simhashes recomputed
     bit-for-bit (md5_u64 word hashes + per-bit sign votes)."""
     from maritime_activity_reports_cdc_ray.functions.dedup import simhash_candidates
 
-    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    if docs is None:
+        docs = _t(sf_dir, "documents", ["doc_id", "text"])
     out = simhash_candidates(docs, max_hamming=8, bands=9).to_pandas()
     out = out[["id_a", "id_b", "hamming"]].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -1499,8 +1509,10 @@ def docs_lsh_pairs(sf_dir: str):
     'minhash' = MinHash+LSH candidates with exact-Jaccard verify (score =
     jaccard), method='simhash' = banded-Hamming pairs (score = hamming).
     Each side keeps its own exact SQL oracle, unioned the same way."""
-    mh, sh = _par2(lambda: docs_minhash_pairs(sf_dir),
-                   lambda: docs_simhash_pairs(sf_dir))
+    # ONE storage scan shared by both faces (scan-once, fan-out in memory)
+    _shared = _t(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    mh, sh = _par2(lambda: docs_minhash_pairs(sf_dir, _shared),
+                   lambda: docs_simhash_pairs(sf_dir, _shared))
     mh = pd.DataFrame({"method": "minhash", "id_a": mh["id_a"],
                        "id_b": mh["id_b"], "score": mh["jaccard"].astype("float64")})
     sh = pd.DataFrame({"method": "simhash", "id_a": sh["id_a"],
@@ -1560,8 +1572,12 @@ def docs_pii_redact(sf_dir: str):
 
     from maritime_activity_reports_cdc_ray.functions.text import PiiRedactor, c4_clean
 
+    # ONE storage scan shared by every face (was 2 reads of the
+    # same table; the 100 TB shape is scan-once, fan-out in memory)
+    _shared = _t(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
     def pii():
-        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        ds = _shared
         red = PiiRedactor()
 
         def q(df: pd.DataFrame) -> pd.DataFrame:
@@ -1589,7 +1605,7 @@ def docs_pii_redact(sf_dir: str):
         return ds.map_batches(q, batch_format="pandas").to_pandas()
 
     def c4():
-        ds = _t(sf_dir, "documents", ["doc_id", "text"])
+        ds = _shared
 
         def q(df: pd.DataFrame) -> pd.DataFrame:
             out = c4_clean(_c4_synth(df))
@@ -1626,16 +1642,17 @@ def docs_repetition(sf_dir: str):
     )
     from maritime_activity_reports_cdc_ray.functions.text import repetition_metrics
 
+    # ONE storage scan shared by all three signal families (was 3 reads of
+    # the same table; the 100 TB shape is scan-once, fan-out in memory)
+    _shared = _t(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
     def _within():
-        ds = _t(sf_dir, "documents", ["doc_id", "text"])
-        return ds.map_batches(repetition_metrics,
-                              batch_format="pyarrow").to_pandas()
+        return _shared.map_batches(repetition_metrics,
+                                   batch_format="pyarrow").to_pandas()
 
     def _cross():
-        ds = _t(sf_dir, "documents", ["doc_id", "text"])
-        seg = segment_dedup(ds).to_pandas()
-        spans = dup_span_stats(_t(sf_dir, "documents", ["doc_id", "text"]),
-                               w=8).to_pandas()
+        seg = segment_dedup(_shared).to_pandas()
+        spans = dup_span_stats(_shared, w=8).to_pandas()
         return seg.merge(spans, on="doc_id", how="left")
 
     rep, seg = _par2(_within, _cross)
@@ -2063,15 +2080,19 @@ def emb_cosine_dupes(sf_dir: str):
         semantic_dedup,
     )
 
+    # ONE storage scan shared by every face (was 2 reads of the
+    # same table; the 100 TB shape is scan-once, fan-out in memory)
+    _shared = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+
     def exact():
-        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        ds = _shared
         out = cosine_dupes(ds, threshold=0.4).to_pandas()
         out = out[["id_a", "id_b", "sim"]].copy()
         out.insert(0, "method", "exact")
         return out
 
     def semdedup():
-        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        ds = _shared
         out = semantic_dedup(ds, threshold=0.4, k=16, iters=2,
                              centroid_id_stride=29).to_pandas()
         out = out[["id_a", "id_b", "sim"]].copy()
@@ -2097,6 +2118,10 @@ def emb_label_stats(sf_dir: str):
         _to_matrix,
     )
 
+    # ONE storage scan shared by every face (was 2 reads of the
+    # same table; the 100 TB shape is scan-once, fan-out in memory)
+    _shared = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"]).materialize()
+
     def _agg(ds):
         from maritime_activity_reports_cdc_ray.functions.stats import hash_agg
 
@@ -2107,7 +2132,7 @@ def emb_label_stats(sf_dir: str):
         return out
 
     def exact():
-        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        ds = _shared
 
         def norm(df: pd.DataFrame) -> pd.DataFrame:
             m = _to_matrix(df["embedding"])
@@ -2119,7 +2144,7 @@ def emb_label_stats(sf_dir: str):
         return out
 
     def jl():
-        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        ds = _shared
         rp = RandomProjector(64, out_dim=8)
 
         def norm(df: pd.DataFrame) -> pd.DataFrame:
