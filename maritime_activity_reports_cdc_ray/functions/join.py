@@ -201,18 +201,27 @@ def semi_join(big_ds, keys_ds, on: str, keys_on: str | None = None,
 def _drop_schemaless_blocks(ds):
     """Drop Ray 2.49's schema-less zero-row blocks before a ``Dataset.join``
     — Acero rejects any block missing the key field ("No match ... for key
-    field reference"). The join is a materializing barrier anyway; blocks
-    stay in the object store (the driver only maps them to read num_rows).
-    Returns (sanitized_ds | None-if-nothing-left)."""
-    import ray
+    field reference"). Selection is by the driver-held block METADATA
+    (num_rows / schema names) — no block is ever fetched, so the big side of
+    a partitioned join stays in the object store. A dataset with no such
+    blocks passes through untouched (zero cost beyond the materialize the
+    join implies); one with ONLY empty blocks returns None (nothing
+    joinable). Schema-less empties only arise from pandas-UDF outputs, so
+    the rebuilt dataset is reconstructed from pandas block refs."""
     import ray.data as rd
 
     ds = ds.materialize()
-    refs = ds.to_arrow_refs()
-    keep = [r for r, t in zip(refs, ray.get(refs)) if t.num_rows]
+    pairs = [(r, m) for b in ds.iter_internal_ref_bundles()
+             for r, m in b.blocks]
+    schemaless = [m for _, m in pairs
+                  if m.num_rows == 0
+                  and not getattr(getattr(m, "schema", None), "names", None)]
+    if not schemaless:
+        return ds
+    keep = [r for r, m in pairs if m.num_rows]
     if not keep:
         return None
-    return rd.from_arrow_refs(keep)
+    return rd.from_pandas_refs(keep)
 
 
 def _project_rename(src: str, dst: str):

@@ -165,6 +165,12 @@ def hash_agg(ds, keys, aggs: dict, num_partitions: int = 16):
     one batch), this is correct under ANY batching/blocking — the partials are
     re-reduced globally. Count re-reduces as sum; sum/max/min are associative.
 
+    NULL group keys are DROPPED (pandas groupby semantics — the contract
+    the IVM views document), unlike SQL GROUP BY / Ray's native aggregate,
+    which keep a NULL group. When SQL parity over nullable keys is needed,
+    sentinel NULLs before the call and restore after — the
+    ``rollup_agg`` / ``_lang_breakdown`` / ``StreamingWindowAgg`` pattern.
+
     Exchange choice: the sort-based groupby, deliberately. The alternative —
     Ray's hash shuffle via ``repartition(keys=['_part'])`` in
     ``hash_shuffle_ctx`` — was measured SLOWER on a 35M-row partial set

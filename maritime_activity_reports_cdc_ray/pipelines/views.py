@@ -187,6 +187,15 @@ def _merge_frames(state: pd.DataFrame, delta: pd.DataFrame,
     out_cols = gcols + sum_cols_all + ecols
     if not (len(state) or len(delta)):
         return pd.DataFrame(columns=out_cols), pd.DataFrame(columns=gcols)
+    # an EMPTY side may arrive column-less (Ray 2.49 strips zero-row block
+    # schemas; plain to_pandas() then yields a (0,0) frame) — rebuild the
+    # expected columns so the selections below can't KeyError
+    if not len(delta):
+        delta = pd.DataFrame(columns=gcols + sum_cols_all
+                             + [f"_ins_ext_{a}" for a in ecols]
+                             + [f"_del_ext_{a}" for a in ecols])
+    if not len(state):
+        state = pd.DataFrame(columns=out_cols)
     # exclude empty sides: an all-empty frame's object dtypes would pollute
     # the concat result dtype (and pandas deprecates including them)
     sides = [f[gcols + sum_cols_all] for f in (state, delta) if len(f)]
@@ -362,7 +371,14 @@ class IncrementalAggView:
     def _part_files(self, vdir: str) -> list[str]:
         import glob as _glob
 
-        return sorted(_glob.glob(os.path.join(vdir, "part-*.parquet")))
+        parts = sorted(_glob.glob(os.path.join(vdir, "part-*.parquet")))
+        if parts:
+            return parts
+        # pre-partitioned layout (state written before the hash-partitioned
+        # format): one data.parquet per version — read it so an upgraded
+        # engine MIGRATES the state instead of silently merging into nothing
+        legacy = os.path.join(vdir, "data.parquet")
+        return [legacy] if os.path.exists(legacy) else []
 
     def read(self) -> pd.DataFrame:
         """The whole view state as ONE driver frame, sorted on the group
@@ -470,6 +486,13 @@ class IncrementalAggView:
         # the persisted hash layout is fixed at first materialization; a
         # later object's num_partitions only seeds a FRESH view
         P = int(meta.get("num_partitions", self.num_partitions))
+        # a state persisted before the partitioned layout (no
+        # num_partitions in meta → single data.parquet) must take the
+        # driver path once: it reads the legacy file via the _part_files
+        # fallback and WRITES the new hash-partitioned layout (migration);
+        # the partitioned path's per-pid file reads would see nothing and
+        # silently merge the delta into an empty state
+        legacy_state = state_rows > 0 and "num_partitions" not in meta
 
         # atomic versioned-dir swap: state + watermark commit together (the
         # state feeds the NEXT delta, so a data-then-meta scheme would
@@ -481,7 +504,7 @@ class IncrementalAggView:
         shutil.rmtree(vdir, ignore_errors=True)
         os.makedirs(vdir, exist_ok=True)
 
-        if state_rows + n_delta <= self.driver_state_limit:
+        if legacy_state or state_rows + n_delta <= self.driver_state_limit:
             rows = self._refresh_driver(delta_ds, cur, vdir, P)
         else:
             rows = self._refresh_partitioned(delta_ds, cur, vdir, P)
@@ -505,9 +528,12 @@ class IncrementalAggView:
     def _refresh_driver(self, delta_ds, cur: int, vdir: str, P: int) -> int:
         """Small-state merge: one driver frame (cheaper than task
         round-trips) — reached only under ``driver_state_limit`` groups."""
+        from maritime_activity_reports_cdc_ray.functions.kernels import \
+            dataset_to_pandas
+
         gcols, scols, exts = list(self.group_cols), list(self.sum_cols), \
             self._exts()
-        delta = delta_ds.to_pandas()
+        delta = dataset_to_pandas(delta_ds)
         if "_part" in delta.columns:
             delta = delta.drop(columns=["_part"])
         state = self._read_state()
@@ -517,7 +543,16 @@ class IncrementalAggView:
             rc_ds = (self._recompute(cur, vals=vals)
                      if len(vals) <= RECOMPUTE_INLIST_LIMIT
                      else self._recompute(cur, keys=need))
-            rc = rc_ds.to_pandas().drop(columns=["_part"], errors="ignore")
+            rc = dataset_to_pandas(rc_ds).drop(columns=["_part"],
+                                               errors="ignore")
+            if not len(rc):
+                # same contract violation the partitioned path reports via
+                # its leftover-pending guard: a need-recompute group (n > 0)
+                # must have live silver rows
+                raise RuntimeError(
+                    f"IncrementalAggView[{self.name}]: extrema recompute "
+                    f"returned no rows for {len(need)} need-recompute "
+                    "groups (IVM count drift)")
             rc = rc.merge(need.drop_duplicates(), on=gcols, how="inner")
             merged = _patch_extrema(merged, rc, gcols, exts)
         fin = _finalize_frame(merged, gcols, exts, self._cols())
@@ -564,6 +599,10 @@ class IncrementalAggView:
         os.makedirs(pend_dir, exist_ok=True)
 
         def add_part(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) and not set(gcols) <= set(df.columns):
+                # schema-less empty block (Ray 2.49): keep it sortable on
+                # _part, contribute no groups
+                return pd.DataFrame({"_part": pd.Series(dtype="int64")})
             df = df.drop(columns=["_part"], errors="ignore")
             return df.assign(_part=_hash_part(df, gcols, P))
 
@@ -710,6 +749,9 @@ class IncrementalAggView:
                 keys, on=gcols[0])
 
         def to_ms(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) and not set(cols) <= set(df.columns):
+                return df  # schema-less empty block: hash_agg's local guard
+                # passes it through as no groups
             out = df[gcols].copy()
             for a, c, s in exts:
                 out[f"_v_{a}"] = s * df[c].astype("float64")

@@ -271,3 +271,69 @@ def test_partitioned_multi_group_key_with_bystander_patch(ray_session,
                   "min_content_bytes"):
             assert got[c].astype("float64").tolist() == \
                 exp[c].astype("float64").tolist(), c
+
+
+def test_legacy_single_file_state_migrates(ray_session, tmp_path):
+    """A state persisted by the PRE-partitioned layout (v*/data.parquet,
+    meta without num_partitions) must be read, merged and rewritten in the
+    new layout — never silently treated as empty (which would merge the
+    delta into nothing and destroy the history)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "s")
+    _write_stream(d, _adversarial_epochs(random.Random(61)))
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    v = _mk_view(r, "lg")
+    r.run(d, max_epochs=1)
+    v.refresh()
+    state_now = v.read()
+    # rewrite the committed version as the LEGACY layout
+    vdir = v._latest()
+    for f in v._part_files(vdir):
+        os.unlink(f)
+    pq.write_table(pa.Table.from_pandas(state_now, preserve_index=False),
+                   os.path.join(vdir, "data.parquet"))
+    meta = json.load(open(os.path.join(vdir, "meta.json")))
+    meta.pop("num_partitions", None)
+    json.dump(meta, open(os.path.join(vdir, "meta.json"), "w"))
+    _eq(v.read(), state_now)  # legacy fallback read works
+    # next refresh merges ON TOP of the legacy state and migrates the layout
+    r.run(d)
+    # driver_state_limit=0 would normally force the partitioned path — the
+    # legacy guard must override it
+    v2 = _mk_view(r, "lg", driver_state_limit=0)
+    v2.refresh()
+    _eq(v2.read(), _full(r))
+    assert any("part-" in os.path.basename(f)
+               for f in v2._part_files(v2._latest()))
+    meta2 = json.load(open(os.path.join(v2._latest(), "meta.json")))
+    assert "num_partitions" in meta2  # migrated
+
+
+def test_refresh_with_empty_delta_and_extrema(ray_session, tmp_path,
+                                              monkeypatch):
+    """An epoch range whose net change feed is EMPTY (Ray 2.49 strips the
+    schema from the all-empty delta) must advance the watermark as a no-op
+    on both paths — not KeyError on the missing _ins_ext columns."""
+    import ray.data as rd
+
+    d = str(tmp_path / "s")
+    _write_stream(d, _adversarial_epochs(random.Random(67), n_epochs=2))
+    r = CDCReplay(str(tmp_path / "lake"), EngineConfig(num_partitions=4))
+    r.setup()
+    r.run(d, max_epochs=1)
+    views = [_mk_view(r, "edd"), _mk_view(r, "edp", driver_state_limit=0)]
+    for v in views:
+        v.refresh()
+    r.run(d)  # epoch 1 commits while both views sleep
+    monkeypatch.setattr(r, "table_changes",
+                        lambda *a, **k: rd.from_pandas(pd.DataFrame()))
+    for v in views:
+        before = v.read()
+        out = v.refresh()
+        assert out["status"] == "refreshed" and out["groups_touched"] == 0
+        _eq(v.read(), before)  # no-op state carry, watermark advanced
+        assert v.view_epoch() == r.silver.latest_manifest().epoch
